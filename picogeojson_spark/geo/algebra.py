@@ -1,0 +1,374 @@
+"""Geometry dict constructors and the object algebra.
+
+The engine's canonical in-kernel representation is the plain GeoJSON dict
+(RFC 7946 member names plus an explicit ``crs`` key, ``None`` == absent).
+Constructors replicate the reference's converter/validator behavior
+(``/root/reference/picogeojson/types.py`` and ``validators.py``):
+
+- nesting-depth validation raising ``TypeError`` on malformed coordinates;
+- ring auto-closure (append first vertex when first != last);
+- RFC-7946 winding enforcement for Polygon / MultiPolygon;
+- container membership validation (GeometryCollection only holds geometries,
+  FeatureCollection only holds Features, a Feature's geometry must be a
+  geometry).
+
+``merge`` / ``burst`` replicate ``/root/reference/picogeojson/transformations.py``
+including the crs-uniformity errors, the GC-of-GCs non-flattening, and the
+burst crs-overwrite asymmetry (GC children always take the parent crs, FC
+children only when the parent crs is not None).
+"""
+
+from __future__ import annotations
+
+from numbers import Number
+
+from .winding import orient_rings
+
+GEOMETRY_TYPES = frozenset(
+    {
+        "Point",
+        "MultiPoint",
+        "LineString",
+        "MultiLineString",
+        "Polygon",
+        "MultiPolygon",
+        "GeometryCollection",
+    }
+)
+
+ATOMIC_TYPES = frozenset(
+    {"Point", "MultiPoint", "LineString", "MultiLineString", "Polygon", "MultiPolygon"}
+)
+
+
+# ---------------------------------------------------------------- validation
+
+def _require_position(val):
+    if not hasattr(val, "__getitem__") or not isinstance(val[0], Number):
+        raise TypeError("received {} but require position iterable".format(val))
+
+
+def _require_depth(val, depth):
+    """Nesting-depth check mirroring the reference depth1..depth4 validators."""
+    probe = val
+    for _ in range(depth - 1):
+        probe = probe[0]
+    _require_position(probe)
+    if depth >= 2 and not hasattr(val[0], "__getitem__"):
+        raise TypeError("received {} but require list of positions".format(val))
+    if depth >= 3 and not hasattr(val[0][0], "__getitem__"):
+        raise TypeError("received {} but require list of position lists".format(val))
+    if depth >= 4 and not hasattr(val[0][0][0], "__getitem__"):
+        raise TypeError(
+            "received {} but require list of position ring lists".format(val)
+        )
+
+
+def listify(obj):
+    """Convert all but the innermost (position) level of iterables to lists.
+
+    Positions keep their original type, matching the reference
+    ``as_nested_lists`` (``types.py:8-12``).
+    """
+
+    def is_nested(a):
+        return hasattr(a, "__getitem__") and not isinstance(a, (str, bytes)) and \
+            hasattr(a[0], "__getitem__") and not isinstance(a[0], (str, bytes))
+
+    return [listify(a) if is_nested(a) else a for a in obj]
+
+
+def close_rings(obj):
+    """Close every ring in a (possibly nested) list of rings, in place."""
+    if hasattr(obj[0], "__getitem__"):
+        if hasattr(obj[0][0], "__getitem__"):
+            for part in obj:
+                close_rings(part)
+        else:
+            if obj[0] != obj[-1]:
+                obj.append(obj[0])
+    return obj
+
+
+# -------------------------------------------------------------- constructors
+
+def make_point(coordinates, crs=None):
+    _require_depth(coordinates, 1)
+    return {"type": "Point", "coordinates": coordinates, "crs": crs}
+
+
+def make_multipoint(coordinates, crs=None):
+    coordinates = listify(coordinates)
+    _require_depth(coordinates, 2)
+    return {"type": "MultiPoint", "coordinates": coordinates, "crs": crs}
+
+
+def make_linestring(coordinates, crs=None):
+    coordinates = listify(coordinates)
+    _require_depth(coordinates, 2)
+    return {"type": "LineString", "coordinates": coordinates, "crs": crs}
+
+
+def make_multilinestring(coordinates, crs=None):
+    coordinates = listify(coordinates)
+    _require_depth(coordinates, 3)
+    return {"type": "MultiLineString", "coordinates": coordinates, "crs": crs}
+
+
+def make_polygon(rings, crs=None):
+    rings = close_rings(listify(rings))
+    orient_rings(rings)
+    _require_depth(rings, 3)
+    return {"type": "Polygon", "coordinates": rings, "crs": crs}
+
+
+def make_multipolygon(polys, crs=None):
+    polys = close_rings(listify(polys))
+    for poly in polys:
+        orient_rings(poly)
+    _require_depth(polys, 4)
+    return {"type": "MultiPolygon", "coordinates": polys, "crs": crs}
+
+
+def make_geometry_collection(geometries, crs=None):
+    if any(g.get("type") not in GEOMETRY_TYPES for g in geometries):
+        raise TypeError("all members of a GeometryCollection must be geometries")
+    return {"type": "GeometryCollection", "geometries": list(geometries), "crs": crs}
+
+
+def make_feature(geometry, properties, id=None, crs=None):
+    if geometry.get("type") not in GEOMETRY_TYPES:
+        raise TypeError("value must be a geometry")
+    return {
+        "type": "Feature",
+        "geometry": geometry,
+        "properties": properties,
+        "id": id,
+        "crs": crs,
+    }
+
+
+def make_feature_collection(features, crs=None):
+    if any(f.get("type") != "Feature" for f in features):
+        raise TypeError("all members of a FeatureCollection must be features")
+    return {"type": "FeatureCollection", "features": list(features), "crs": crs}
+
+
+_CONSTRUCTORS = {
+    "Point": make_point,
+    "MultiPoint": make_multipoint,
+    "LineString": make_linestring,
+    "MultiLineString": make_multilinestring,
+    "Polygon": make_polygon,
+    "MultiPolygon": make_multipolygon,
+}
+
+
+# ----------------------------------------------------------------- transforms
+
+def transform(obj, fn):
+    """Apply ``fn`` to every position, rebuilding through the constructors so
+    ring closure + winding re-run, as the reference ``transform`` methods do
+    (``types.py:56-116``)."""
+    t = obj["type"]
+    crs = obj.get("crs")
+    if t == "Point":
+        return make_point(fn(obj["coordinates"]), crs)
+    if t in ("MultiPoint", "LineString"):
+        coords = [fn(p) for p in obj["coordinates"]]
+        return _CONSTRUCTORS[t](coords, crs)
+    if t in ("MultiLineString", "Polygon"):
+        coords = [[fn(p) for p in part] for part in obj["coordinates"]]
+        return _CONSTRUCTORS[t](coords, crs)
+    if t == "MultiPolygon":
+        coords = [
+            [[fn(p) for p in ring] for ring in poly] for poly in obj["coordinates"]
+        ]
+        return make_multipolygon(coords, crs)
+    if t == "GeometryCollection":
+        return {
+            "type": t,
+            "geometries": [transform(g, fn) for g in obj["geometries"]],
+            "crs": crs,
+        }
+    if t == "Feature":
+        out = dict(obj)
+        out["geometry"] = transform(obj["geometry"], fn)
+        return out
+    if t == "FeatureCollection":
+        out = dict(obj)
+        out["features"] = [transform(f, fn) for f in obj["features"]]
+        return out
+    raise TypeError("cannot transform type '{}'".format(t))
+
+
+def _always(_):
+    return True
+
+
+def after(obj, fn, cond=_always):
+    """Conditional bottom-up rebuild, per the reference ``After.after`` and the
+    container recursions (``types.py:47-49,109-112,139-142,168-171``)."""
+    t = obj["type"]
+    if t == "GeometryCollection":
+        rebuilt = {
+            "type": t,
+            "geometries": [after(g, fn, cond) for g in obj["geometries"]],
+            "crs": obj.get("crs"),
+        }
+        return fn(rebuilt) if cond(obj) else rebuilt
+    if t == "Feature":
+        rebuilt = dict(obj)
+        rebuilt["geometry"] = after(obj["geometry"], fn, cond)
+        return fn(rebuilt) if cond(obj) else rebuilt
+    if t == "FeatureCollection":
+        rebuilt = dict(obj)
+        rebuilt["features"] = [after(f, fn, cond) for f in obj["features"]]
+        return fn(rebuilt) if cond(obj) else rebuilt
+    return fn(obj) if cond(obj) else obj
+
+
+def gc_map(coll, fn):
+    return {
+        "type": "GeometryCollection",
+        "geometries": [fn(g) for g in coll["geometries"]],
+        "crs": coll.get("crs"),
+    }
+
+
+def gc_flatmap(coll, fn):
+    geometries = [g for member in coll["geometries"] for g in fn(member)["geometries"]]
+    return {
+        "type": "GeometryCollection",
+        "geometries": geometries,
+        "crs": coll.get("crs"),
+    }
+
+
+def fc_map(coll, fn):
+    # NB the reference FeatureCollection.map drops the collection crs
+    # (``types.py:180``) — replicated.
+    return {
+        "type": "FeatureCollection",
+        "features": [fn(f) for f in coll["features"]],
+        "crs": None,
+    }
+
+
+def fc_flatmap(coll, fn):
+    features = [f for member in coll["features"] for f in fn(member)["features"]]
+    return {"type": "FeatureCollection", "features": features, "crs": None}
+
+
+def feature_map_geometry(feature, fn):
+    out = dict(feature)
+    out["geometry"] = fn(feature["geometry"])
+    return out
+
+
+def feature_map_properties(feature, fn):
+    out = dict(feature)
+    out["properties"] = fn(feature["properties"])
+    return out
+
+
+def concat(a, b):
+    """``GeometryCollection + GeometryCollection`` / ``FC + FC`` concatenation
+    keeping the left operand's crs (``types.py:106-107,165-166``)."""
+    if a["type"] == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": a["geometries"] + b["geometries"],
+            "crs": a.get("crs"),
+        }
+    if a["type"] == "FeatureCollection":
+        return {
+            "type": "FeatureCollection",
+            "features": a["features"] + b["features"],
+            "crs": a.get("crs"),
+        }
+    raise TypeError("concat requires GeometryCollection or FeatureCollection")
+
+
+# ---------------------------------------------------------------- merge/burst
+
+def merge(items):
+    """Combine GeoJSON dicts into the most specific single container.
+
+    Full decision matrix per ``/root/reference/picogeojson/transformations.py:6-62``.
+    """
+    items = list(items)
+    if len(items) == 0:
+        raise ValueError("zero-length iterable cannot be merged")
+    if len(items) == 1:
+        return items[0]
+
+    t0 = items[0]["type"]
+    if all(it["type"] == t0 for it in items[1:]):
+        crs0 = items[0].get("crs")
+        if crs0 is None and any(it.get("crs") is not None for it in items[1:]):
+            raise ValueError("all inputs must share the same CRS")
+        if any(crs0 != it.get("crs") for it in items[1:]):
+            raise ValueError("all inputs must share the same CRS")
+
+        if t0 == "Point":
+            return make_multipoint([it["coordinates"] for it in items], crs0)
+        if t0 == "LineString":
+            return make_multilinestring([it["coordinates"] for it in items], crs0)
+        if t0 == "Polygon":
+            return make_multipolygon([it["coordinates"] for it in items], crs0)
+        if t0 == "GeometryCollection":
+            # a GC of GCs — deliberately not flattened, like the reference
+            return make_geometry_collection(items, crs0)
+        if t0 == "Feature":
+            return make_feature_collection(items, crs0)
+        if t0 == "FeatureCollection":
+            feats = [f for it in items for f in it["features"]]
+            return make_feature_collection(feats, crs0)
+        raise TypeError("unhandled type '{}'".format(t0))
+
+    kinds = {it["type"] for it in items}
+    if "Feature" not in kinds and "FeatureCollection" not in kinds:
+        return make_geometry_collection(items)
+    if kinds <= {"Feature", "FeatureCollection"}:
+        feats = []
+        for it in items:
+            if it["type"] == "Feature":
+                feats.append(it)
+            else:
+                feats.extend(it["features"])
+        return make_feature_collection(feats)
+    raise TypeError("no rule to merge {}".format(kinds))
+
+
+def burst(item):
+    """Split composites into atomic Point/LineString/Polygon/Feature dicts.
+
+    crs propagation asymmetry per ``transformations.py:64-95``: GC children
+    take the parent crs unconditionally (even ``None``); FC children take it
+    only when the parent crs is not None; Multi* parts inherit the parent crs.
+    """
+    t = item["type"]
+    if t == "GeometryCollection":
+        for member in item["geometries"]:
+            for atom in burst(member):
+                atom = dict(atom)
+                atom["crs"] = item.get("crs")
+                yield atom
+    elif t == "FeatureCollection":
+        for feature in item["features"]:
+            feature = dict(feature)
+            if item.get("crs") is not None:
+                feature["crs"] = item.get("crs")
+            yield feature
+    elif t == "MultiPoint":
+        for coords in item["coordinates"]:
+            yield make_point(coords, crs=item.get("crs"))
+    elif t == "MultiLineString":
+        for coords in item["coordinates"]:
+            yield make_linestring(coords, crs=item.get("crs"))
+    elif t == "MultiPolygon":
+        for coords in item["coordinates"]:
+            yield make_polygon(coords, crs=item.get("crs"))
+    else:
+        yield item
