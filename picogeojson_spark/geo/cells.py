@@ -1,0 +1,146 @@
+"""Hierarchical spatial cell index (H3/S2-style), from-scratch in numpy.
+
+Design: an equirectangular quadtree. Level ``L`` divides the world into
+``2^(L+1) x 2^L`` square-degree cells (360°/2^(L+1) wide, 180°/2^L tall).
+A cell id packs ``(level, x, y)`` into one int64::
+
+    cell_id = (level << 58) | (x << 29) | y        # L<=28, x<2^29, y<2^28
+
+Properties the engine relies on:
+
+- **hierarchy**: ``parent(cell)`` is a constant-time bit operation, so a
+  coarse-level rollup never reshuffles;
+- **k-ring**: neighbours are ``x±1 (mod 2^(L+1)), y±1 (clamped)`` — constant
+  time, longitude wrap handled, no cross-face special cases;
+- **covering**: a bbox covers a dense ``x``-range × ``y``-range of cells, so
+  polygon covers are rectangle enumerations (vectorized);
+- **SQL-checkable**: the id is plain floor/shift arithmetic, so DuckDB can
+  recompute it for the correctness oracle.
+
+Trade-off vs true S2 (cube-face quadtree): cells shrink in area toward the
+poles. For web-mined geodata (population-weighted) the skew-handling path
+(salting + AQE) absorbs the imbalance; the scheme is only a *pruning* index —
+join results are refined by the exact winding-number PIP kernel and are
+therefore cell-scheme-independent.
+
+Geometries must be dateline-normalized (``cut_dateline``) before covering;
+kernel bboxes never wrap because the reference bbox is a plain min/max
+(``/root/reference/picogeojson/bbox.py:64-79``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEVEL_SHIFT = 58
+X_SHIFT = 29
+MAX_LEVEL = 28
+DEFAULT_LEVEL = 12  # ~4.4 km x 4.4 km at the equator
+
+
+def grid_shape(level: int):
+    return 2 ** (level + 1), 2**level
+
+
+def xy_to_cell(level, x, y):
+    return (np.int64(level) << LEVEL_SHIFT) | (np.int64(x) << X_SHIFT) | np.int64(y)
+
+
+def cell_to_level_xy(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    level = cell >> LEVEL_SHIFT
+    x = (cell >> X_SHIFT) & ((1 << (LEVEL_SHIFT - X_SHIFT)) - 1)
+    y = cell & ((1 << X_SHIFT) - 1)
+    return level, x, y
+
+
+def cell_of(lon, lat, level: int = DEFAULT_LEVEL):
+    """Vectorized point -> cell id."""
+    nx, ny = grid_shape(level)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0, nx - 1).astype(np.int64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * ny), 0, ny - 1).astype(np.int64)
+    return (np.int64(level) << LEVEL_SHIFT) | (x << X_SHIFT) | y
+
+
+def parent(cell, levels_up: int = 1):
+    level, x, y = cell_to_level_xy(cell)
+    new_level = level - levels_up
+    return (
+        (new_level << LEVEL_SHIFT)
+        | ((x >> levels_up) << X_SHIFT)
+        | (y >> levels_up)
+    )
+
+
+def k_ring(cell: int, k: int):
+    """All cell ids within Chebyshev distance ``k`` (lon-wrapped, lat-clamped)."""
+    level, x, y = cell_to_level_xy(np.int64(cell))
+    level = int(level)
+    nx, ny = grid_shape(level)
+    dx = np.arange(-k, k + 1)
+    dy = np.arange(-k, k + 1)
+    xs = np.mod(int(x) + dx, nx)
+    ys = int(y) + dy
+    ys = ys[(ys >= 0) & (ys < ny)]
+    gx, gy = np.meshgrid(xs, ys)
+    out = (
+        (np.int64(level) << LEVEL_SHIFT)
+        | (gx.ravel().astype(np.int64) << X_SHIFT)
+        | gy.ravel().astype(np.int64)
+    )
+    return np.unique(out)
+
+
+def ring_at(cell: int, k: int):
+    """Cells at exactly Chebyshev distance ``k`` (the expansion frontier)."""
+    if k == 0:
+        return np.asarray([cell], dtype=np.int64)
+    inner = set(k_ring(cell, k - 1).tolist())
+    return np.asarray(
+        sorted(set(k_ring(cell, k).tolist()) - inner), dtype=np.int64
+    )
+
+
+def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL, max_cells: int = 4096):
+    """Cell ids covering a (non-wrapping) lon/lat bbox at ``level``.
+
+    If the rectangle would exceed ``max_cells``, the level is walked up until
+    it fits — coarser cells over-select but never under-select, so pruning
+    stays correct.
+    """
+    while level > 0:
+        nx, ny = grid_shape(level)
+        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * nx), 0, nx - 1))
+        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * nx), 0, nx - 1))
+        y0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * ny), 0, ny - 1))
+        y1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * ny), 0, ny - 1))
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
+            break
+        level -= 1
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return (
+        (np.int64(level) << LEVEL_SHIFT)
+        | (gx.ravel() << X_SHIFT)
+        | gy.ravel()
+    )
+
+
+def cell_bounds(cell):
+    """(lon_min, lat_min, lon_max, lat_max) of a cell."""
+    level, x, y = cell_to_level_xy(cell)
+    nx = 2 ** (level.astype(np.int64) + 1) if hasattr(level, "astype") else 2 ** (level + 1)
+    ny = 2**level
+    w = 360.0 / nx
+    h = 180.0 / ny
+    lon0 = -180.0 + x * w
+    lat0 = -90.0 + y * h
+    return lon0, lat0, lon0 + w, lat0 + h
+
+
+def cell_center(cell):
+    x0, y0, x1, y1 = cell_bounds(cell)
+    return (x0 + x1) / 2.0, (y0 + y1) / 2.0

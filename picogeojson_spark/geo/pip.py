@@ -1,0 +1,73 @@
+"""Vectorized point-in-polygon (the join refine step).
+
+The per-edge winding rules replicate the reference ``contains`` exactly
+(``/root/reference/picogeojson/antimeridian.py:72-88``): upward crossings
+count when ``y0 <= y < y1`` and the point is strictly left of the edge;
+downward crossings when ``y0 >= y > y1`` and the point is not strictly left.
+That makes join output rows agree with the reference oracle regardless of
+the pruning cell scheme.
+
+Hole semantics (engine-level; the reference's PIP never sees holes): a point
+is inside a Polygon iff its winding number w.r.t. the exterior ring is
+nonzero and is zero w.r.t. every hole; inside a MultiPolygon iff inside any
+member polygon.
+
+All math is numpy broadcasting over (num_points, num_edges) — no per-row
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def winding_numbers(xs, ys, ring):
+    """Winding number of each point (xs, ys) w.r.t. a closed ring.
+
+    ``ring`` is an (m, 2+) array-like of positions; extra dimensions beyond
+    x/y are ignored. Returns an int array of shape (len(xs),).
+    """
+    r = np.asarray(ring, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)[:, None]
+    ys = np.asarray(ys, dtype=np.float64)[:, None]
+    x0, y0 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+    x1, y1 = r[1:, 0][None, :], r[1:, 1][None, :]
+    left = (x1 - x0) * (ys - y0) - (xs - x0) * (y1 - y0) > 0
+    up = (y0 <= ys) & (ys < y1) & left
+    down = (y0 >= ys) & (ys > y1) & ~left
+    return (up.astype(np.int64) - down.astype(np.int64)).sum(axis=1)
+
+
+def points_in_rings(xs, ys, rings):
+    """Boolean mask: point strictly inside the polygon defined by ``rings``
+    (ring 0 exterior, rest holes), with a bbox fast-reject."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    ext = np.asarray(rings[0], dtype=np.float64)
+    bx0, by0 = ext[:, 0].min(), ext[:, 1].min()
+    bx1, by1 = ext[:, 0].max(), ext[:, 1].max()
+    candidate = (xs >= bx0) & (xs <= bx1) & (ys >= by0) & (ys <= by1)
+    out = np.zeros(len(xs), dtype=bool)
+    if not candidate.any():
+        return out
+    cx, cy = xs[candidate], ys[candidate]
+    inside = winding_numbers(cx, cy, ext) != 0
+    for hole in rings[1:]:
+        if not inside.any():
+            break
+        inside &= winding_numbers(cx, cy, hole) == 0
+    out[candidate] = inside
+    return out
+
+
+def points_in_geometry(xs, ys, geom):
+    """Boolean mask for a Polygon or MultiPolygon geometry dict."""
+    t = geom["type"]
+    if t == "Polygon":
+        return points_in_rings(xs, ys, geom["coordinates"])
+    if t == "MultiPolygon":
+        out = np.zeros(len(np.asarray(xs)), dtype=bool)
+        for poly in geom["coordinates"]:
+            out |= points_in_rings(xs, ys, poly)
+        return out
+    raise TypeError("PIP requires Polygon or MultiPolygon, got {}".format(t))
