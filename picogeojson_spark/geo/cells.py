@@ -103,14 +103,17 @@ def ring_at(cell: int, k: int):
     )
 
 
-def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL, max_cells: int = 4096):
+def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
+               max_cells: int = 4096, min_level: int = 0):
     """Cell ids covering a (non-wrapping) lon/lat bbox at ``level``.
 
     If the rectangle would exceed ``max_cells``, the level is walked up until
     it fits — coarser cells over-select but never under-select, so pruning
-    stays correct.
+    stays correct. The walk stops at ``min_level`` even if the budget is
+    exceeded there (join code must keep this aligned with the point-side
+    ancestor floor, or pairs would be silently missed).
     """
-    while level > 0:
+    while level > min_level:
         nx, ny = grid_shape(level)
         x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * nx), 0, nx - 1))
         x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * nx), 0, nx - 1))
@@ -119,6 +122,12 @@ def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL, max_cells: in
         if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
             break
         level -= 1
+    else:
+        nx, ny = grid_shape(level)
+        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * nx), 0, nx - 1))
+        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * nx), 0, nx - 1))
+        y0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * ny), 0, ny - 1))
+        y1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * ny), 0, ny - 1))
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)

@@ -1,0 +1,162 @@
+"""Point-in-polygon join: cell-prefix pre-filter + vectorized exact refine.
+
+Scale design (SURVEY §2.11):
+
+- polygons are covered with cells at an adaptive level (``cover_bbox`` walks
+  to a coarser level when a bbox would need more than ``max_cells`` cells),
+  then exploded to (cell, poly) rows;
+- points emit their cell **plus its ancestors** down to ``min_level`` — an
+  array of ~(level - min_level + 1) ids, exploded — so a point equi-joins a
+  polygon regardless of which level the polygon's cover chose. The spatial
+  theta-join becomes a plain equi-join that Catalyst/AQE already optimizes
+  (broadcast when the polygon side is small, skew-split when a hot cell
+  dominates);
+- candidates are refined by the exact numpy winding-number kernel inside one
+  ``mapInPandas`` (geometries parsed once per distinct polygon per batch, PIP
+  vectorized over that polygon's candidate points);
+- the per-(point,poly) match is unique by construction (one cover level per
+  polygon, ancestors are distinct levels), so no dedup shuffle is needed.
+
+Skew: pass ``salt > 1`` to replicate the (small) polygon side ``salt`` ways
+and scatter points across replicas — defeats a single hot cell hashing to one
+shuffle partition. AQE's skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.cells import DEFAULT_LEVEL, LEVEL_SHIFT, X_SHIFT, cell_of, cover_bbox
+
+MIN_LEVEL = 6
+
+
+def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL,
+                     max_cells: int = 64, min_level: int = MIN_LEVEL) -> DataFrame:
+    """polygons(poly_id, geometry_json, [bbox]) -> (cell, poly_id, geometry_json).
+
+    The cover's coarse-level fallback is floored at ``min_level`` so it can
+    never drop below the point side's ancestor range (which would silently
+    miss pairs); continent-sized polygons therefore pay more cover cells
+    rather than losing correctness.
+    """
+    import pandas as pd
+
+    def cover(batches):
+        for pdf in batches:
+            out_cell, out_pid, out_geom = [], [], []
+            for pid, gj in zip(pdf["poly_id"], pdf["geometry_json"]):
+                g = json.loads(gj)
+                from ..geo.bounds import geometry_bbox
+
+                bb = geometry_bbox(g)
+                ndim = len(bb) // 2
+                cells = cover_bbox(bb[0], bb[1], bb[ndim], bb[ndim + 1],
+                                   level, max_cells, min_level=min_level)
+                out_cell.extend(int(c) for c in cells)
+                out_pid.extend([pid] * len(cells))
+                out_geom.extend([gj] * len(cells))
+            yield pd.DataFrame(
+                {"cell": out_cell, "poly_id": out_pid, "geometry_json": out_geom}
+            )
+
+    return polygons.select("poly_id", "geometry_json").mapInPandas(
+        cover, schema="cell long, poly_id long, geometry_json string"
+    )
+
+
+def point_ancestors_df(points: DataFrame, level: int = DEFAULT_LEVEL,
+                       min_level: int = MIN_LEVEL) -> DataFrame:
+    """points(point_id, lon, lat) -> (cell, point_id, lon, lat), one row per
+    ancestor level so mixed-level polygon covers still equi-join."""
+    import pandas as pd
+
+    def ancestors(batches):
+        for pdf in batches:
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
+            frames = []
+            for lv in range(min_level, level + 1):
+                cells = cell_of(lon, lat, lv)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cell": cells,
+                            "point_id": pdf["point_id"].to_numpy(),
+                            "lon": lon,
+                            "lat": lat,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return points.select("point_id", "lon", "lat").mapInPandas(
+        ancestors, schema="cell long, point_id long, lon double, lat double"
+    )
+
+
+def _refine(candidates: DataFrame) -> DataFrame:
+    """(point_id, lon, lat, poly_id, geometry_json) -> exact PIP pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geo.pip import points_in_geometry
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_pid, keep_poly = [], []
+            for (poly_id, gj), grp in pdf.groupby(["poly_id", "geometry_json"],
+                                                  sort=False):
+                geom = json.loads(gj)
+                xs = grp["lon"].to_numpy(dtype=np.float64)
+                ys = grp["lat"].to_numpy(dtype=np.float64)
+                mask = points_in_geometry(xs, ys, geom)
+                if mask.any():
+                    pids = grp["point_id"].to_numpy()[mask]
+                    keep_pid.extend(int(p) for p in pids)
+                    keep_poly.extend([int(poly_id)] * int(mask.sum()))
+            yield pd.DataFrame({"point_id": keep_pid, "poly_id": keep_poly})
+
+    return candidates.mapInPandas(refine, schema="point_id long, poly_id long")
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    max_cells: int = 64,
+    min_level: int = MIN_LEVEL,
+    broadcast_polys: bool = True,
+    salt: int = 1,
+) -> DataFrame:
+    """Exact point-in-polygon join -> DataFrame(point_id, poly_id).
+
+    ``points``: (point_id, lon, lat); ``polygons``: (poly_id, geometry_json).
+    """
+    polys = polygon_cover_df(polygons, level, max_cells, min_level)
+    pts = point_ancestors_df(points, level, min_level)
+
+    if salt > 1:
+        polys = polys.crossJoin(
+            F.broadcast(polys.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("salt")))
+        )
+        pts = pts.withColumn(
+            "salt", (F.pmod(F.xxhash64("point_id"), F.lit(salt))).cast("int")
+        )
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+
+    if broadcast_polys:
+        polys = F.broadcast(polys)
+
+    candidates = pts.join(polys, on=join_keys).select(
+        "point_id", "lon", "lat", "poly_id", "geometry_json"
+    )
+    return _refine(candidates)

@@ -1,0 +1,84 @@
+"""Raster-tile ↔ vector assignment (Web-Mercator XYZ).
+
+Point assignment is pure JVM-side column arithmetic (whole-stage codegen, no
+Python): the tile formulas in ``geo.tiles`` are written as the identical
+``floor``/``ln``/``tan`` expressions here, so Spark, numpy, and the DuckDB
+oracle all produce the same doubles. Geometry covers explode the (cut,
+non-wrapping) bbox into a z-level tile rectangle via one Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.tiles import MAX_MERC_LAT, tile_cover_bbox
+
+
+def assign_tiles_points(points: DataFrame, z: int,
+                        lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Attach tile_x / tile_y / tile_z columns for point rows (JVM-side)."""
+    n = 2**z
+    lon = F.col(lon_col)
+    lat = F.greatest(F.least(F.col(lat_col), F.lit(MAX_MERC_LAT)),
+                     F.lit(-MAX_MERC_LAT))
+    rad = F.radians(lat)
+    x = F.greatest(
+        F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))),
+                F.lit(n - 1)),
+        F.lit(0),
+    )
+    y = F.greatest(
+        F.least(
+            F.floor(
+                (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+                 / F.lit(3.141592653589793))
+                / F.lit(2.0) * F.lit(float(n))
+            ),
+            F.lit(n - 1),
+        ),
+        F.lit(0),
+    )
+    return (
+        points.withColumn("tile_z", F.lit(z))
+        .withColumn("tile_x", x.cast("long"))
+        .withColumn("tile_y", y.cast("long"))
+    )
+
+
+def tile_cover_features(features: DataFrame, z: int,
+                        id_cols=("doc_id", "feature_idx")) -> DataFrame:
+    """features (with bbox struct) -> one row per covering tile at zoom z."""
+    import pandas as pd
+
+    id_cols = list(id_cols)
+
+    def cover(batches):
+        for pdf in batches:
+            out = {c: [] for c in id_cols}
+            tz, tx, ty = [], [], []
+            for _, row in pdf.iterrows():
+                bb = row["bbox"]
+                if bb is None:
+                    continue
+                tids = tile_cover_bbox(bb["xmin"], bb["ymin"], bb["xmax"],
+                                       bb["ymax"], z)
+                from ..geo.tiles import tile_unpack
+
+                zz, xx, yy = tile_unpack(tids)
+                for c in id_cols:
+                    out[c].extend([row[c]] * len(tids))
+                tz.extend(int(v) for v in zz)
+                tx.extend(int(v) for v in xx)
+                ty.extend(int(v) for v in yy)
+            out["tile_z"], out["tile_x"], out["tile_y"] = tz, tx, ty
+            yield pd.DataFrame(out, columns=id_cols + ["tile_z", "tile_x", "tile_y"])
+
+    id_schema = ", ".join("{} long".format(c) for c in id_cols)
+    return features.select(*id_cols, "bbox").filter(
+        F.col("bbox").isNotNull()
+    ).mapInPandas(
+        cover, schema="{}, tile_z long, tile_x long, tile_y long".format(id_schema)
+    )

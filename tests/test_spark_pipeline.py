@@ -1,0 +1,212 @@
+"""End-to-end Spark pipeline tests: synth pages -> mine/parse/explode ->
+cell index -> PIP join / kNN / tiles, each checked against a driver-side
+O(n²) oracle built on the same kernel."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picogeojson_spark.geo import loads as kloads
+from picogeojson_spark.geo.pip import points_in_geometry
+from picogeojson_spark.operators import (
+    assign_tiles_points,
+    filter_by_props,
+    filter_by_type,
+    knn_join,
+    mine_features,
+    pip_join,
+    with_reextracted_text,
+)
+from picogeojson_spark.sources.synth import make_page, pages_dataframe
+
+N_PAGES = 240
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_dataframe(spark, N_PAGES, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def features(spark, pages):
+    df = mine_features(pages).cache()
+    df.count()
+    return df
+
+
+def test_text_byte_identity(spark, pages):
+    """BASELINE.json invariant: extractor output in the engine matches the
+    stored text byte-for-byte, per url."""
+    df = with_reextracted_text(pages)
+    mismatches = df.filter("text != text_reextracted").count()
+    assert mismatches == 0
+
+
+def test_mined_features_match_oracle(spark, features):
+    """Every embedded GeoJSON block is found and parsed identically to a
+    driver-side run of the same kernel over the same text."""
+    from picogeojson_spark.operators.features import (
+        _doc_id,
+        _feature_rows,
+        mine_candidates,
+    )
+    from picogeojson_spark.geo import codec
+
+    got = {
+        (r["url"], r["feature_idx"]): (r["geom_type"], r["geometry_json"])
+        for r in features.collect()
+    }
+    expected = {}
+    n_err = 0
+    for i in range(N_PAGES):
+        page = make_page(i)
+        parsed_docs = []
+        for raw in mine_candidates(page["text"]):
+            try:
+                parsed_docs.append((codec.loads(raw), None, raw))
+            except Exception as e:  # noqa: BLE001
+                parsed_docs.append((None, str(e), raw))
+        for row in _feature_rows(page["url"], _doc_id(page["url"]), parsed_docs, 12, 32):
+            expected[(row["url"], row["feature_idx"])] = (
+                row["geom_type"],
+                row["geometry_json"],
+            )
+            if row["parse_error"] is not None:
+                n_err += 1
+    assert got == expected
+    assert len(expected) > N_PAGES * 0.5  # corpus actually contains geometry
+
+
+def test_filter_helpers(spark, features):
+    pts = filter_by_type(features, "Point")
+    assert pts.filter("geom_type != 'Point'").count() == 0
+    sub = filter_by_props(features, {"kind": "city"})
+    rows = sub.select("props").collect()
+    assert all(r["props"]["kind"] == "city" for r in rows)
+
+
+GRID_POLYS = []
+for gx in range(-18, 18, 6):
+    for gy in range(-9, 9, 6):
+        GRID_POLYS.append(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [gx * 10.0, gy * 10.0],
+                        [gx * 10.0 + 20.0, gy * 10.0],
+                        [gx * 10.0 + 20.0, gy * 10.0 + 20.0],
+                        [gx * 10.0, gy * 10.0 + 20.0],
+                        [gx * 10.0, gy * 10.0],
+                    ]
+                ],
+            }
+        )
+
+
+def _poly_table(spark):
+    # irregular polygons (with a hole) + the reference's dateline polygon, cut
+    from picogeojson_spark.geo import cut_dateline, make_polygon, to_dict
+    from picogeojson_spark.geo.codec import SerializeOptions
+
+    opts = SerializeOptions(antimeridian_cutting=False, write_bbox=False)
+    polys = []
+    for i, g in enumerate(GRID_POLYS):
+        polys.append((i, json.dumps(g)))
+    hole_poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [40, 0], [40, 40], [0, 40], [0, 0]],
+            [[10, 10], [30, 10], [30, 30], [10, 30], [10, 10]],
+        ],
+    }
+    polys.append((100, json.dumps(to_dict(kloads(json.dumps(hole_poly)), opts, root=False))))
+    dateline = make_polygon(
+        [[(172, -20), (-179, -20), (-177, -25), (172, -25), (172, -20)]]
+    )
+    polys.append((101, json.dumps(to_dict(cut_dateline(dateline), opts, root=False))))
+    return spark.createDataFrame(polys, "poly_id long, geometry_json string")
+
+
+def test_pip_join_matches_oracle(spark, features):
+    points = (
+        filter_by_type(features, "Point")
+        .select(
+            (F.pmod(features.doc_id, F.lit(2**40)) * 100 + features.feature_idx).alias("point_id"),
+            "lon",
+            "lat",
+        )
+        .cache()
+    )
+    polys = _poly_table(spark)
+    got = {(r.point_id, r.poly_id) for r in pip_join(points, polys).collect()}
+
+    pts = points.collect()
+    xs = np.array([p.lon for p in pts])
+    ys = np.array([p.lat for p in pts])
+    pids = [p.point_id for p in pts]
+    expected = set()
+    for r in polys.collect():
+        mask = points_in_geometry(xs, ys, json.loads(r.geometry_json))
+        for i in np.nonzero(mask)[0]:
+            expected.add((pids[int(i)], r.poly_id))
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_pip_join_salted_equals_plain(spark, features):
+    points = filter_by_type(features, "Point").select(
+        (F.pmod(features.doc_id, F.lit(2**40)) * 100 + features.feature_idx).alias("point_id"),
+        "lon",
+        "lat",
+    )
+    polys = _poly_table(spark)
+    plain = {(r.point_id, r.poly_id) for r in pip_join(points, polys).collect()}
+    salted = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(points, polys, salt=4, broadcast_polys=False).collect()
+    }
+    assert plain == salted
+
+
+def test_knn_matches_bruteforce(spark, features):
+    pts = (
+        filter_by_type(features, "Point")
+        .select(
+            (F.pmod(features.doc_id, F.lit(2**40)) * 100 + features.feature_idx).alias("point_id"),
+            "lon",
+            "lat",
+        )
+        .limit(150)
+        .cache()
+    )
+    queries = pts.select(pts.point_id.alias("query_id"), "lon", "lat")
+    cands = pts.select(pts.point_id.alias("neighbor_id"), "lon", "lat")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(queries, cands, k=3, level=6, radius=1).collect()
+    }
+
+    rows = pts.collect()
+    expected = {}
+    for q in rows:
+        dists = sorted(
+            ((q.lon - c.lon) ** 2 + (q.lat - c.lat) ** 2, c.point_id) for c in rows
+        )
+        for rank, (_, nid) in enumerate(dists[:3], start=1):
+            expected[(q.point_id, rank)] = nid
+    assert got == expected
+
+
+def test_tile_assignment_points(spark, features):
+    pts = filter_by_type(features, "Point").select("doc_id", "feature_idx", "lon", "lat")
+    got = assign_tiles_points(pts, z=10).collect()
+    from picogeojson_spark.geo.tiles import tile_xy
+
+    for r in got:
+        x, y = tile_xy(np.array([r.lon]), np.array([r.lat]), 10)
+        assert (r.tile_x, r.tile_y) == (int(x[0]), int(y[0])), (r.lon, r.lat)
