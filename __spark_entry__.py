@@ -1,38 +1,577 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver-provided
+testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent for each.
+Geometry inputs are *derived deterministically* from the TPC-H-ish keys with
+exact-in-double arithmetic (integers and quarter-degree offsets), so the SQL
+oracle reproduces the same doubles bit-for-bit and results hash-match.
+
+Numeric-determinism rules used throughout:
+
+- derived lon/lat are ``k*0.5 + 0.25`` style values — exact doubles in both
+  engines; points never sit on cell/grid boundaries;
+- money aggregates are computed in integer cents (exact, order-independent)
+  rather than floating sums;
+- kNN distances are emitted as ``dist2 * 16`` (an exact integer for
+  quarter-step coordinates).
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet("{}/{}.parquet".format(sf_dir, name))
+
+
+# --------------------------------------------------------------------------
+# derived deterministic geometry inputs (same arithmetic in the SQL oracle)
+# --------------------------------------------------------------------------
+
+def _points_from_customer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 37) % 720).cast("double") / 2 - 180 + 0.25).alias("lon"),
+        (((F.col("c_custkey") * 61) % 360).cast("double") / 2 - 90 + 0.25).alias("lat"),
+    )
+
+
+_POINTS_SQL = (
+    "SELECT c_custkey AS point_id, "
+    "CAST((c_custkey * 37) % 720 AS DOUBLE) / 2 - 180 + 0.25 AS lon, "
+    "CAST((c_custkey * 61) % 360 AS DOUBLE) / 2 - 90 + 0.25 AS lat FROM customer"
+)
+
+
+def _cand_points_from_supplier(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("neighbor_id"),
+        (((F.col("s_suppkey") * 53) % 720).cast("double") / 2 - 180 + 0.25).alias("lon"),
+        (((F.col("s_suppkey") * 29) % 360).cast("double") / 2 - 90 + 0.25).alias("lat"),
+    )
+
+
+_CANDS_SQL = (
+    "SELECT s_suppkey AS neighbor_id, "
+    "CAST((s_suppkey * 53) % 720 AS DOUBLE) / 2 - 180 + 0.25 AS lon, "
+    "CAST((s_suppkey * 29) % 360 AS DOUBLE) / 2 - 90 + 0.25 AS lat FROM supplier"
+)
+
+
+def _grid_polygons(spark, n_x=36, n_y=18, size=10.0):
+    """648 grid polygons tiling the world, as real GeoJSON strings."""
+    rows = []
+    for pid in range(n_x * n_y):
+        px, py = pid % n_x, pid // n_x
+        x0, y0 = px * size - 180.0, py * size - 90.0
+        rows.append(
+            (
+                pid,
+                json.dumps(
+                    {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [
+                                [x0, y0],
+                                [x0 + size, y0],
+                                [x0 + size, y0 + size],
+                                [x0, y0 + size],
+                                [x0, y0],
+                            ]
+                        ],
+                    }
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "poly_id long, geometry_json string")
+
+
+def _hole_polygons(spark):
+    """16 big polygons, each with a centered hole (grid-aligned => SQL truth)."""
+    rows = []
+    pid = 0
+    for gx in range(-2, 2):
+        for gy in range(-2, 2):
+            x0, y0 = gx * 40.0, gy * 40.0
+            rows.append(
+                (
+                    pid,
+                    json.dumps(
+                        {
+                            "type": "Polygon",
+                            "coordinates": [
+                                [[x0, y0], [x0 + 30, y0], [x0 + 30, y0 + 30],
+                                 [x0, y0 + 30], [x0, y0]],
+                                [[x0 + 10, y0 + 10], [x0 + 20, y0 + 10],
+                                 [x0 + 20, y0 + 20], [x0 + 10, y0 + 20],
+                                 [x0 + 10, y0 + 10]],
+                            ],
+                        }
+                    ),
+                )
+            )
+            pid += 1
+    return spark.createDataFrame(rows, "poly_id long, geometry_json string")
+
+
+# --------------------------------------------------------------------------
+# relational queries (engine breadth: scan/filter/agg/join/window/sort/limit)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style rollup in exact integer cents (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc)).alias("sum_disc_cents"),
+            F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cents,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query; small dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(cents * (100 - disc)).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q_REVENUE_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    """Window function: top-3 parts by retail price within each brand."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("price_cents").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select("p_brand", "p_partkey", cents.alias("price_cents"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk")
+    )
+
+
+Q_TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, price_cents, rnk FROM (
+  SELECT p_brand, p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC,
+                                     p_partkey ASC) AS rnk
+  FROM part) t
+WHERE rnk <= 3 ORDER BY p_brand, rnk
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-bucketed event rollup (streaming-shaped agg run as batch)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# geometry kernel queries (SQL truth via identical arithmetic)
+# --------------------------------------------------------------------------
+
+def q_geo_parse_normalize(spark, sf_dir):
+    """Build CW, unclosed polygon rings from customer keys; the kernel must
+    close and counter-clockwise them (reference types.py:30-36 semantics).
+    Output is pure arithmetic of the input, so SQL predicts it exactly."""
+    from picogeojson_spark.functions.geo_udfs import parse_normalize_udf
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 13) % 300).cast("double") / 2 - 90 + 0.25
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double") / 2 - 60 + 0.25
+    gj = F.concat(
+        F.lit('{"type": "Polygon", "coordinates": [[['),
+        x0.cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        x0.cast("string"), F.lit(", "), (y0 + 3.5).cast("string"),
+        F.lit("], ["),
+        (x0 + 5.5).cast("string"), F.lit(", "), (y0 + 3.5).cast("string"),
+        F.lit("], ["),
+        (x0 + 5.5).cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("]]]}"),
+    )
+    parsed = parse_normalize_udf()
+    return (
+        c.select(F.col("c_custkey").alias("id"), parsed(gj).alias("p"))
+        .select(
+            "id", F.col("p.geom_type").alias("geom_type"),
+            F.col("p.second_x").alias("second_x"),
+            F.col("p.second_y").alias("second_y"),
+            F.col("p.xmin").alias("xmin"), F.col("p.ymin").alias("ymin"),
+            F.col("p.xmax").alias("xmax"), F.col("p.ymax").alias("ymax"),
+            F.col("p.n_vertices").alias("n_vertices"),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GEO_PARSE_SQL = """
+SELECT c_custkey AS id, 'Polygon' AS geom_type,
+       x0 + 5.5 AS second_x,    -- CW input reversed to CCW: second vertex
+       y0 AS second_y,
+       x0 AS xmin, y0 AS ymin, x0 + 5.5 AS xmax, y0 + 3.5 AS ymax,
+       5 AS n_vertices          -- unclosed 4-ring auto-closed to 5
+FROM (
+  SELECT c_custkey,
+         CAST((c_custkey * 13) % 300 AS DOUBLE) / 2 - 90 + 0.25 AS x0,
+         CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
+  FROM customer) t
+ORDER BY id
+"""
+
+
+def q_geo_dateline_split(spark, sf_dir):
+    """Dateline-crossing LineStrings: the kernel must split into 2 parts with
+    the distance-weighted, 8-dp-rounded crossing latitude
+    (reference antimeridian.py:13-17)."""
+    from picogeojson_spark.functions.geo_udfs import dateline_cut_udf
+
+    s = _t(spark, sf_dir, "supplier")
+    lon0 = 170 + ((F.col("s_suppkey") * 3) % 18).cast("double") / 2 + 0.25
+    lon1 = -180 + ((F.col("s_suppkey") * 5) % 8).cast("double") / 2 + 0.25
+    y0 = ((F.col("s_suppkey") * 7) % 160).cast("double") / 2 - 40 + 0.25
+    y1 = y0 + 3.5
+    gj = F.concat(
+        F.lit('{"type": "LineString", "coordinates": [['),
+        lon0.cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        lon1.cast("string"), F.lit(", "), y1.cast("string"),
+        F.lit("]]}"),
+    )
+    cut = dateline_cut_udf()
+    return (
+        s.select(F.col("s_suppkey").alias("id"), cut(gj).alias("c"))
+        .select(
+            "id", F.col("c.out_type").alias("out_type"),
+            F.col("c.n_parts").alias("n_parts"),
+            F.col("c.cross_lat").alias("cross_lat"),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GEO_DATELINE_SQL = """
+SELECT id, 'MultiLineString' AS out_type, 2 AS n_parts,
+       round((d0 * y0 + d1 * y1) / (d0 + d1), 8) AS cross_lat
+FROM (
+  SELECT s_suppkey AS id,
+         abs((170 + CAST((s_suppkey * 3) % 18 AS DOUBLE) / 2 + 0.25 + 360) % 360 - 180) AS d0,
+         abs((-180 + CAST((s_suppkey * 5) % 8 AS DOUBLE) / 2 + 0.25 + 360) % 360 - 180) AS d1,
+         CAST((s_suppkey * 7) % 160 AS DOUBLE) / 2 - 40 + 0.25 AS y0,
+         CAST((s_suppkey * 7) % 160 AS DOUBLE) / 2 - 40 + 0.25 + 3.5 AS y1
+  FROM supplier) t
+ORDER BY id
+"""
+
+
+def q_geo_pip_grid(spark, sf_dir):
+    """Full engine PIP join (cell cover + ancestors + winding refine) against
+    a world grid; SQL truth is floor arithmetic."""
+    from picogeojson_spark.operators import pip_join
+
+    pts = _points_from_customer(spark, sf_dir)
+    polys = _grid_polygons(spark)
+    return pip_join(pts, polys).orderBy("point_id", "poly_id")
+
+
+Q_GEO_PIP_GRID_SQL = """
+SELECT point_id,
+       CAST(floor((lon + 180) / 10) + 36 * floor((lat + 90) / 10) AS BIGINT) AS poly_id
+FROM ({points}) ORDER BY point_id, poly_id
+""".format(points=_POINTS_SQL)
+
+
+def q_geo_pip_holes(spark, sf_dir):
+    """PIP join against polygons with holes: hole semantics must exclude."""
+    from picogeojson_spark.operators import pip_join
+
+    pts = _points_from_customer(spark, sf_dir)
+    polys = _hole_polygons(spark)
+    return pip_join(pts, polys).orderBy("point_id", "poly_id")
+
+
+Q_GEO_PIP_HOLES_SQL = """
+WITH pts AS ({points}),
+     polys AS (
+       SELECT (gx + 2) * 4 + (gy + 2) AS poly_id,
+              gx * 40.0 AS x0, gy * 40.0 AS y0
+       FROM (SELECT unnest(range(-2, 2)) AS gx),
+            (SELECT unnest(range(-2, 2)) AS gy))
+SELECT p.point_id, g.poly_id
+FROM pts p JOIN polys g
+  ON p.lon > g.x0 AND p.lon < g.x0 + 30 AND p.lat > g.y0 AND p.lat < g.y0 + 30
+ AND NOT (p.lon > g.x0 + 10 AND p.lon < g.x0 + 20
+          AND p.lat > g.y0 + 10 AND p.lat < g.y0 + 20)
+ORDER BY point_id, poly_id
+""".format(points=_POINTS_SQL)
+
+
+def q_geo_knn(spark, sf_dir):
+    """Exact kNN (k-ring + window + exact tail); dist emitted as integer."""
+    from picogeojson_spark.operators import knn_join
+
+    q = _points_from_customer(spark, sf_dir).withColumnRenamed("point_id", "query_id")
+    cand = _cand_points_from_supplier(spark, sf_dir)
+    out = knn_join(q, cand, k=3, level=6, radius=2)
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        F.round(F.col("dist2") * 16).cast("long").alias("dist2_x16"),
+    ).orderBy("query_id", "rank")
+
+
+Q_GEO_KNN_SQL = """
+WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})),
+     c AS ({cands}),
+     d AS (
+       SELECT q.query_id, c.neighbor_id,
+              (q.lon - c.lon) * (q.lon - c.lon)
+              + (q.lat - c.lat) * (q.lat - c.lat) AS dist2,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY (q.lon - c.lon) * (q.lon - c.lon)
+                                        + (q.lat - c.lat) * (q.lat - c.lat) ASC,
+                                          c.neighbor_id ASC) AS rank
+       FROM q CROSS JOIN c)
+SELECT query_id, rank, neighbor_id,
+       CAST(round(dist2 * 16) AS BIGINT) AS dist2_x16
+FROM d WHERE rank <= 3 ORDER BY query_id, rank
+""".format(points=_POINTS_SQL, cands=_CANDS_SQL)
+
+
+def q_geo_tile_assign(spark, sf_dir):
+    """Web-Mercator tile assignment at z=8, JVM-side arithmetic."""
+    from picogeojson_spark.operators import assign_tiles_points
+
+    pts = _points_from_customer(spark, sf_dir)
+    return assign_tiles_points(pts, z=8).select(
+        "point_id", "tile_z", "tile_x", "tile_y"
+    ).orderBy("point_id")
+
+
+Q_GEO_TILE_SQL = """
+SELECT point_id, 8 AS tile_z,
+       CAST(greatest(least(floor((lon + 180) / 360 * 256), 255), 0) AS BIGINT) AS tile_x,
+       CAST(greatest(least(floor((1 - ln(tan(radians(clat)) + 1 / cos(radians(clat))) / pi()) / 2 * 256), 255), 0) AS BIGINT) AS tile_y
+FROM (SELECT point_id, lon,
+             greatest(least(lat, 85.05112878), -85.05112878) AS clat
+      FROM ({points})) t
+ORDER BY point_id
+""".format(points=_POINTS_SQL)
+
+
+def q_geo_cell_index(spark, sf_dir):
+    """Hierarchical cell ids at level 12 + a level-8 parent rollup count."""
+    from picogeojson_spark.functions.geo_udfs import cell_of_udf
+
+    pts = _points_from_customer(spark, sf_dir)
+    cell12 = cell_of_udf(12)
+    cell8 = cell_of_udf(8)
+    return (
+        pts.withColumn("cell12", cell12("lon", "lat"))
+        .withColumn("cell8", cell8("lon", "lat"))
+        .groupBy("cell8")
+        .agg(F.count("*").alias("n_points"),
+             F.countDistinct("cell12").alias("n_subcells"))
+        .orderBy("cell8")
+    )
+
+
+Q_GEO_CELL_SQL = """
+WITH pts AS ({points}),
+     lv AS (
+       SELECT point_id,
+              (CAST(8 AS BIGINT) << 58)
+              | (CAST(floor((lon + 180) / 360 * 512) AS BIGINT) << 29)
+              | CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS cell8,
+              (CAST(12 AS BIGINT) << 58)
+              | (CAST(floor((lon + 180) / 360 * 8192) AS BIGINT) << 29)
+              | CAST(floor((lat + 90) / 180 * 4096) AS BIGINT) AS cell12
+       FROM pts)
+SELECT cell8, COUNT(*) AS n_points, COUNT(DISTINCT cell12) AS n_subcells
+FROM lv GROUP BY cell8 ORDER BY cell8
+""".format(points=_POINTS_SQL)
+
+
+def q_geo_bbox_agg(spark, sf_dir):
+    """Collection bbox aggregation (feature_collection_bbox semantics as a
+    distributed groupBy min/max)."""
+    pts = _points_from_customer(spark, sf_dir)
+    return (
+        pts.groupBy((F.col("point_id") % 100).alias("doc_id"))
+        .agg(
+            F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+            F.max("lon").alias("xmax"), F.max("lat").alias("ymax"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_GEO_BBOX_SQL = """
+SELECT point_id % 100 AS doc_id,
+       MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax,
+       COUNT(*) AS n_members
+FROM ({points}) GROUP BY 1 ORDER BY doc_id
+""".format(points=_POINTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages from sf0.001 documents, mine GeoJSON,
+    PIP-join mined points against the world grid, roll up per polygon."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+
+    from picogeojson_spark.operators import filter_by_type, mine_features, pip_join
+
+    # wrap each document's text in a page with a deterministic embedded point
+    pages = docs.select(
+        F.concat(F.lit("https://synth.example/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit('\n{"type": "Point", "coordinates": ['),
+            (((F.col("doc_id") * 37) % 720).cast("double") / 2 - 180 + 0.25).cast("string"),
+            F.lit(", "),
+            (((F.col("doc_id") * 61) % 360).cast("double") / 2 - 90 + 0.25).cast("string"),
+            F.lit("]}"),
+        ).alias("text"),
+    )
+    feats = mine_features(pages)
+    pts = filter_by_type(feats, "Point").select(
+        F.col("doc_id").alias("point_id"), "lon", "lat"
+    )
+    polys = _grid_polygons(spark)
+    pairs = pip_join(pts, polys)
+    return (
+        pairs.groupBy("poly_id")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("poly_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "events_hourly": q_events_hourly,
+        "geo_parse_normalize": q_geo_parse_normalize,
+        "geo_dateline_split": q_geo_dateline_split,
+        "geo_pip_grid": q_geo_pip_grid,
+        "geo_pip_holes": q_geo_pip_holes,
+        "geo_knn": q_geo_knn,
+        "geo_tile_assign": q_geo_tile_assign,
+        "geo_cell_index": q_geo_cell_index,
+        "geo_bbox_agg": q_geo_bbox_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": Q_PRICING_SQL,
+        "revenue_by_nation": Q_REVENUE_SQL,
+        "top_parts_per_brand": Q_TOP_PARTS_SQL,
+        "events_hourly": Q_EVENTS_SQL,
+        "geo_parse_normalize": Q_GEO_PARSE_SQL,
+        "geo_dateline_split": Q_GEO_DATELINE_SQL,
+        "geo_pip_grid": Q_GEO_PIP_GRID_SQL,
+        "geo_pip_holes": Q_GEO_PIP_HOLES_SQL,
+        "geo_knn": Q_GEO_KNN_SQL,
+        "geo_tile_assign": Q_GEO_TILE_SQL,
+        "geo_cell_index": Q_GEO_CELL_SQL,
+        "geo_bbox_agg": Q_GEO_BBOX_SQL,
+    }
