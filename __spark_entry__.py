@@ -404,7 +404,10 @@ def q_geo_knn(spark, sf_dir):
 
     q = _points_from_customer(spark, sf_dir).withColumnRenamed("point_id", "query_id")
     cand = _cand_points_from_supplier(spark, sf_dir)
-    out = knn_join(q, cand, k=3, level=6, radius=2)
+    # level 4 (11.25° cells), radius 2: the 5x5 ring's 22.5° guard settles
+    # nearly every query at TPC-H supplier density, so the exact brute-force
+    # tail stays tiny
+    out = knn_join(q, cand, k=3, level=4, radius=2)
     return out.select(
         "query_id", "rank", "neighbor_id",
         F.round(F.col("dist2") * 16).cast("long").alias("dist2_x16"),
@@ -575,3 +578,314 @@ def oracle_sql() -> dict[str, str]:
         "geo_cell_index": Q_GEO_CELL_SQL,
         "geo_bbox_agg": Q_GEO_BBOX_SQL,
     }
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+def _docs_with_planted_dups(spark, sf_dir):
+    """documents ∪ copies of every 10th doc (deterministic planted dups)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 10 = 0"
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from picogeojson_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir)).orderBy(
+        "rep_id", "dup_id"
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+WITH d AS ({docs}),
+     g AS (SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n FROM d GROUP BY text)
+SELECT g.rep_id, d.doc_id AS dup_id
+FROM d JOIN g USING (text)
+WHERE g.n > 1 AND d.doc_id != g.rep_id
+ORDER BY rep_id, dup_id
+""".format(docs=_DOCS_DUP_SQL)
+
+
+_SHINGLES_SQL = r"""
+SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents) t,
+     LATERAL (SELECT unnest(range(0, len(toks) - 2)) AS i) s
+WHERE len(toks) >= 3
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at t=0.8 (integer-exact output)."""
+    from picogeojson_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+Q_DEDUP_JACCARD_SQL = """
+WITH sh AS ({shingles}),
+     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_sz
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter_sz, (sa.sz + sb.sz - inter_sz) AS union_sz
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_sz >= 0.8 * (sa.sz + sb.sz - inter_sz)
+ORDER BY doc_a, doc_b
+""".format(shingles=_SHINGLES_SQL)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)/LSH(4 bands) candidates, exact-verified at t=0.5; md5-based
+    signatures are engine-portable so the oracle reproduces buckets exactly."""
+    from picogeojson_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql():
+    sig_cols = ",\n       ".join(
+        "MIN(md5('{i}:' || shingle)) AS sig_{i}".format(i=i) for i in range(16)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, sig_{a0} || sig_{a1} || sig_{a2} || sig_{a3} AS key FROM sigs".format(
+            b=b, a0=4 * b, a1=4 * b + 1, a2=4 * b + 2, a3=4 * b + 3
+        )
+        for b in range(4)
+    )
+    return """
+WITH sh AS ({shingles}),
+     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+     banded AS ({band_rows}),
+     cand AS (
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM banded x JOIN banded y
+         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_sz
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, i.inter_sz, (sa.sz + sb.sz - i.inter_sz) AS union_sz
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE i.inter_sz >= 0.5 * (sa.sz + sb.sz - i.inter_sz)
+ORDER BY c.doc_a, c.doc_b
+""".format(shingles=_SHINGLES_SQL, sig_cols=sig_cols, band_rows=band_rows)
+
+
+def q_text_tokens(spark, sf_dir):
+    from picogeojson_spark.operators.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+Q_TEXT_TOKENS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from picogeojson_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+Q_TEXT_QUALITY_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       (length(text) - length(replace(text, ' ', ''))) AS n_spaces,
+       (length(text) - length(replace(text, '.', '')))
+       + (length(text) - length(replace(text, ',', ''))) AS n_punct,
+       CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+          + (length(text) - length(replace(text, ' and ', ''))) / 5
+          + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT)
+         AS n_stopwords,
+       CASE WHEN length(text) > 0
+            THEN CAST(floor((length(text) - length(replace(text, ' ', '')))
+                      * 1000000 / length(text)) AS BIGINT)
+            ELSE 0 END AS space_ratio_x1e6
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    from picogeojson_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _langid_sql():
+    from picogeojson_spark.operators.textstats import LANG_MARKERS
+
+    def cnt(m):
+        escaped = m.replace("'", "''")
+        return (
+            "CAST((length(p) - length(replace(p, '{m}', ''))) / {L} AS BIGINT)"
+        ).format(m=escaped, L=len(m))
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        score_exprs.append(
+            "({}) AS score_{}".format(" + ".join(cnt(m) for m in markers), lang)
+        )
+    langs = list(LANG_MARKERS.keys())
+    best = "greatest({})".format(", ".join("score_{}".format(l) for l in langs))
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (
+            "CASE WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' "
+            "ELSE {prev} END"
+        ).format(best=best, lang=lang, prev=pred)
+    return """
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+     scored AS (SELECT doc_id, {scores} FROM padded)
+SELECT doc_id, {score_list}, {pred} AS pred_lang
+FROM scored ORDER BY doc_id
+""".format(
+        scores=", ".join(score_exprs),
+        score_list=", ".join("score_{}".format(l) for l in langs),
+        pred=pred,
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from picogeojson_spark.operators.dedup import fingerprint
+
+    return fingerprint(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), n=5
+    ).orderBy("doc_id")
+
+
+Q_TEXT_FP_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(0, len(toks) - 4)) AS i) s
+  WHERE len(toks) >= 5)
+SELECT doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max,
+       COUNT(*) AS n_shingles
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-3 over the embeddings table (exact baseline)."""
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_bruteforce_topk(queries, emb, k=3).orderBy("query_id", "rank")
+
+
+Q_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+     scored AS (
+       SELECT q.query_id, e.vec_id AS neighbor_id,
+              list_dot_product(q.qv, e.v)
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(e.v, e.v))) AS cos,
+              ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_dot_product(q.qv, e.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.v, e.v))) DESC,
+                         e.vec_id ASC) AS rank
+       FROM q CROSS JOIN e)
+SELECT query_id, rank, neighbor_id,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
+FROM scored WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_embed_label_stats(spark, sf_dir):
+    """Per-label embedding stats with order-independent integer sums."""
+    from picogeojson_spark.operators.similarity import _norm2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm2 = _norm2(F.col("embedding"))
+    return (
+        emb.select("label", F.round(norm2 * 1e6).cast("long").alias("n2"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.sum("n2").alias("sum_norm2_x1e6"))
+        .orderBy("label")
+    )
+
+
+Q_EMBED_STATS_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       SUM(CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) * 1000000)
+                AS BIGINT)) AS sum_norm2_x1e6
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+_EXTRA_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embed_label_stats": q_embed_label_stats,
+}
+
+_EXTRA_ORACLES = {
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_jaccard": Q_DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "text_tokens": Q_TEXT_TOKENS_SQL,
+    "text_quality": Q_TEXT_QUALITY_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": Q_TEXT_FP_SQL,
+    "ann_topk": Q_ANN_TOPK_SQL,
+    "embed_label_stats": Q_EMBED_STATS_SQL,
+}
+
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES()
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES()
+    out.update(_EXTRA_ORACLES)
+    return out

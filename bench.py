@@ -1,0 +1,138 @@
+"""Per-round benchmark: headline queries + the pages->join spine.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pages_per_sec": ..., "joined_rows_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_PAGES (default scaled from sf: 20000 * sf / 0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts_per_brand",
+    "events_hourly",
+    "geo_parse_normalize",
+    "geo_dateline_split",
+    "geo_pip_grid",
+    "geo_pip_holes",
+    "geo_knn",
+    "geo_tile_assign",
+    "geo_cell_index",
+    "geo_bbox_agg",
+]
+
+
+def ensure_pages_parquet(spark, n_pages: int) -> str:
+    """Synthesize the pages corpus to parquet once (the real workload reads
+    a table at rest, per BASELINE.json input_hint); reused across runs."""
+    import glob
+
+    from picogeojson_spark.sources import pages_dataframe
+
+    path = "/tmp/bench_pages_{}".format(n_pages)
+    if not glob.glob(path + "/_SUCCESS"):
+        pages_dataframe(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_spine(spark, pages_path: str):
+    """The headline pipeline: pages parquet -> mine -> PIP join + tiles."""
+    from pyspark.sql import functions as F
+
+    from picogeojson_spark.operators import (
+        assign_tiles_points,
+        filter_by_type,
+        mine_features,
+        pip_join,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    pages = spark.read.parquet(pages_path)
+    feats = mine_features(pages).persist()
+    pts = filter_by_type(feats, "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100 + F.col("feature_idx")).alias(
+            "point_id"
+        ),
+        "lon",
+        "lat",
+    )
+    polys = entry_mod._grid_polygons(spark)
+    pairs = pip_join(pts, polys)
+    tiles = assign_tiles_points(pts, z=10)
+    n_pairs = pairs.count()
+    n_tiles = tiles.count()
+    feats.unpersist()
+    return n_pairs + n_tiles
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(int(20000 * sf / 0.1), 500)))
+
+    from picogeojson_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        master="local[{}]".format(cpus),
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    qs = entry.queries()
+
+    # warm the JVM and the Python UDF workers once (excluded from timings):
+    # geo_cell_index exercises the pandas-UDF path end to end
+    qs["geo_cell_index"](spark, sf_dir).count()
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pages_path = ensure_pages_parquet(spark, n_pages)
+    gen_sec = time.time() - t0
+
+    t0 = time.time()
+    joined = run_spine(spark, pages_path)
+    spine_sec = time.time() - t0
+    timings["pages_spine"] = round(spine_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall-clock (12 oracle queries + pages spine)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "pages_gen_sec": round(gen_sec, 3),
+        "pages_per_sec": round(n_pages / spine_sec, 1),
+        "joined_rows_per_sec": round(joined / spine_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

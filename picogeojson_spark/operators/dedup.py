@@ -1,0 +1,180 @@
+"""Deduplication operators for large text corpora.
+
+All hash functions are expression-level (``sha2``/``md5`` — identical
+built-ins exist in DuckDB), so every operator here is deterministic,
+SQL-checkable, and runs entirely JVM-side until the final (small) pair set.
+
+Scale notes:
+
+- exact dedup: one hash-shuffle on a 64-hex digest;
+- n-gram Jaccard: shingle-explode + self-equi-join on the shingle — the
+  classic scalable plan; pass ``max_df`` to drop ubiquitous shingles (bounds
+  the join blowup at corpus scale; disabled by default so output matches the
+  exact SQL oracle);
+- MinHash/LSH: one groupBy computes the whole signature (num_hashes mins in a
+  single shuffle), band keys bucket candidates, exact Jaccard verifies — the
+  verify step makes the *output* exact while LSH only gates the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (lower-cased, whitespace
+    tokenized — same normalization the SQL oracle applies)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
+    idx = F.sequence(F.lit(0), F.col("n_toks") - n)
+    shingle = F.array_join(
+        F.slice(F.col("toks"), F.col("i") + 1, n), " "
+    )
+    return (
+        d.withColumn("i", F.explode(idx))
+        .select("doc_id", shingle.alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents -> (rep_id, dup_id) pairs."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h")
+    )
+    g = h.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"), F.collect_list("doc_id").alias("ids"),
+        F.count("*").alias("n"),
+    ).filter(F.col("n") > 1)
+    return (
+        g.select("rep_id", F.explode("ids").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("rep_id"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_df: int = None) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= t).
+
+    Emits jaccard scaled to an exact rational check: output columns are the
+    integer intersection / union sizes (floats avoided entirely).
+    """
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), on="shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_sz"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter_sz"))
+    )
+    # jaccard >= t  <=>  inter >= t * union  (kept integral: inter/union emitted)
+    return out.filter(
+        F.col("inter_sz") >= F.lit(threshold) * F.col("union_sz")
+    ).select("doc_a", "doc_b", "inter_sz", "union_sz")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || ':' || shingle)).
+
+    One shuffle computes all ``num_hashes`` components (agg list), and md5 is
+    available verbatim in the SQL oracle.
+    """
+    sh = shingles_df(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(
+            "sig_{}".format(i)
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """LSH-bucketed candidate pairs, exact-verified by n-gram Jaccard.
+
+    Output == { (a,b) : LSH band collision } ∩ { jaccard >= t }, both sides
+    deterministic, so the SQL oracle reproduces it exactly.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig_{}".format(b * rows + r)) for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold)
+    return cand.join(exact, on=["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "inter_sz", "union_sz"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Per-document SimHash over lower-cased whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 as an integer (``conv``), giving a
+    32-bit hash whose bits vote ±1; the sign vector packs into ``simhash``.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    t = docs.select(F.col(id_col).alias("doc_id"), toks)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    t = t.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
+                   ).otherwise(-1)
+        ).alias("v{}".format(k))
+        for k in range(bits)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for k in range(bits):
+        sim = sim + F.when(F.col("v{}".format(k)) > 0,
+                           F.lit(2**k).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic min/max of n-gram md5s — a stable
+    content signature that survives reordering-free edits."""
+    sh = shingles_df(docs, n)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fp_min"),
+        F.max(F.md5("shingle")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )

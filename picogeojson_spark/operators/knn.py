@@ -94,6 +94,9 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist2")
     )
+    # ringed feeds three consumers (settled filter, anti-join, output);
+    # materialize once instead of recomputing the join per consumer
+    ringed = ringed.persist()
 
     # exactness guard: a query is settled iff it found k neighbours and its
     # k-th distance is within the ring guarantee radius

@@ -63,7 +63,10 @@ def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL,
                 {"cell": out_cell, "poly_id": out_pid, "geometry_json": out_geom}
             )
 
-    return polygons.select("poly_id", "geometry_json").mapInPandas(
+    # polygon tables are usually tiny next to the point side: coalesce so the
+    # cover UDF pays a handful of python-worker round trips, not one per core
+    src = polygons.select("poly_id", "geometry_json").coalesce(8)
+    return src.mapInPandas(
         cover, schema="cell long, poly_id long, geometry_json string"
     )
 
@@ -106,13 +109,18 @@ def _refine(candidates: DataFrame) -> DataFrame:
     from ..geo.pip import points_in_geometry
 
     def refine(batches):
+        geom_cache = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             keep_pid, keep_poly = [], []
-            for (poly_id, gj), grp in pdf.groupby(["poly_id", "geometry_json"],
-                                                  sort=False):
-                geom = json.loads(gj)
+            # group on the int key only; parse each polygon once per worker
+            for poly_id, grp in pdf.groupby("poly_id", sort=False):
+                geom = geom_cache.get(poly_id)
+                if geom is None:
+                    geom = json.loads(grp["geometry_json"].iloc[0])
+                    if len(geom_cache) < 4096:
+                        geom_cache[poly_id] = geom
                 xs = grp["lon"].to_numpy(dtype=np.float64)
                 ys = grp["lat"].to_numpy(dtype=np.float64)
                 mask = points_in_geometry(xs, ys, geom)

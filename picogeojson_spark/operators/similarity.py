@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_bruteforce_topk``: exact cosine top-k via JVM-side higher-order
+  functions (``zip_with`` + ``aggregate`` — no Python in the hot path) and a
+  window; the baseline every approximate method is judged against.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing as the scale path —
+  hyperplane components derive deterministically from (plane, dim) via md5,
+  so buckets are reproducible across engines and runs. Exactness is restored
+  per-bucket (full scoring inside the bucket); recall vs brute force is a
+  measured, tested property.
+- ``cosine_pairs``: all pairs with cosine >= threshold (near-dup detection
+  on embeddings).
+
+Numeric determinism: scores are computed in float64 with a fixed
+left-to-right ``aggregate`` fold — the same sequential order DuckDB's
+``list_dot_product`` uses, so oracle comparisons are exact when inputs are
+cast to double on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("norm2", _norm2(F.col(vec_col)))
+
+
+def ann_bruteforce_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, cos_x1e6)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(_norm2(F.col("qv"))))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", F.sqrt(_norm2(F.col("cv"))))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane: component c_j for dimension j
+    is (md5-derived integer in [-500, 499]) / 500; sign of <v, c>."""
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("{}:".format(plane)), j.cast("string"))),
+                    1, 6,
+                ),
+                16, 10,
+            ).cast("long") % 1000 - 500
+        ).cast("double") / 500.0,
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_col, comps, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (dot >= 0).cast("int")
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = None,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed cosine top-k (approximate: searches the query's bucket)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket(df, id_alias):
+        sig = None
+        for p in range(planes):
+            bit = _hyperplane_sign(F.col(vec_col), p, dim) * (2**p)
+            sig = bit if sig is None else sig + bit
+        return df.select(
+            F.col("*"), sig.alias("bucket")
+        ).withColumnRenamed(query_id if id_alias == "query_id" else corpus_id,
+                            id_alias)
+
+    q = bucket(queries, "query_id").select(
+        "query_id", "bucket", F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(_norm2(F.col("qv"))))
+    c = bucket(corpus, "neighbor_id").select(
+        "neighbor_id", "bucket", F.col(vec_col).alias("cv")
+    ).withColumn("cn", F.sqrt(_norm2(F.col("cv"))))
+
+    scored = q.join(c, on="bucket").select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold (embedding near-dups)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", F.sqrt(_norm2(F.col("va"))))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", F.sqrt(_norm2(F.col("vb"))))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators: language-ID, quality scoring, token counting.
+
+Everything is expression-level (no UDFs): substring-count arithmetic
+``(len(text) - len(replace(text, marker, ''))) / len(marker)`` is portable
+verbatim to the SQL oracle and stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language (space-padded substring counts; matches the
+# oracle's replace() arithmetic exactly)
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " les "],
+    "es": [" el ", " que ", " los "],
+    "pt": [" o ", " de ", " que "],
+    "ja": ["の", "は", "を"],
+}
+
+
+def _count_sub(col, sub: str):
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("long")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (words + digits + punct runs)."""
+    t = F.trim(F.col(text_col))
+    ws_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    subword = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        subword.cast("long").alias("subword_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics (integer-exact outputs)."""
+    col = F.col(text_col)
+    n_chars = F.length(col).cast("long")
+    n_space = _count_sub(col, " ")
+    n_period = _count_sub(col, ".")
+    n_comma = _count_sub(col, ",")
+    n_stop = _count_sub(col, " the ") + _count_sub(col, " and ") + _count_sub(
+        col, " of "
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_space.alias("n_spaces"),
+        (n_period + n_comma).alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        # scaled integer ratio; explicit floor — double->int casts round in
+        # DuckDB but truncate in Spark, so the floor keeps engines aligned
+        F.when(n_chars > 0, F.floor((n_space * 1000000) / n_chars))
+        .otherwise(F.lit(0)).cast("long").alias("space_ratio_x1e6"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-word-vote language ID; argmax with fixed lang-order tie-break."""
+    col = F.lower(F.col(text_col))
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = _count_sub(padded, m)
+            s = c if s is None else s + c
+        scores.append((lang, s))
+    # argmax via greatest + chained when (first lang in dict order wins ties)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[s.alias("score_{}".format(lang)) for lang, s in scores],
+    )
+    return out.withColumn("pred_lang", _pred_from_scores(out))
+
+
+def _pred_from_scores(df_with_scores: DataFrame):
+    langs = list(LANG_MARKERS.keys())
+    best = F.greatest(*[F.col("score_{}".format(l)) for l in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col("score_{}".format(lang)) == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred

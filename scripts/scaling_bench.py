@@ -1,0 +1,150 @@
+"""Scaling evidence for the north rule (sandbox proxy per driver
+instruction): run the identical pages->mine->PIP-join->tiles job at
+local[8] and local[32] on the same parquet input and report throughput at
+both plus scaling efficiency into BENCH/BASELINE.md.
+
+Each measurement runs in its own subprocess (fresh JVM + python workers) so
+neither run inherits the other's warm state.
+
+Usage: python scripts/scaling_bench.py [n_pages]     (default 400000)
+       python scripts/scaling_bench.py --child <cores> <pages_path>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cores: int, pages_path: str):
+    from pyspark.sql import functions as F
+
+    from picogeojson_spark.operators import (
+        assign_tiles_points,
+        filter_by_type,
+        mine_features,
+        pip_join,
+    )
+    from picogeojson_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark(
+        master="local[{}]".format(cores),
+        shuffle_partitions=2 * cores,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+
+    # warm JVM + python workers on a small slice (excluded from timing)
+    mine_features(pages.limit(2000)).count()
+
+    t0 = time.time()
+    feats = mine_features(pages).persist()
+    pts = filter_by_type(feats, "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100 + F.col("feature_idx")).alias(
+            "point_id"
+        ),
+        "lon",
+        "lat",
+    )
+    pairs = pip_join(pts, em._grid_polygons(spark))
+    n_pairs = pairs.count()
+    n_tiles = assign_tiles_points(pts, z=10).count()
+    secs = time.time() - t0
+    feats.unpersist()
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_pages": n_pages,
+                "secs": round(secs, 3),
+                "pages_per_sec": round(n_pages / secs, 1),
+                "joined_rows": n_pairs + n_tiles,
+                "joined_rows_per_sec": round((n_pairs + n_tiles) / secs, 1),
+            }
+        )
+    )
+
+
+def ensure_pages(n_pages: int) -> str:
+    import glob
+
+    path = "/tmp/scaling_pages_{}".format(n_pages)
+    if glob.glob(path + "/_SUCCESS"):
+        return path
+    from picogeojson_spark.session import get_spark
+    from picogeojson_spark.sources import pages_dataframe
+
+    spark = get_spark(master="local[32]", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_dataframe(spark, n_pages, partitions=64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
+        return
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
+    pages_path = ensure_pages(n_pages)
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores),
+             pages_path],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+
+    thr8 = results[8]["pages_per_sec"]
+    thr32 = results[32]["pages_per_sec"]
+    eff = thr32 / thr8 / 4.0
+    md = """# BENCH — scaling evidence (N vs 4N parallelism)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 between cluster
+sizes N and 4N. Sandbox proxy (per driver instruction): the identical
+pages -> mine -> PIP-join -> tile-assign job on the same {n} -page parquet
+input at `local[8]` vs `local[32]` (fresh JVM per run, warmup excluded).
+
+| parallelism | wall (s) | pages/sec | joined rows/sec |
+|---|---|---|---|
+| local[8]  (N)  | {s8} | {p8} | {j8} |
+| local[32] (4N) | {s32} | {p32} | {j32} |
+
+**Scaling efficiency (pages/sec): {p32} / {p8} / 4 = {eff:.3f}**
+
+Workload: scan pages parquet -> fused Arrow UDF (extract/mine/parse/winding/
+dateline/bbox/cell-cover) -> broadcast cell equi-join -> vectorized
+winding-number PIP refine -> Web-Mercator tile assign. Zero shuffles on the
+page side; the only exchange is the polygon broadcast.
+""".format(
+        n=n_pages,
+        s8=results[8]["secs"], p8=thr8, j8=results[8]["joined_rows_per_sec"],
+        s32=results[32]["secs"], p32=thr32, j32=results[32]["joined_rows_per_sec"],
+        eff=eff,
+    )
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write(md)
+    print("efficiency: {:.3f} -> {}".format(eff, out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,290 @@
+"""Tests for dedup / similarity / textstats / multimodal / checkpoint /
+streaming operators against small driver-side oracles."""
+
+import itertools
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumps over a sleepy dog", "en"),  # near dup
+    (4, "der schnelle braune fuchs springt und der hund", "de"),
+    (5, "completely different text about spark engines and data", "en"),
+    (6, "le renard brun saute par dessus le chien et le chat", "fr"),
+    (7, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def _py_shingles(text, n):
+    toks = text.lower().strip().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark, docs):
+    from picogeojson_spark.operators.dedup import exact_duplicates
+
+    got = {(r.rep_id, r.dup_id) for r in exact_duplicates(docs).collect()}
+    assert got == {(1, 2), (1, 7)}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from picogeojson_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.union_sz)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    expected = {}
+    for (a, ta, _), (b, tb, _) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta, 3), _py_shingles(tb, 3)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter >= 0.3 * union and a < b:
+            expected[(a, b)] = (inter, union)
+    assert got == expected
+    assert (1, 3) in got  # the near-dup pair survives
+
+
+def test_minhash_lsh_recalls_near_dups(spark, docs):
+    from picogeojson_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    lsh = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert lsh <= exact  # LSH + verify never yields false positives
+    # identical docs always collide in every band
+    assert (1, 2) in lsh and (1, 7) in lsh
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from picogeojson_spark.operators.dedup import simhash
+
+    s = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert s[1] == s[2] == s[7]  # identical text, identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(s[1], s[3]) < hamming(s[1], s[5])
+
+
+def test_fingerprint_stability(spark, docs):
+    from picogeojson_spark.operators.dedup import fingerprint
+
+    fp = {r.doc_id: (r.fp_min, r.fp_max) for r in fingerprint(docs, n=3).collect()}
+    assert fp[1] == fp[2] == fp[7]
+    assert fp[1] != fp[5]
+
+
+def test_token_count_and_quality(spark, docs):
+    from picogeojson_spark.operators.textstats import quality_score, token_count
+
+    tc = {r.doc_id: r.ws_tokens for r in token_count(docs).collect()}
+    for did, text, _ in DOCS:
+        assert tc[did] == len(text.split()), did
+
+    # only the mid-sentence ' the ' counts (space-padded substring semantics)
+    q = {r.doc_id: r.n_stopwords for r in quality_score(docs).collect()}
+    assert q[1] == 1
+
+
+def test_lang_id(spark, docs):
+    from picogeojson_spark.operators.textstats import lang_id
+
+    got = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[6] == "fr"
+
+
+EMB = [
+    (
+        i,
+        # distinct by construction: the i/64 term breaks the modular period,
+        # so no two vectors are exact duplicates (no cos==1.0 ties)
+        [float((i * 7 + j * 3) % 11 - 5) / 5.0 + (i / 64.0 if j == 0 else 0.0)
+         for j in range(8)],
+        i % 3,
+    )
+    for i in range(1, 41)
+]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.createDataFrame(
+        EMB, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _cos(a, b):
+    # mimic float32 storage then float64 math, like the Spark path
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float32).astype(np.float64)
+    b = np.asarray(b, dtype=np.float32).astype(np.float64)
+    return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+
+def test_ann_bruteforce_matches_numpy(spark, embeddings):
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk
+
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_bruteforce_topk(embeddings, embeddings, k=3).collect()
+    }
+    for qid, qv, _ in EMB:
+        scored = sorted(
+            ((-_cos(qv, cv), cid) for cid, cv, _ in EMB)
+        )
+        for rank, (_, cid) in enumerate(scored[:3], start=1):
+            assert got[(qid, rank)] == cid, (qid, rank)
+
+
+def test_ann_lsh_beats_random(spark, embeddings):
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embeddings, embeddings, k=3).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(embeddings, embeddings, k=3, planes=4).collect()
+    }
+    # self-match always lands in the same bucket
+    assert all((i, i) in lsh for i in range(1, 41))
+    recall = len(lsh & brute) / len(brute)
+    assert recall > 0.3, recall
+
+
+def test_cosine_pairs_threshold(spark, embeddings):
+    from picogeojson_spark.operators.similarity import cosine_pairs
+
+    got = {(r.id_a, r.id_b) for r in cosine_pairs(embeddings, 0.99).collect()}
+    expected = {
+        (a, b)
+        for (a, va, _), (b, vb, _) in itertools.combinations(EMB, 2)
+        if _cos(va, vb) >= 0.99
+    }
+    assert got == expected
+
+
+def test_multimodal_plumbing(spark):
+    from picogeojson_spark.operators.multimodal import (
+        decode_image,
+        extract_media_features,
+        fake_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    rows = media.collect()
+    assert len(rows) == 30
+    assert rows[0].meta.width > 0
+
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r.features for r in feats}
+    for r in rows:
+        assert by_id[r.media_id] == fake_features(bytes(r.payload))
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_resumable_job_checkpoints(spark, tmp_path):
+    from picogeojson_spark.plans.checkpoint import ResumableJob
+
+    out = str(tmp_path / "job_out")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    job = ResumableJob(spark, out, buckets=8, waves=4)
+    s1 = job.run(df, key_col="id")
+    assert s1["buckets_run"] == 8
+    assert s1["rows"] == 1000
+    assert job.read_output().count() == 1000
+    # lineage written with per-task rows/sec
+    lineage_files = os.listdir(os.path.join(out, "_lineage"))
+    assert len(lineage_files) == 4
+    with open(os.path.join(out, "_lineage", lineage_files[0])) as f:
+        lin = json.load(f)
+    assert lin["tasks"] and "rows_per_sec" in lin["tasks"][0]
+
+    # resume: nothing left to do, output unchanged
+    s2 = ResumableJob(spark, out, buckets=8, waves=4).run(df, key_col="id")
+    assert s2["buckets_run"] == 0
+    assert job.read_output().count() == 1000
+
+
+def test_resumable_job_partial_resume(spark, tmp_path):
+    from picogeojson_spark.plans.checkpoint import ResumableJob
+
+    out = str(tmp_path / "job_partial")
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") % 7).alias("val"))
+    job = ResumableJob(spark, out, buckets=8, waves=4)
+    # simulate a prior run that completed buckets 0..3 with their data
+    pre = ResumableJob(spark, out, buckets=8, waves=1)
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("id")), F.lit(8))
+    ).filter(F.col("bucket") < 4)
+    bucketed.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out, "data")
+    )
+    for b in range(4):
+        pre._mark_done(b)
+
+    s = job.run(df, key_col="id")
+    assert s["buckets_done_before"] == 4
+    assert s["buckets_run"] == 4
+    assert job.read_output().count() == 500
+
+
+def test_streaming_mine(spark, tmp_path):
+    from picogeojson_spark.sources.synth import pages_dataframe
+    from picogeojson_spark.streaming.pages_stream import run_stream_to_memory
+
+    pages_dir = str(tmp_path / "pages_stream")
+    pages_dataframe(spark, 60, partitions=3).write.parquet(pages_dir)
+
+    q = run_stream_to_memory(spark, pages_dir, query_name="feat_counts_t")
+    try:
+        q.processAllAvailable()
+        counts = {
+            r.geom_type: r["count"]
+            for r in spark.sql("select * from feat_counts_t").collect()
+        }
+    finally:
+        q.stop()
+    from picogeojson_spark.operators import mine_features
+
+    batch = {
+        r.geom_type: r["count"]
+        for r in mine_features(spark.read.parquet(pages_dir))
+        .groupBy("geom_type")
+        .count()
+        .collect()
+    }
+    assert counts == batch
+    assert sum(counts.values()) > 0
