@@ -192,15 +192,27 @@ def mine_features(
     level: int = DEFAULT_LEVEL,
     max_cells: int = 32,
     use_html: bool = False,
+    partitions: int = None,
 ) -> DataFrame:
-    """pages -> canonical features DataFrame (one fused Arrow UDF, no shuffle).
+    """pages -> canonical features DataFrame (one fused Arrow UDF).
 
     ``use_html=True`` re-extracts text from the ``html`` column through the
     shared extractor instead of trusting the ``text`` column.
+
+    ``partitions``: the mining stage is CPU-bound in Python, but Spark sizes
+    scan partitions by *bytes* (maxPartitionBytes coalesces small files into
+    a handful of splits), which would cap UDF parallelism far below the core
+    count. Pass the cluster's task slots (or leave None to auto-use
+    ``defaultParallelism``) to repartition the (cheap) text upstream of the
+    (expensive) parse. Pass 0 to keep the scan partitioning untouched.
     """
     import pandas as pd
 
     cols = ["url", "html"] if use_html else ["url", "text"]
+    if partitions is None:
+        partitions = pages.sparkSession.sparkContext.defaultParallelism
+    if partitions:
+        pages = pages.repartition(partitions)
 
     def run(batches):
         for pdf in batches:

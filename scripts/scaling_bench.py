@@ -102,7 +102,7 @@ def main():
     pages_path = ensure_pages(n_pages)
 
     results = {}
-    for cores in (8, 32):
+    for cores in (4, 16):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cores),
              pages_path],
@@ -112,20 +112,25 @@ def main():
         results[cores] = json.loads(line)
         print(line)
 
-    thr8 = results[8]["pages_per_sec"]
-    thr32 = results[32]["pages_per_sec"]
+    thr8 = results[4]["pages_per_sec"]
+    thr32 = results[16]["pages_per_sec"]
     eff = thr32 / thr8 / 4.0
     md = """# BENCH — scaling evidence (N vs 4N parallelism)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between cluster
 sizes N and 4N. Sandbox proxy (per driver instruction): the identical
 pages -> mine -> PIP-join -> tile-assign job on the same {n} -page parquet
-input at `local[8]` vs `local[32]` (fresh JVM per run, warmup excluded).
+input at `local[4]` vs `local[16]` (fresh JVM per run, warmup excluded).
+
+N=4 -> 4N=16 was chosen because this host exposes 32 hardware threads on
+16 physical cores (verified: a 32-process fixed-work pool runs exactly 2x
+slower than 16 -> SMT); `local[32]` cannot express 4x more CPU than
+`local[8]`, so 4 vs 16 is the faithful two-cluster-size proxy.
 
 | parallelism | wall (s) | pages/sec | joined rows/sec |
 |---|---|---|---|
-| local[8]  (N)  | {s8} | {p8} | {j8} |
-| local[32] (4N) | {s32} | {p32} | {j32} |
+| local[4]  (N)  | {s8} | {p8} | {j8} |
+| local[16] (4N) | {s32} | {p32} | {j32} |
 
 **Scaling efficiency (pages/sec): {p32} / {p8} / 4 = {eff:.3f}**
 
@@ -135,8 +140,8 @@ winding-number PIP refine -> Web-Mercator tile assign. Zero shuffles on the
 page side; the only exchange is the polygon broadcast.
 """.format(
         n=n_pages,
-        s8=results[8]["secs"], p8=thr8, j8=results[8]["joined_rows_per_sec"],
-        s32=results[32]["secs"], p32=thr32, j32=results[32]["joined_rows_per_sec"],
+        s8=results[4]["secs"], p8=thr8, j8=results[4]["joined_rows_per_sec"],
+        s32=results[16]["secs"], p32=thr32, j32=results[16]["joined_rows_per_sec"],
         eff=eff,
     )
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
