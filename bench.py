@@ -63,6 +63,7 @@ def run_spine(spark, pages_path: str):
 
     pages = spark.read.parquet(pages_path)
     feats = mine_features(pages).persist()
+    feats.count()  # materialize: caps python-UDF chaining per stage
     pts = filter_by_type(feats, "Point").select(
         (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100 + F.col("feature_idx")).alias(
             "point_id"
