@@ -62,21 +62,20 @@ def run_spine(spark, pages_path: str):
     import __spark_entry__ as entry_mod
 
     pages = spark.read.parquet(pages_path)
-    feats = mine_features(pages).persist()
-    feats.count()  # materialize: caps python-UDF chaining per stage
-    pts = filter_by_type(feats, "Point").select(
+    # cache only the small points projection; materializing it runs the
+    # mining once and keeps every stage at <=1 chained python UDF
+    pts = filter_by_type(mine_features(pages), "Point").select(
         (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100 + F.col("feature_idx")).alias(
             "point_id"
         ),
         "lon",
         "lat",
-    )
+    ).persist()
+    pts.count()
     polys = entry_mod._grid_polygons(spark)
-    pairs = pip_join(pts, polys)
-    tiles = assign_tiles_points(pts, z=10)
-    n_pairs = pairs.count()
-    n_tiles = tiles.count()
-    feats.unpersist()
+    n_pairs = pip_join(pts, polys).count()
+    n_tiles = assign_tiles_points(pts, z=10).count()
+    pts.unpersist()
     return n_pairs + n_tiles
 
 
