@@ -889,3 +889,88 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES()
     out.update(_EXTRA_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# simhash + coordinate-transform queries (appended)
+# --------------------------------------------------------------------------
+
+def q_text_simhash(spark, sf_dir):
+    """16-bit SimHash over tokens; md5-hex token hashes are engine-portable."""
+    from picogeojson_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
+
+
+def _simhash_sql(bits=16):
+    votes = ",\n       ".join(
+        "SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}".format(k=k)
+        for k in range(bits)
+    )
+    packed = " + ".join(
+        "CASE WHEN v{k} > 0 THEN CAST({p} AS BIGINT) ELSE 0 END".format(k=k, p=2**k)
+        for k in range(bits)
+    )
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h
+  FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes ORDER BY doc_id
+""".format(votes=votes, packed=packed)
+
+
+def q_geo_transform(spark, sf_dir):
+    """Coordinate transform through the kernel (re-runs winding/closure):
+    translate the parse-normalize polygons and emit arithmetic-checkable
+    fields."""
+    from picogeojson_spark.functions.geo_udfs import parse_normalize_udf
+    from picogeojson_spark.operators.transforms import transform_features, translate
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 13) % 300).cast("double") / 2 - 90 + 0.25
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double") / 2 - 60 + 0.25
+    gj = F.concat(
+        F.lit('{"type": "Polygon", "coordinates": [[['),
+        x0.cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        (x0 + 5.5).cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        (x0 + 5.5).cast("string"), F.lit(", "), (y0 + 3.5).cast("string"),
+        F.lit("], ["),
+        x0.cast("string"), F.lit(", "), (y0 + 3.5).cast("string"),
+        F.lit("]]]}"),
+    )
+    base = c.select(F.col("c_custkey").alias("id"), gj.alias("geometry_json"))
+    shifted = transform_features(base, translate(1.5, -2.25))
+    parsed = parse_normalize_udf()
+    return (
+        shifted.select("id", parsed(F.col("geometry_json")).alias("p"))
+        .select(
+            "id",
+            F.col("p.xmin").alias("xmin"), F.col("p.ymin").alias("ymin"),
+            F.col("p.xmax").alias("xmax"), F.col("p.ymax").alias("ymax"),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GEO_TRANSFORM_SQL = """
+SELECT c_custkey AS id,
+       x0 + 1.5 AS xmin, y0 - 2.25 AS ymin,
+       x0 + 5.5 + 1.5 AS xmax, y0 + 3.5 - 2.25 AS ymax
+FROM (
+  SELECT c_custkey,
+         CAST((c_custkey * 13) % 300 AS DOUBLE) / 2 - 90 + 0.25 AS x0,
+         CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
+  FROM customer) t
+ORDER BY id
+"""
+
+_EXTRA_QUERIES["text_simhash"] = q_text_simhash
+_EXTRA_ORACLES["text_simhash"] = _simhash_sql()
+_EXTRA_QUERIES["geo_transform"] = q_geo_transform
+_EXTRA_ORACLES["geo_transform"] = Q_GEO_TRANSFORM_SQL

@@ -2,18 +2,33 @@
 
 Usage:
     spark-submit --py-files picogeojson_spark.zip \
-        -m picogeojson_spark.jobs.mine_job \
+        picogeojson_spark/jobs/mine_job.py \
         --pages <parquet dir | synth:N> --out /data/features \
         [--buckets 64] [--waves 8] [--level 12]
 
 Re-running after a failure resumes from the last completed bucket wave
 (see plans.checkpoint.ResumableJob).
+
+NB: engine imports happen *after* SparkSession creation — spark-submit adds
+--py-files to sys.path only once the context starts.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+
+
+def _bootstrap_session(app_name):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
 
 
 def main(argv=None):
@@ -24,15 +39,14 @@ def main(argv=None):
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--level", type=int, default=12)
-    ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from ..operators.features import mine_features
-    from ..plans.checkpoint import ResumableJob
-    from ..session import get_spark
-    from ..sources.synth import pages_dataframe
+    spark = _bootstrap_session("mine_job")
 
-    spark = get_spark(app_name="mine_job", master=args.master)
+    from picogeojson_spark.operators.features import mine_features
+    from picogeojson_spark.plans.checkpoint import ResumableJob
+    from picogeojson_spark.sources.synth import pages_dataframe
+
     if args.pages.startswith("synth:"):
         pages = pages_dataframe(spark, int(args.pages.split(":", 1)[1]))
     else:

@@ -3,9 +3,12 @@ polygons table.
 
 Usage:
     spark-submit --py-files picogeojson_spark.zip \
-        -m picogeojson_spark.jobs.pip_join_job \
-        --points <features parquet> --polygons <polygons parquet> \
+        picogeojson_spark/jobs/pip_join_job.py \
+        --points <points parquet> --polygons <polygons parquet> \
         --out /data/pip_pairs [--salt 1] [--level 12]
+
+NB: engine imports happen *after* SparkSession creation — spark-submit adds
+--py-files to sys.path only once the context starts.
 """
 
 from __future__ import annotations
@@ -22,14 +25,20 @@ def main(argv=None):
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--level", type=int, default=12)
     ap.add_argument("--no-broadcast", action="store_true")
-    ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from ..operators.pip_join import pip_join
-    from ..plans.checkpoint import ResumableJob
-    from ..session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="pip_join_job", master=args.master)
+    spark = (
+        SparkSession.builder.appName("pip_join_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from picogeojson_spark.operators.pip_join import pip_join
+    from picogeojson_spark.plans.checkpoint import ResumableJob
+
     points = spark.read.parquet(args.points)
     polygons = spark.read.parquet(args.polygons)
     pairs = pip_join(
