@@ -32,6 +32,16 @@ BENCH_QUERIES = [
     "geo_tile_assign",
     "geo_cell_index",
     "geo_bbox_agg",
+    "geo_transform",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_simhash",
+    "ann_topk",
+    "embed_label_stats",
 ]
 
 

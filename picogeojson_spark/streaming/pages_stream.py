@@ -43,3 +43,24 @@ def run_stream_to_memory(spark, pages_dir: str, query_name: str = "feat_counts")
         .queryName(query_name)
         .start()
     )
+
+
+def stream_windowed_counts(spark, pages_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours"):
+    """Watermarked event-time rollup: mined feature counts per
+    (warc_ts window, geom_type). Late pages beyond the watermark are
+    dropped, bounding state for an unbounded crawl."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    # keep warc_ts through the mining UDF by joining it back on url
+    feats = mine_features(pages.select("url", "text"))
+    with_ts = feats.join(pages.select("url", "warc_ts"), on="url")
+    return (
+        with_ts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("geom_type"))
+        .count()
+    )
