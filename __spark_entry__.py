@@ -30,7 +30,26 @@ import os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 
+_SHIPPED_SESSIONS = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make picogeojson_spark importable on executors regardless of the
+    driver's cwd (the harness owns the SparkSession)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        from picogeojson_spark.session import ensure_shipped
+
+        ensure_shipped(spark)
+    except Exception:  # noqa: BLE001 - best-effort; repo-cwd runs work anyway
+        pass
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet("{}/{}.parquet".format(sf_dir, name))
 
 

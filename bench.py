@@ -93,7 +93,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(int(20000 * sf / 0.1), 500)))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(int(100000 * sf / 0.1), 500)))
 
     from picogeojson_spark.session import get_spark
 
