@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_PAGES (default scaled from sf: 20000 * sf / 0.1).
+     SPARK_GRAFT_PAGES (default scaled from sf: 100000 * sf / 0.1).
 """
 
 from __future__ import annotations
@@ -129,7 +129,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (12 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (22 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,
