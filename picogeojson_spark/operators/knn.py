@@ -42,11 +42,25 @@ def _dist2(qlon, qlat, clon, clat):
     return (qlon - clon) * (qlon - clon) + (qlat - clat) * (qlat - clat)
 
 
+def choose_level(n_candidates: int, k: int, radius: int) -> int:
+    """Pick the coarsest cell level whose (2r+1)² ring is expected to hold
+    comfortably more than k candidates under uniform density — queries then
+    settle without the brute-force tail. Skewed densities only cost extra
+    ring candidates (dense areas) or tail fallbacks (sparse areas); output
+    stays exact either way."""
+    import math
+
+    target = max(4 * k, 16)
+    x = max(n_candidates * (2 * radius + 1) ** 2 / target, 2.0)
+    level = int((math.log2(x) - 1) // 2)
+    return max(2, min(level, 14))
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
-    level: int = 8,
+    level: int = None,
     radius: int = 1,
 ) -> DataFrame:
     """Exact kNN -> DataFrame(query_id, rank, neighbor_id, dist2).
@@ -54,7 +68,10 @@ def knn_join(
     ``queries``: (query_id, lon, lat); ``candidates``: (neighbor_id, lon, lat).
     A candidate at the same coordinates as the query is its own neighbour
     (no self-exclusion — callers can filter ``query_id != neighbor_id``).
+    ``level=None`` auto-tunes from the candidate count (one cheap count job).
     """
+    if level is None:
+        level = choose_level(candidates.count(), k, radius)
     nx, ny = grid_shape(level)
     cell_deg = 180.0 / (2**level)
 
