@@ -315,3 +315,37 @@ def test_streaming_windowed_watermark(spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    import contextlib
+    import io
+
+    from picogeojson_spark.plans.bucketing import read_table, write_bucketed
+
+    import shutil
+
+    for t in ("t_bucket_a", "t_bucket_b"):
+        spark.sql("DROP TABLE IF EXISTS {}".format(t))
+        shutil.rmtree("spark-warehouse/{}".format(t), ignore_errors=True)
+    a = spark.range(0, 5000).selectExpr("id as cell", "id * 2 as va")
+    b = spark.range(0, 5000).selectExpr("id as cell", "id * 3 as vb")
+    write_bucketed(a, "t_bucket_a", "cell", buckets=8)
+    write_bucketed(b, "t_bucket_b", "cell", buckets=8)
+    # force the non-broadcast plan: the point of bucketing is eliminating
+    # the shuffle Exchange on fact-to-fact joins too big to broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "t_bucket_a").join(
+            read_table(spark, "t_bucket_b"), on="cell"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
