@@ -815,12 +815,14 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 
 def q_ann_topk(spark, sf_dir):
-    """Brute-force cosine top-3 over the embeddings table (exact baseline)."""
-    from picogeojson_spark.operators.similarity import ann_bruteforce_topk
+    """Brute-force cosine top-3 over the embeddings table (exact baseline;
+    numpy-matmul fast path — bit-compatible with the oracle after the 1e6
+    rounding)."""
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk_np
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return ann_bruteforce_topk(queries, emb, k=3).orderBy("query_id", "rank")
+    return ann_bruteforce_topk_np(queries, emb, k=3).orderBy("query_id", "rank")
 
 
 Q_ANN_TOPK_SQL = """

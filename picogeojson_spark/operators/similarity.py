@@ -165,3 +165,60 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
             F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
         )
     )
+
+
+def ann_bruteforce_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """numpy-matmul brute-force cosine top-k (the fast exact path).
+
+    The corpus is broadcast as one float64 matrix; each Arrow batch of
+    queries does a single (B x D) @ (D x C) matmul and a partial-sort —
+    orders of magnitude faster than per-pair expression folds. Appropriate
+    while the corpus fits in executor memory (the standard brute-force ANN
+    regime); beyond that, shard the corpus and union per-shard top-k.
+
+    Tie-break identical to ``ann_bruteforce_topk``: cos desc, neighbor id
+    asc. Scores emitted as ``cos_x1e6`` like the expression variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(corpus_id, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = queries.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def topk(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ c_mat.T) / (qn[:, None] * c_norms[None, :])
+            # lexicographic: primary cos desc, secondary id asc
+            order = np.lexsort((c_ids[None, :].repeat(len(q), 0), -cos), axis=1)
+            out_q, out_r, out_n, out_c = [], [], [], []
+            for i, qid in enumerate(pdf[query_id]):
+                sel = order[i, :k]
+                out_q.extend([qid] * len(sel))
+                out_r.extend(range(1, len(sel) + 1))
+                out_n.extend(int(c_ids[j]) for j in sel)
+                out_c.extend(int(v) for v in np.round(cos[i, sel] * 1e6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "rank": out_r, "neighbor_id": out_n,
+                 "cos_x1e6": out_c}
+            )
+
+    return queries.select(
+        F.col(query_id).alias(query_id), vec_col
+    ).mapInPandas(
+        topk, schema="query_id long, rank int, neighbor_id long, cos_x1e6 long"
+    )

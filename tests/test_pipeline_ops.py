@@ -349,3 +349,20 @@ def test_bucketed_join_is_exchange_free(spark):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ann_np_matches_expression_path(spark, embeddings):
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_np,
+    )
+
+    expr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk(embeddings, embeddings, k=4).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk_np(embeddings, embeddings, k=4).collect()
+    }
+    assert expr == fast
