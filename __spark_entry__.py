@@ -995,3 +995,44 @@ _EXTRA_QUERIES["text_simhash"] = q_text_simhash
 _EXTRA_ORACLES["text_simhash"] = _simhash_sql()
 _EXTRA_QUERIES["geo_transform"] = q_geo_transform
 _EXTRA_ORACLES["geo_transform"] = Q_GEO_TRANSFORM_SQL
+
+
+def q_embed_cosine_pairs(spark, sf_dir):
+    """Embedding similar pairs (cosine >= 0.3; the synthetic corpus has
+    no true near-dups, so the threshold targets a non-trivial pair set)."""
+    from picogeojson_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, 0.3).orderBy("id_a", "id_b")
+
+
+Q_EMBED_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT)
+         AS cos_x1e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (approximate by design — rows-only check;
+    recall vs the exact baseline is asserted in tests)."""
+    from picogeojson_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_lsh_topk(queries, emb, k=3, planes=6).orderBy("query_id", "rank")
+
+
+_EXTRA_QUERIES["embed_cosine_pairs"] = q_embed_cosine_pairs
+_EXTRA_ORACLES["embed_cosine_pairs"] = Q_EMBED_PAIRS_SQL
+_EXTRA_QUERIES["ann_lsh"] = q_ann_lsh
+# NB: ann_lsh deliberately has no oracle entry (approximate operator ->
+# driver records the weaker rows-only check)
