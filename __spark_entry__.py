@@ -1036,3 +1036,158 @@ _EXTRA_ORACLES["embed_cosine_pairs"] = Q_EMBED_PAIRS_SQL
 _EXTRA_QUERIES["ann_lsh"] = q_ann_lsh
 # NB: ann_lsh deliberately has no oracle entry (approximate operator ->
 # driver records the weaker rows-only check)
+
+
+# --------------------------------------------------------------------------
+# multimodal metadata-extraction query (appended)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal column pipeline with an exact oracle: documents.text is
+    treated as an opaque binary payload (utf-8 bytes), routed through the
+    real mapInPandas feature-extraction stage (``extract_media_features``,
+    batch-shaped like model inference). The deterministic stand-in decoder
+    is md5 arithmetic, so DuckDB predicts every output value exactly."""
+    from picogeojson_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(media, dim=4)
+    # features[i] = int.from_bytes(md5[2i:2i+2]) / 65536.0 — exact dyadic
+    # rational, so *65536 recovers the integer losslessly
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        (F.element_at("features", 1) * 65536).cast("bigint").alias("f0_x65536"),
+        (F.element_at("features", 2) * 65536).cast("bigint").alias("f1_x65536"),
+    ).orderBy("media_id")
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) AS f0_x65536,
+       CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) AS f1_x65536
+FROM documents
+ORDER BY media_id
+"""
+
+_EXTRA_QUERIES["multimodal_meta"] = q_multimodal_meta
+_EXTRA_ORACLES["multimodal_meta"] = Q_MULTIMODAL_SQL
+
+
+# --------------------------------------------------------------------------
+# merge/burst roundtrip query (appended)
+# --------------------------------------------------------------------------
+
+def q_geo_merge_burst(spark, sf_dir):
+    """Kernel burst + merge through the DataFrame operators (reference
+    transformations.py:6-95 semantics): per-customer MultiPoint -> burst to
+    atomic Points (explode) -> merge back per id (collect_list + kernel
+    merge). Lattice coordinates make every value SQL-predictable."""
+    from picogeojson_spark.operators.serialize import burst_features, merge_geometries
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 7) % 240).cast("double") / 2 - 60 + 0.25
+    y0 = ((F.col("c_custkey") * 11) % 160).cast("double") / 2 - 40 + 0.25
+    gj = F.concat(
+        F.lit('{"type": "MultiPoint", "coordinates": [['),
+        x0.cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        (x0 + 2.5).cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("], ["),
+        x0.cast("string"), F.lit(", "), (y0 + 1.5).cast("string"),
+        F.lit("]]}"),
+    )
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        gj.alias("geometry_json"),
+        F.lit(None).cast("string").alias("crs"),
+    )
+    parts = burst_features(base)
+    pts = parts.select(
+        "id",
+        "part_type",
+        F.get_json_object("part_json", "$.coordinates[0]").cast("double").alias("x"),
+        F.get_json_object("part_json", "$.coordinates[1]").cast("double").alias("y"),
+    )
+    merged = merge_geometries(
+        parts.select("id", F.col("part_json").alias("geometry_json")), key="id"
+    ).select(
+        "id", F.get_json_object("merged_json", "$.type").alias("merged_type")
+    )
+    return (
+        pts.join(merged, "id")
+        .select("id", "part_type", "merged_type", "x", "y")
+        .orderBy("id", "x", "y")
+    )
+
+
+Q_GEO_MERGE_BURST_SQL = """
+WITH base AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 7) % 240 AS DOUBLE) / 2 - 60 + 0.25 AS x0,
+         CAST((c_custkey * 11) % 160 AS DOUBLE) / 2 - 40 + 0.25 AS y0
+  FROM customer),
+parts AS (
+  SELECT id, x0 AS x, y0 AS y FROM base
+  UNION ALL SELECT id, x0 + 2.5, y0 FROM base
+  UNION ALL SELECT id, x0, y0 + 1.5 FROM base)
+SELECT id, 'Point' AS part_type, 'MultiPoint' AS merged_type, x, y
+FROM parts
+ORDER BY id, x, y
+"""
+
+_EXTRA_QUERIES["geo_merge_burst"] = q_geo_merge_burst
+_EXTRA_ORACLES["geo_merge_burst"] = Q_GEO_MERGE_BURST_SQL
+
+
+# --------------------------------------------------------------------------
+# structured-streaming query (appended; rows-only by design)
+# --------------------------------------------------------------------------
+
+def q_stream_counts(spark, sf_dir):
+    """Incremental mining via Structured Streaming (availableNow trigger over
+    a pages-parquet directory -> shared mine_features UDF -> stateful
+    per-type counts). Streaming is not SQL-expressible over the registered
+    views, so this is deliberately a rows-only contract entry; batch/stream
+    equivalence is asserted in tests (same UDF object)."""
+    import glob
+
+    from picogeojson_spark.sources import pages_dataframe
+    from picogeojson_spark.streaming.pages_stream import (
+        stream_feature_counts,
+        stream_mine_features,
+    )
+
+    pages_dir = "/tmp/stream_pages_400"
+    if not glob.glob(pages_dir + "/_SUCCESS"):
+        pages_dataframe(spark, 400).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+
+    feats = stream_mine_features(spark, pages_dir)
+    counts = stream_feature_counts(feats)
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_counts_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_counts_q").orderBy("geom_type")
+
+
+_EXTRA_QUERIES["stream_counts"] = q_stream_counts
+# NB: stream_counts has no oracle entry (streaming -> rows-only check)

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "text_simhash",
     "ann_topk",
     "embed_label_stats",
+    "multimodal_meta",
+    "geo_merge_burst",
 ]
 
 
@@ -136,7 +138,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (22 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (24 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,
