@@ -1191,3 +1191,22 @@ def q_stream_counts(spark, sf_dir):
 
 _EXTRA_QUERIES["stream_counts"] = q_stream_counts
 # NB: stream_counts has no oracle entry (streaming -> rows-only check)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (approximate by design — rows-only check; recall vs
+    the exact baseline and determinism are asserted in tests). Deterministic
+    coarse quantizer: centroids are the nlist corpus vectors with smallest
+    md5(vec_id)."""
+    from picogeojson_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_ivf_topk(queries, emb, k=3, nlist=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+_EXTRA_QUERIES["ann_ivf"] = q_ann_ivf
+# NB: ann_ivf deliberately has no oracle entry (approximate operator ->
+# driver records the weaker rows-only check)

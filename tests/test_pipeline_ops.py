@@ -366,3 +366,32 @@ def test_ann_np_matches_expression_path(spark, embeddings):
         for r in ann_bruteforce_topk_np(embeddings, embeddings, k=4).collect()
     }
     assert expr == fast
+
+
+def test_ann_ivf_beats_random_and_self_matches(spark, embeddings):
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(embeddings, embeddings, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(embeddings, embeddings, k=3, nlist=8,
+                              nprobe=3).collect()
+    }
+    # a vector's own list is always its first probe -> self-match guaranteed
+    assert all((i, i) in ivf for i in range(1, 41))
+    recall = len(ivf & brute) / len(brute)
+    assert recall > 0.5, recall
+
+    # determinism: a second run returns the identical pair set
+    ivf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(embeddings, embeddings, k=3, nlist=8,
+                              nprobe=3).collect()
+    }
+    assert ivf == ivf2
