@@ -1,0 +1,88 @@
+"""Spatial storage layout: cell-partitioned parquet + pruned range reads.
+
+The 100 TB lever this module provides: a features/points table written
+``partitionBy`` a coarse spatial cell means a bbox query touches only the
+matching directories — Catalyst partition-prunes the scan *before* any task
+launches, so a city-sized query over a planet-sized table reads a handful of
+files instead of 100 TB. This composes with (not replaces) the in-file
+levers: predicate pushdown on ``lon``/``lat`` min/max stats prunes row
+groups inside each kept partition.
+
+Layout key: ``cell_p`` — the level-``part_level`` ancestor of each row's
+point cell. Coarse on purpose: partition counts must stay in the thousands
+(HDFS/S3 listing cost, small-file pressure), while row-group stats handle
+the fine-grained pruning inside each partition.
+
+In production (Iceberg) the same layout is a *hidden* partition transform —
+``PARTITIONED BY (truncate(...))``-style on the cell id — plus data-file
+sorting by cell for locality; this module is the parquet stand-in with
+identical semantics (see sources/catalog.py for the DDL mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.cells import DEFAULT_LEVEL, cover_bbox
+
+DEFAULT_PART_LEVEL = 3  # 16x8 grid -> <=128 directories
+
+
+def with_partition_cell(points: DataFrame, cell_col: str = "cell",
+                        part_level: int = DEFAULT_PART_LEVEL,
+                        cell_level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Attach ``cell_p``: the coarse ancestor of ``cell_col``, JVM-side.
+
+    Cell ids pack (level, x, y) with x occupying bits [X_SHIFT, ...] and y
+    the low bits; the ancestor is a pure bit-shift of each coordinate, which
+    ``parent`` implements — replicated here as an expression so no Python
+    runs per row.
+    """
+    from ..geo.cells import X_SHIFT
+
+    drop = cell_level - part_level
+    if drop < 0:
+        raise ValueError("part_level must be <= cell_level")
+    x = F.shiftright(F.col(cell_col), X_SHIFT).bitwiseAND(F.lit((1 << 29) - 1))
+    y = F.col(cell_col).bitwiseAND(F.lit((1 << X_SHIFT) - 1))
+    cell_p = (
+        (F.lit(part_level).cast("long") * F.lit(2**58))
+        + (F.shiftright(x, drop) * F.lit(2**X_SHIFT))
+        + F.shiftright(y, drop)
+    )
+    return points.withColumn("cell_p", cell_p)
+
+
+def write_cell_partitioned(points: DataFrame, path: str,
+                           cell_col: str = "cell",
+                           part_level: int = DEFAULT_PART_LEVEL,
+                           cell_level: int = DEFAULT_LEVEL) -> None:
+    """Write parquet partitioned by coarse cell, rows sorted by fine cell
+    within each partition (row-group stats then prune within partitions)."""
+    (
+        with_partition_cell(points, cell_col, part_level, cell_level)
+        .sortWithinPartitions(cell_col)
+        .write.mode("overwrite")
+        .partitionBy("cell_p")
+        .parquet(path)
+    )
+
+
+def read_bbox_pruned(spark, path: str, xmin: float, ymin: float,
+                     xmax: float, ymax: float,
+                     part_level: int = DEFAULT_PART_LEVEL) -> DataFrame:
+    """Scan only the partitions whose coarse cell intersects the bbox.
+
+    The ``cell_p IN (...)`` predicate is a partition filter (directory-level
+    prune, visible as PartitionFilters in the formatted plan); the lon/lat
+    bounds then push down into the kept files as ordinary parquet filters.
+    """
+    cells = cover_bbox(xmin, ymin, xmax, ymax, level=part_level)
+    df = spark.read.parquet(path).filter(
+        F.col("cell_p").isin([int(c) for c in cells])
+    )
+    return df.filter(
+        (F.col("lon") >= xmin) & (F.col("lon") <= xmax)
+        & (F.col("lat") >= ymin) & (F.col("lat") <= ymax)
+    )

@@ -395,3 +395,45 @@ def test_ann_ivf_beats_random_and_self_matches(spark, embeddings):
                               nprobe=3).collect()
     }
     assert ivf == ivf2
+
+
+def test_cell_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    import numpy as np
+
+    from picogeojson_spark.geo.cells import cell_of
+    from picogeojson_spark.plans.spatial_layout import (
+        read_bbox_pruned,
+        write_cell_partitioned,
+    )
+
+    # deterministic world-spread points on the quarter lattice
+    rows = [
+        (i,
+         float((i * 13) % 720) / 2.0 - 180.0 + 0.25,
+         float((i * 17) % 360) / 2.0 - 90.0 + 0.25)
+        for i in range(2000)
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, lon double, lat double")
+    pts = pts.withColumn("cell", F.udf(lambda lo, la: int(cell_of(lo, la)), "long")(
+        F.col("lon"), F.col("lat")))
+    path = str(tmp_path / "pts_by_cell")
+    write_cell_partitioned(pts, path)
+
+    bbox = (-10.0, -5.0, 20.0, 15.0)
+    got = {
+        r.point_id for r in read_bbox_pruned(spark, path, *bbox).collect()
+    }
+    expect = {
+        i for i, lon, lat in rows
+        if bbox[0] <= lon <= bbox[2] and bbox[1] <= lat <= bbox[3]
+    }
+    assert got == expect and got
+
+    # directory-level prune actually happened: the executed plan carries a
+    # partition filter on cell_p and scans a strict subset of partitions
+    df = read_bbox_pruned(spark, path, *bbox)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell_p" in plan and "PartitionFilters" in plan, plan[:2000]
+    n_dirs = len({f.rsplit("/", 2)[1] for f in spark.read.parquet(path).inputFiles()})
+    kept = df.select(F.countDistinct("cell_p")).first()[0]
+    assert kept < n_dirs, (kept, n_dirs)
