@@ -1210,3 +1210,54 @@ def q_ann_ivf(spark, sf_dir):
 _EXTRA_QUERIES["ann_ivf"] = q_ann_ivf
 # NB: ann_ivf deliberately has no oracle entry (approximate operator ->
 # driver records the weaker rows-only check)
+
+
+def q_geo_extract_props(spark, sf_dir):
+    """The §2.2 query surface end-to-end (extract_features semantics):
+    embed one Feature per order inside noisy page text, mine+parse it with
+    the fused UDF, then extract by geometry type AND property subset
+    (propmatch as conjunctive map-column filters — reference
+    geojson.py:43-66, :98-100). Lattice coordinates keep lon/lat exact."""
+    from picogeojson_spark.operators.features import (
+        filter_by_props,
+        filter_by_type,
+        mine_features,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    x0 = ((F.col("o_orderkey") * 19) % 720).cast("double") / 2 - 180 + 0.25
+    y0 = ((F.col("o_orderkey") * 23) % 360).cast("double") / 2 - 90 + 0.25
+    text = F.concat(
+        F.lit('<p>crawl noise</p> {"type": "Feature", "properties": '
+              '{"priority": "'),
+        F.col("o_orderpriority"),
+        F.lit('", "ok": "'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"}, "geometry": {"type": "Point", "coordinates": ['),
+        x0.cast("string"), F.lit(", "), y0.cast("string"),
+        F.lit("]}} <p>more noise</p>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("o://"), F.col("o_orderkey").cast("string")).alias("url"),
+        text.alias("text"),
+    )
+    feats = mine_features(pages)
+    hit = filter_by_props(filter_by_type(feats, "Point"), {"priority": "1-URGENT"})
+    return hit.select(
+        F.element_at(F.col("props"), "ok").cast("long").alias("id"),
+        F.col("lon").alias("lon"),
+        F.col("lat").alias("lat"),
+    ).orderBy("id")
+
+
+Q_GEO_EXTRACT_SQL = """
+SELECT o_orderkey AS id,
+       CAST((o_orderkey * 19) % 720 AS DOUBLE) / 2 - 180 + 0.25 AS lon,
+       CAST((o_orderkey * 23) % 360 AS DOUBLE) / 2 - 90 + 0.25 AS lat
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY id
+"""
+
+_EXTRA_QUERIES["geo_extract_props"] = q_geo_extract_props
+_EXTRA_ORACLES["geo_extract_props"] = Q_GEO_EXTRACT_SQL
