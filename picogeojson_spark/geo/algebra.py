@@ -68,7 +68,11 @@ def listify(obj):
     """Convert all but the innermost (position) level of iterables to lists.
 
     Positions keep their original type, matching the reference
-    ``as_nested_lists`` (``types.py:8-12``).
+    ``as_nested_lists`` (``types.py:8-12``). Constructors accept
+    ``_listify=False`` to skip this copy when the caller guarantees the
+    input is already nested fresh lists (the JSON parse path: ``json.loads``
+    output is lists all the way down, so listify would be an identity copy —
+    skipping it is observationally equivalent and ~1.3x faster end-to-end).
     """
 
     def is_nested(a):
@@ -97,33 +101,36 @@ def make_point(coordinates, crs=None):
     return {"type": "Point", "coordinates": coordinates, "crs": crs}
 
 
-def make_multipoint(coordinates, crs=None):
-    coordinates = listify(coordinates)
+def make_multipoint(coordinates, crs=None, _listify=True):
+    if _listify:
+        coordinates = listify(coordinates)
     _require_depth(coordinates, 2)
     return {"type": "MultiPoint", "coordinates": coordinates, "crs": crs}
 
 
-def make_linestring(coordinates, crs=None):
-    coordinates = listify(coordinates)
+def make_linestring(coordinates, crs=None, _listify=True):
+    if _listify:
+        coordinates = listify(coordinates)
     _require_depth(coordinates, 2)
     return {"type": "LineString", "coordinates": coordinates, "crs": crs}
 
 
-def make_multilinestring(coordinates, crs=None):
-    coordinates = listify(coordinates)
+def make_multilinestring(coordinates, crs=None, _listify=True):
+    if _listify:
+        coordinates = listify(coordinates)
     _require_depth(coordinates, 3)
     return {"type": "MultiLineString", "coordinates": coordinates, "crs": crs}
 
 
-def make_polygon(rings, crs=None):
-    rings = close_rings(listify(rings))
+def make_polygon(rings, crs=None, _listify=True):
+    rings = close_rings(listify(rings) if _listify else rings)
     orient_rings(rings)
     _require_depth(rings, 3)
     return {"type": "Polygon", "coordinates": rings, "crs": crs}
 
 
-def make_multipolygon(polys, crs=None):
-    polys = close_rings(listify(polys))
+def make_multipolygon(polys, crs=None, _listify=True):
+    polys = close_rings(listify(polys) if _listify else polys)
     for poly in polys:
         orient_rings(poly)
     _require_depth(polys, 4)

@@ -33,6 +33,10 @@ def coords_bbox(coords):
     if len(coords) == 0:
         return None
     ndim = len(coords[0])
+    if ndim == 2:
+        xs = [pt[0] for pt in coords]
+        ys = [pt[1] for pt in coords]
+        return [min(xs), min(ys), max(xs), max(ys)]
     lo = [min(pt[i] for pt in coords) for i in range(ndim)]
     hi = [max(pt[i] for pt in coords) for i in range(ndim)]
     return lo + hi
@@ -74,6 +78,13 @@ def _agg_nd(member_boxes):
     if len(member_boxes) == 0 or all(bb is None for bb in member_boxes):
         return None
     present = [bb for bb in member_boxes if bb is not None]
+    if len(member_boxes[0]) == 4:
+        return [
+            min(bb[0] for bb in present),
+            min(bb[1] for bb in present),
+            max(bb[2] for bb in present),
+            max(bb[3] for bb in present),
+        ]
     ndim = len(member_boxes[0]) // 2
     out = [0 for _ in range(2 * ndim)]
     for d in range(ndim):

@@ -74,8 +74,14 @@ _CUTTABLE = frozenset(
 
 # -------------------------------------------------------------------- parse
 
-def parse_object(d, defaultcrs=None):
-    """dict (as loaded from JSON) -> normalized geometry/feature dict."""
+def parse_object(d, defaultcrs=None, _listify=True):
+    """dict (as loaded from JSON) -> normalized geometry/feature dict.
+
+    ``_listify=False`` is the ``loads`` fast path: ``json.loads`` output is
+    fresh nested lists already, so the reference's ``as_nested_lists``
+    converter is an identity copy there (positions keep their type either
+    way — observationally equivalent, measurably faster).
+    """
     if defaultcrs is None:
         defaultcrs = DEFAULT_CRS
     t = d["type"]
@@ -83,35 +89,35 @@ def parse_object(d, defaultcrs=None):
     if t == "Point":
         return make_point(d["coordinates"], crs)
     if t == "MultiPoint":
-        return make_multipoint(d["coordinates"], crs)
+        return make_multipoint(d["coordinates"], crs, _listify=_listify)
     if t == "LineString":
-        return make_linestring(d["coordinates"], crs)
+        return make_linestring(d["coordinates"], crs, _listify=_listify)
     if t == "MultiLineString":
-        return make_multilinestring(d["coordinates"], crs)
+        return make_multilinestring(d["coordinates"], crs, _listify=_listify)
     if t == "Polygon":
-        return make_polygon(d["coordinates"], crs)
+        return make_polygon(d["coordinates"], crs, _listify=_listify)
     if t == "MultiPolygon":
-        return make_multipolygon(d["coordinates"], crs)
+        return make_multipolygon(d["coordinates"], crs, _listify=_listify)
     if t == "GeometryCollection":
-        members = [parse_object(g, defaultcrs) for g in d["geometries"]]
+        members = [parse_object(g, defaultcrs, _listify) for g in d["geometries"]]
         return make_geometry_collection(members, crs)
     if t == "Feature":
-        return _parse_feature(d, defaultcrs)
+        return _parse_feature(d, defaultcrs, _listify)
     if t == "FeatureCollection":
-        feats = [_parse_feature(f, defaultcrs) for f in d["features"]]
+        feats = [_parse_feature(f, defaultcrs, _listify) for f in d["features"]]
         return make_feature_collection(feats, crs)
     raise TypeError("Unrecognized type {0}".format(t))
 
 
-def _parse_feature(d, defaultcrs):
+def _parse_feature(d, defaultcrs, _listify=True):
     crs = d.get("crs", defaultcrs)
-    geom = parse_object(d["geometry"], defaultcrs)
+    geom = parse_object(d["geometry"], defaultcrs, _listify)
     return make_feature(geom, d["properties"], d.get("id", None), crs)
 
 
 def loads(s, defaultcrs=None):
     """JSON string -> normalized GeoJSON dict."""
-    return parse_object(json.loads(s), defaultcrs)
+    return parse_object(json.loads(s), defaultcrs, _listify=False)
 
 
 # ---------------------------------------------------------------- serialize

@@ -59,10 +59,16 @@ def split_path(coordinates):
 
 
 def path_crosses(coordinates) -> bool:
-    return any(
-        segment_crosses(a[0], b[0])
-        for a, b in zip(coordinates[:-1], coordinates[1:])
-    )
+    # hot pre-check on every serialize: plain loop, no generator frames
+    if not coordinates:
+        return False
+    prev = coordinates[0][0]
+    for pt in coordinates[1:]:
+        x = pt[0]
+        if (x - prev > 180) or (prev - x > 180):
+            return True
+        prev = x
+    return False
 
 
 def _reclose(part):
