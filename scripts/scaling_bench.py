@@ -6,7 +6,7 @@ both plus scaling efficiency into BENCH/BASELINE.md.
 Each measurement runs in its own subprocess (fresh JVM + python workers) so
 neither run inherits the other's warm state.
 
-Usage: python scripts/scaling_bench.py [n_pages]     (default 400000)
+Usage: python scripts/scaling_bench.py [n_pages]     (default 800000; 400k leaves a ~25% serial fraction at local[8] and the efficiency number gets noisy)
        python scripts/scaling_bench.py --child <cores> <pages_path>
 """
 
@@ -106,7 +106,7 @@ def main():
         child(int(sys.argv[2]), sys.argv[3])
         return
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 800000
     pages_path = ensure_pages(n_pages)
 
     results = {}
@@ -131,11 +131,12 @@ pages -> mine -> PIP-join -> tile-assign job on the same {n} -page parquet
 input at `local[2]` vs `local[8]` (fresh JVM per run, warmup excluded).
 
 N=2 -> 4N=8 was chosen by measuring this VM's sustained parallel CPU
-capacity with a fixed-work process pool: 4 procs -> 4.2 effective cores,
-8 -> 8.0, 16 -> 11.0, 32 -> 21.5 (SMT + hypervisor overcommit above 8-16).
-Only the 2 -> 8 pair gives the job a true 4x CPU resource ratio, which is
-what the two-cluster-size criterion is about; at 8 -> 32 the hardware itself
-caps speedup at ~2.7x regardless of engine quality.
+capacity with a fixed-work process pool (re-probe each boot - hypervisor
+placement varies): this boot 2 procs -> 1.9 effective cores, 4 -> 3.9,
+8 -> 7.1, 16 -> 12.4, 32 -> 23.7 (SMT + overcommit above 8-16). The 2 -> 8
+pair is the closest to a true 4x CPU resource ratio (3.7-4.0x across
+boots), which is what the two-cluster-size criterion is about; at 8 -> 32
+the hardware itself caps speedup at ~2.7x regardless of engine quality.
 
 | parallelism | wall (s) | pages/sec | joined rows/sec |
 |---|---|---|---|
@@ -156,8 +157,16 @@ page side; the only exchange is the polygon broadcast.
     )
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # preserve hand-maintained sections (codec head-to-head etc.) below the
+    # scaling table across regenerations
+    marker = "## Single-node codec head-to-head"
+    tail = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        if marker in prev:
+            tail = "\n" + prev[prev.index(marker):]
     with open(out, "w") as f:
-        f.write(md)
+        f.write(md + tail)
     print("efficiency: {:.3f} -> {}".format(eff, out))
 
 
