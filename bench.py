@@ -95,7 +95,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(int(100000 * sf / 0.1), 500)))
+    # 200k pages at sf0.1: large enough that the spine's fixed costs
+    # (broadcast build, python-worker spin-up) stop dominating pages/sec
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", max(int(200000 * sf / 0.1), 500)))
 
     from picogeojson_spark.session import get_spark
 

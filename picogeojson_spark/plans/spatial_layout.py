@@ -77,7 +77,15 @@ def read_bbox_pruned(spark, path: str, xmin: float, ymin: float,
     The ``cell_p IN (...)`` predicate is a partition filter (directory-level
     prune, visible as PartitionFilters in the formatted plan); the lon/lat
     bounds then push down into the kept files as ordinary parquet filters.
+
+    ``xmin > xmax`` means the query bbox crosses the antimeridian (the same
+    convention the dateline kernel splits on): the read becomes the union of
+    the two disjoint lon ranges, each pruned independently.
     """
+    if xmin > xmax:
+        west = read_bbox_pruned(spark, path, xmin, ymin, 180.0, ymax, part_level)
+        east = read_bbox_pruned(spark, path, -180.0, ymin, xmax, ymax, part_level)
+        return west.unionByName(east)
     cells = cover_bbox(xmin, ymin, xmax, ymax, level=part_level)
     df = spark.read.parquet(path).filter(
         F.col("cell_p").isin([int(c) for c in cells])

@@ -437,3 +437,30 @@ def test_cell_partitioned_layout_prunes_and_matches(spark, tmp_path):
     n_dirs = len({f.rsplit("/", 2)[1] for f in spark.read.parquet(path).inputFiles()})
     kept = df.select(F.countDistinct("cell_p")).first()[0]
     assert kept < n_dirs, (kept, n_dirs)
+
+
+def test_cell_partitioned_read_crosses_dateline(spark, tmp_path):
+    from picogeojson_spark.geo.cells import cell_of
+    from picogeojson_spark.plans.spatial_layout import (
+        read_bbox_pruned,
+        write_cell_partitioned,
+    )
+
+    rows = [
+        (i,
+         float((i * 13) % 720) / 2.0 - 180.0 + 0.25,
+         float((i * 17) % 360) / 2.0 - 90.0 + 0.25)
+        for i in range(2000)
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, lon double, lat double")
+    pts = pts.withColumn("cell", F.udf(lambda lo, la: int(cell_of(lo, la)), "long")(
+        F.col("lon"), F.col("lat")))
+    path = str(tmp_path / "pts_dl")
+    write_cell_partitioned(pts, path)
+
+    # xmin > xmax: the bbox wraps across the antimeridian
+    got = {r.point_id
+           for r in read_bbox_pruned(spark, path, 170.0, -10.0, -170.0, 10.0).collect()}
+    expect = {i for i, lon, lat in rows
+              if (lon >= 170.0 or lon <= -170.0) and -10.0 <= lat <= 10.0}
+    assert got == expect and got
