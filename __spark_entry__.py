@@ -1261,3 +1261,68 @@ ORDER BY id
 
 _EXTRA_QUERIES["geo_extract_props"] = q_geo_extract_props
 _EXTRA_ORACLES["geo_extract_props"] = Q_GEO_EXTRACT_SQL
+
+
+def q_geo_tile_join(spark, sf_dir):
+    """Raster-tile <-> vector JOIN (north-star item, the join form): polygon
+    bboxes cover their z=7 tiles through the numpy kernel
+    (tile_cover_features, mapInPandas), points get their tile JVM-side
+    (assign_tiles_points), and the raster<->vector match is a broadcast
+    equi-join on the tile key — the same shape a 100 TB raster-chunk
+    assignment takes."""
+    from picogeojson_spark.operators.tiling import (
+        assign_tiles_points,
+        tile_cover_features,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") * 29) % 280).cast("double") / 2 - 70 + 0.25
+    y0 = ((F.col("n_nationkey") * 31) % 120).cast("double") / 2 - 30 + 0.25
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.struct(
+            x0.alias("xmin"), y0.alias("ymin"),
+            (x0 + 12.5).alias("xmax"), (y0 + 7.5).alias("ymax"),
+        ).alias("bbox"),
+    )
+    cover = tile_cover_features(polys, z=7, id_cols=("poly_id",))
+    pts = assign_tiles_points(_points_from_customer(spark, sf_dir), z=7)
+    return (
+        pts.join(F.broadcast(cover), on=["tile_z", "tile_x", "tile_y"])
+        .select("point_id", "poly_id", "tile_x", "tile_y")
+        .orderBy("point_id", "poly_id")
+    )
+
+
+Q_GEO_TILE_JOIN_SQL = """
+WITH pts AS (
+  SELECT point_id,
+         CAST(greatest(least(floor((lon + 180) / 360 * 128), 127), 0) AS BIGINT) AS tile_x,
+         CAST(greatest(least(floor((1 - ln(tan(radians(clat)) + 1 / cos(radians(clat))) / pi()) / 2 * 128), 127), 0) AS BIGINT) AS tile_y
+  FROM (SELECT point_id, lon,
+               greatest(least(lat, 85.05112878), -85.05112878) AS clat
+        FROM ({points})) t),
+polys AS (
+  SELECT n_nationkey AS poly_id,
+         CAST((n_nationkey * 29) % 280 AS DOUBLE) / 2 - 70 + 0.25 AS x0,
+         CAST((n_nationkey * 31) % 120 AS DOUBLE) / 2 - 30 + 0.25 AS y0
+  FROM nation),
+corners AS (
+  SELECT poly_id,
+         CAST(greatest(least(floor((x0 + 180) / 360 * 128), 127), 0) AS BIGINT) AS tx0,
+         CAST(greatest(least(floor((x0 + 12.5 + 180) / 360 * 128), 127), 0) AS BIGINT) AS tx1,
+         CAST(greatest(least(floor((1 - ln(tan(radians(y0 + 7.5)) + 1 / cos(radians(y0 + 7.5))) / pi()) / 2 * 128), 127), 0) AS BIGINT) AS ty0,
+         CAST(greatest(least(floor((1 - ln(tan(radians(y0)) + 1 / cos(radians(y0))) / pi()) / 2 * 128), 127), 0) AS BIGINT) AS ty1
+  FROM polys),
+cover AS (
+  SELECT poly_id, tx.x AS tile_x, ty.y AS tile_y
+  FROM corners
+  CROSS JOIN UNNEST(range(tx0, tx1 + 1)) AS tx(x)
+  CROSS JOIN UNNEST(range(ty0, ty1 + 1)) AS ty(y))
+SELECT p.point_id, c.poly_id, p.tile_x, p.tile_y
+FROM pts p JOIN cover c USING (tile_x, tile_y)
+ORDER BY point_id, poly_id
+""".format(points=_POINTS_SQL)
+
+_EXTRA_QUERIES["geo_tile_join"] = q_geo_tile_join
+_EXTRA_ORACLES["geo_tile_join"] = Q_GEO_TILE_JOIN_SQL

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embed_label_stats",
     "multimodal_meta",
     "geo_merge_burst",
+    "geo_tile_join",
 ]
 
 
@@ -145,7 +146,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (24 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (25 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,
