@@ -464,3 +464,46 @@ def test_cell_partitioned_read_crosses_dateline(spark, tmp_path):
     expect = {i for i, lon, lat in rows
               if (lon >= 170.0 or lon <= -170.0) and -10.0 <= lat <= 10.0}
     assert got == expect and got
+
+
+def test_stream_dedup_exact_cross_batch_and_restart(spark, tmp_path):
+    """applyInPandasWithState dedup: in-batch dups collapse, and state in
+    the checkpoint survives a stream restart (cross-run dedup)."""
+    from picogeojson_spark.streaming.stateful import stream_dedup_exact
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.url, r.h) for r in spark.read.parquet(out).collect()}
+
+    spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text"), ("u3", "alpha text")],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    # u1/u3 share a hash -> exactly one emitted; u2 distinct -> emitted
+    assert len(first) == 2
+    assert {u for u, _ in first} <= {"u1", "u2", "u3"} and ("u2" in {u for u, _ in first})
+
+    spark.createDataFrame(
+        [("u4", "alpha text"), ("u5", "gamma text")],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run_once()
+    new = second - first
+    # the re-crawl of "alpha text" (u4) is dropped by checkpointed state;
+    # only the genuinely new content (u5) comes through
+    assert {u for u, _ in new} == {"u5"}, new
