@@ -1326,3 +1326,68 @@ ORDER BY point_id, poly_id
 
 _EXTRA_QUERIES["geo_tile_join"] = q_geo_tile_join
 _EXTRA_ORACLES["geo_tile_join"] = Q_GEO_TILE_JOIN_SQL
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session): lag +
+    running-sum windows assign session ids, then a per-session rollup — the
+    canonical event-stream pattern, all JVM-side window functions (one
+    shuffle on user_id reused by both windows and the final groupBy).
+    Timestamps compared in integer microseconds, money in integer cents."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # ts is TIMESTAMP_NTZ; interpret the wall time as UTC on both sides
+        # (DuckDB epoch_us does the same) -> session-timezone-independent
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("tus"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gapped = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > 1800000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+Q_EVENTS_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(tus) AS start_us, MAX(tus) AS end_us, SUM(cents) AS cents_sum
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+_EXTRA_QUERIES["events_sessionize"] = q_events_sessionize
+_EXTRA_ORACLES["events_sessionize"] = Q_EVENTS_SESSION_SQL
