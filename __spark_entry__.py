@@ -1391,3 +1391,43 @@ ORDER BY user_id, session_idx
 
 _EXTRA_QUERIES["events_sessionize"] = q_events_sessionize
 _EXTRA_ORACLES["events_sessionize"] = Q_EVENTS_SESSION_SQL
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (operator Spark lacks; union+window plan, one shuffle):
+    every click matched to the user's most recent prior-or-simultaneous
+    view. Oracle is DuckDB's NATIVE ASOF JOIN — two independent
+    implementations of the semantics."""
+    from picogeojson_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("tus"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "tus"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "tus"
+    )
+    return (
+        asof_join(clicks, views, by="user_id", ts_col="tus",
+                  right_value_cols=["view_event_id"])
+        .select("user_id", "event_id", "tus", "r_view_event_id")
+        .orderBy("event_id")
+    )
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+c AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS view_event_id, tus AS vtus
+      FROM e WHERE event_type = 'view')
+SELECT c.user_id, c.event_id, c.tus, v.view_event_id AS r_view_event_id
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.tus >= v.vtus
+ORDER BY event_id
+"""
+
+_EXTRA_QUERIES["events_asof"] = q_events_asof
+_EXTRA_ORACLES["events_asof"] = Q_EVENTS_ASOF_SQL

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "geo_merge_burst",
     "geo_tile_join",
     "events_sessionize",
+    "events_asof",
 ]
 
 
@@ -147,7 +148,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (26 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (27 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -507,3 +507,32 @@ def test_stream_dedup_exact_cross_batch_and_restart(spark, tmp_path):
     # the re-crawl of "alpha text" (u4) is dropped by checkpointed state;
     # only the genuinely new content (u5) comes through
     assert {u for u, _ in new} == {"u5"}, new
+
+
+def test_asof_join_semantics(spark):
+    from picogeojson_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 101, 50), (1, 102, 100), (1, 103, 10), (2, 201, 70)],
+        "k long, lid long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 901, 40), (1, 902, 100), (2, 903, 80)],
+        "k long, rid long, ts long",
+    )
+    got = {
+        (r.lid, r.r_rid)
+        for r in asof_join(left, right, by="k", ts_col="ts",
+                           right_value_cols=["rid"]).collect()
+    }
+    # lid 102 at ts=100 matches rid 902 at ts=100 (inclusive >=);
+    # lid 103 at ts=10 has no prior right row (dropped, inner);
+    # lid 201 at ts=70 precedes k=2's only right row at 80 (dropped)
+    assert got == {(101, 901), (102, 902)}, got
+
+    left_mode = {
+        (r.lid, r.r_rid)
+        for r in asof_join(left, right, by="k", ts_col="ts",
+                           right_value_cols=["rid"], how="left").collect()
+    }
+    assert left_mode == {(101, 901), (102, 902), (103, None), (201, None)}
