@@ -1431,3 +1431,51 @@ ORDER BY event_id
 
 _EXTRA_QUERIES["events_asof"] = q_events_asof
 _EXTRA_ORACLES["events_asof"] = Q_EVENTS_ASOF_SQL
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range (interval) join via 1-D bucket covers — the cell-pruning trick
+    applied to numbers: each interval explodes into its covering unit
+    buckets (width 17), events equi-join on floor(value/17), and the exact
+    BETWEEN refines. Catalyst gets an equi-join it can hash/broadcast
+    instead of a BroadcastNestedLoopJoin theta; the oracle is the plain
+    theta join. Intervals deliberately overlap (nk%3==2 spills into the
+    next bucket) so multi-match rows are exercised."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    lo = F.col("n_nationkey").cast("double") * 17.0
+    hi = lo + 9.0 + (F.col("n_nationkey") % 3).cast("double") * 8.0
+    bins = n.select(
+        F.col("n_nationkey").alias("bin_id"), lo.alias("lo"), hi.alias("hi")
+    )
+    covers = bins.withColumn(
+        "bucket", F.explode(F.sequence(F.floor(F.col("lo") / 17.0),
+                                       F.floor(F.col("hi") / 17.0)))
+    )
+    hits = (
+        e.withColumn("bucket", F.floor(F.col("value") / 17.0))
+        .join(F.broadcast(covers), on="bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+    )
+    return hits.select("event_id", "bin_id", "value_cents").orderBy(
+        "event_id", "bin_id"
+    )
+
+
+Q_EVENTS_RANGE_SQL = """
+WITH bins AS (
+  SELECT n_nationkey AS bin_id,
+         CAST(n_nationkey AS DOUBLE) * 17.0 AS lo,
+         CAST(n_nationkey AS DOUBLE) * 17.0 + 9.0
+           + CAST(n_nationkey % 3 AS DOUBLE) * 8.0 AS hi
+  FROM nation)
+SELECT e.event_id, b.bin_id, CAST(round(e.value * 100) AS BIGINT) AS value_cents
+FROM events e JOIN bins b ON e.value >= b.lo AND e.value <= b.hi
+ORDER BY event_id, bin_id
+"""
+
+_EXTRA_QUERIES["events_range_join"] = q_events_range_join
+_EXTRA_ORACLES["events_range_join"] = Q_EVENTS_RANGE_SQL

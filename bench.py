@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "geo_tile_join",
     "events_sessionize",
     "events_asof",
+    "events_range_join",
 ]
 
 
@@ -148,7 +149,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (27 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (28 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,
