@@ -34,6 +34,29 @@ CREATE TABLE IF NOT EXISTS {catalog}.crawl.pages (
 PARTITIONED BY (days(warc_ts), truncate(lang, 2))
 """
 
+# The mined-features table is spatially laid out: the coarse ancestor cell
+# (plans/spatial_layout.py computes it as a bit-shift of the fine cell) is a
+# stored partition column here, and an Iceberg identity/truncate transform in
+# production — bbox queries prune at the manifest level before any file read,
+# and sorting by the fine cell gives row-group-level pruning inside files.
+FEATURES_ICEBERG_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.crawl.features (
+    url          string,
+    doc_id       bigint,
+    feature_idx  int,
+    geom_type    string,
+    geometry_json string,
+    props        map<string, string>,
+    bbox         struct<xmin: double, ymin: double, xmax: double, ymax: double>,
+    lon          double,
+    lat          double,
+    cell         bigint,
+    cell_p       bigint
+) USING iceberg
+PARTITIONED BY (cell_p)
+TBLPROPERTIES ('write.sort-order' = 'cell ASC')
+"""
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
