@@ -40,6 +40,26 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array<string>, sz): per-doc DISTINCT word n-grams,
+    built entirely JVM-side (array_distinct inside the row — zero shuffles).
+    Used by the LSH verify path, where per-pair set intersection beats a
+    shingle self-join because candidates << all pairs."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_toks") - n),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+        )
+    )
+    return d.select("doc_id", arr.alias("shingles")).withColumn(
+        "sz", F.size("shingles")
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents -> (rep_id, dup_id) pairs."""
@@ -135,10 +155,29 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold)
-    return cand.join(exact, on=["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "inter_sz", "union_sz"
+    # exact verify on CANDIDATES ONLY: join each pair to its two (distinct)
+    # shingle arrays and intersect JVM-side. The naive alternative — the
+    # full ngram_jaccard_pairs self-join — scores every co-shingled pair in
+    # the corpus, which is exactly the quadratic work LSH exists to avoid;
+    # this path's cost is O(candidates), and the LSH sketch only ever
+    # GATES work (output still exactly { band collision } ∩ { jaccard>=t })
+    arrs = shingle_arrays(docs, n)
+    a = arrs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .withColumn("inter_sz",
+                    F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+                    .cast("long"))
+        .withColumn("union_sz", F.col("sz_a").cast("long")
+                    + F.col("sz_b").cast("long") - F.col("inter_sz"))
     )
+    return scored.filter(
+        F.col("inter_sz") >= F.lit(threshold) * F.col("union_sz")
+    ).select("doc_a", "doc_b", "inter_sz", "union_sz")
 
 
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
