@@ -1479,3 +1479,39 @@ ORDER BY event_id, bin_id
 
 _EXTRA_QUERIES["events_range_join"] = q_events_range_join
 _EXTRA_ORACLES["events_range_join"] = Q_EVENTS_RANGE_SQL
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """Grouping-sets rollup (Spark `rollup` == SQL GROUP BY ROLLUP):
+    subtotal rows use an explicit 'ALL' sentinel so grouping-null ordering
+    semantics (Spark nulls-first vs DuckDB nulls-last) can't skew the
+    compare; money in integer cents."""
+    l = _t(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("cents_sum"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n_rows", "cents_sum",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+Q_PRICING_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_sum
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+_EXTRA_QUERIES["pricing_rollup"] = q_pricing_rollup
+_EXTRA_ORACLES["pricing_rollup"] = Q_PRICING_ROLLUP_SQL

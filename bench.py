@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof",
     "events_range_join",
+    "pricing_rollup",
 ]
 
 
@@ -149,7 +150,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (28 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (29 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,
