@@ -1515,3 +1515,74 @@ ORDER BY rf, ls
 
 _EXTRA_QUERIES["pricing_rollup"] = q_pricing_rollup
 _EXTRA_ORACLES["pricing_rollup"] = Q_PRICING_ROLLUP_SQL
+
+
+def q_geo_poly_intersect(spark, sf_dir):
+    """Polygon-polygon intersection join (Raster-Intervals-style fixed-level
+    cell-cover candidates -> exact kernel refine: winding-number vertex
+    containment + proper edge crossing). Rectangles on a quarter lattice vs
+    an eighth-offset lattice (no degenerate touching), so the oracle is
+    pure interval arithmetic while the engine runs the general kernel."""
+    from picogeojson_spark.operators.poly_join import polygon_intersection_join
+
+    c = _t(spark, sf_dir, "customer")
+    ax0 = ((F.col("c_custkey") * 13) % 300).cast("double") / 2 - 90 + 0.25
+    ay0 = ((F.col("c_custkey") * 17) % 200).cast("double") / 2 - 60 + 0.25
+    gja = F.concat(
+        F.lit('{"type": "Polygon", "coordinates": [[['),
+        ax0.cast("string"), F.lit(", "), ay0.cast("string"),
+        F.lit("], ["),
+        (ax0 + 5.5).cast("string"), F.lit(", "), ay0.cast("string"),
+        F.lit("], ["),
+        (ax0 + 5.5).cast("string"), F.lit(", "), (ay0 + 3.5).cast("string"),
+        F.lit("], ["),
+        ax0.cast("string"), F.lit(", "), (ay0 + 3.5).cast("string"),
+        F.lit("], ["),
+        ax0.cast("string"), F.lit(", "), ay0.cast("string"),
+        F.lit("]]]}"),
+    )
+    polys_a = c.select(F.col("c_custkey").alias("a_id"), gja.alias("geometry_json"))
+
+    n = _t(spark, sf_dir, "nation")
+    bx0 = ((F.col("n_nationkey") * 29) % 280).cast("double") / 2 - 70 + 0.125
+    by0 = ((F.col("n_nationkey") * 31) % 120).cast("double") / 2 - 30 + 0.125
+    gjb = F.concat(
+        F.lit('{"type": "Polygon", "coordinates": [[['),
+        bx0.cast("string"), F.lit(", "), by0.cast("string"),
+        F.lit("], ["),
+        (bx0 + 12.25).cast("string"), F.lit(", "), by0.cast("string"),
+        F.lit("], ["),
+        (bx0 + 12.25).cast("string"), F.lit(", "), (by0 + 7.25).cast("string"),
+        F.lit("], ["),
+        bx0.cast("string"), F.lit(", "), (by0 + 7.25).cast("string"),
+        F.lit("], ["),
+        bx0.cast("string"), F.lit(", "), by0.cast("string"),
+        F.lit("]]]}"),
+    )
+    polys_b = n.select(F.col("n_nationkey").alias("b_id"), gjb.alias("geometry_json"))
+
+    return polygon_intersection_join(polys_a, polys_b, level=6).orderBy(
+        "a_id", "b_id"
+    )
+
+
+Q_GEO_POLY_INTERSECT_SQL = """
+WITH a AS (
+  SELECT c_custkey AS a_id,
+         CAST((c_custkey * 13) % 300 AS DOUBLE) / 2 - 90 + 0.25 AS x0,
+         CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
+  FROM customer),
+b AS (
+  SELECT n_nationkey AS b_id,
+         CAST((n_nationkey * 29) % 280 AS DOUBLE) / 2 - 70 + 0.125 AS x0,
+         CAST((n_nationkey * 31) % 120 AS DOUBLE) / 2 - 30 + 0.125 AS y0
+  FROM nation)
+SELECT a.a_id, b.b_id
+FROM a JOIN b
+  ON a.x0 < b.x0 + 12.25 AND b.x0 < a.x0 + 5.5
+ AND a.y0 < b.y0 + 7.25 AND b.y0 < a.y0 + 3.5
+ORDER BY a_id, b_id
+"""
+
+_EXTRA_QUERIES["geo_poly_intersect"] = q_geo_poly_intersect
+_EXTRA_ORACLES["geo_poly_intersect"] = Q_GEO_POLY_INTERSECT_SQL

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "events_asof",
     "events_range_join",
     "pricing_rollup",
+    "geo_poly_intersect",
 ]
 
 
@@ -150,7 +151,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (29 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock (30 oracle queries + pages spine)",
         "value": total,
         "unit": "sec",
         "queries": timings,

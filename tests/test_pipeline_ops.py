@@ -536,3 +536,47 @@ def test_asof_join_semantics(spark):
                            right_value_cols=["rid"], how="left").collect()
     }
     assert left_mode == {(101, 901), (102, 902), (103, None), (201, None)}
+
+
+def test_polygon_intersection_join(spark):
+    import json as _json
+
+    from picogeojson_spark.geo.polyjoin import polygons_intersect
+    from picogeojson_spark.operators.poly_join import polygon_intersection_join
+
+    def rect(x0, y0, w, h, hole=None):
+        rings = [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h],
+                  [x0, y0]]]
+        if hole:
+            hx0, hy0, hw, hh = hole
+            rings.append([[hx0, hy0], [hx0, hy0 + hh], [hx0 + hw, hy0 + hh],
+                          [hx0 + hw, hy0], [hx0, hy0]])
+        return {"type": "Polygon", "coordinates": rings}
+
+    # kernel cases first
+    plus_v = rect(-1.0, -5.0, 2.0, 10.0)     # tall bar
+    plus_h = rect(-5.0, -1.0, 10.0, 2.0)     # wide bar: edges cross, no
+    assert polygons_intersect(plus_v, plus_h)  # vertex inside either
+    donut = rect(0.0, 0.0, 40.0, 40.0, hole=(10.0, 10.0, 20.0, 20.0))
+    inside_hole = rect(15.0, 15.0, 5.0, 5.0)
+    assert not polygons_intersect(donut, inside_hole)
+    assert polygons_intersect(donut, rect(5.0, 5.0, 3.0, 3.0))
+    assert not polygons_intersect(rect(0, 0, 2, 2), rect(10, 10, 2, 2))
+
+    # operator vs O(n^2) kernel oracle on a lattice world (A quarters,
+    # B offset eighths -> no degenerate touching)
+    A = [(i, rect((i * 13) % 300 / 2.0 - 90 + 0.25,
+                  (i * 17) % 200 / 2.0 - 60 + 0.25, 5.5, 3.5))
+         for i in range(120)]
+    B = [(j, rect((j * 29) % 280 / 2.0 - 70 + 0.125,
+                  (j * 31) % 120 / 2.0 - 30 + 0.125, 12.25, 7.25))
+         for j in range(25)]
+    dfa = spark.createDataFrame([(i, _json.dumps(g)) for i, g in A],
+                                "a_id long, geometry_json string")
+    dfb = spark.createDataFrame([(j, _json.dumps(g)) for j, g in B],
+                                "b_id long, geometry_json string")
+    got = {(r.a_id, r.b_id)
+           for r in polygon_intersection_join(dfa, dfb, level=6).collect()}
+    expected = {(i, j) for i, ga in A for j, gb in B
+                if polygons_intersect(ga, gb)}
+    assert got == expected and got
