@@ -1,0 +1,75 @@
+"""Empty-input robustness: every join/aggregation operator must return an
+empty (correctly-typed) result — not crash — when either side is empty."""
+
+import pytest  # noqa: F401
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "point_id long, lon double, lat double")
+
+
+def test_pip_join_empty_sides(spark):
+    import json
+
+    from picogeojson_spark.operators import pip_join
+
+    poly = {"type": "Polygon",
+            "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+    polys = spark.createDataFrame([(1, json.dumps(poly))],
+                                  "poly_id long, geometry_json string")
+    no_polys = polys.filter("poly_id < 0")
+    pts = _pts(spark, [(1, 5.0, 5.0)])
+    no_pts = pts.filter("point_id < 0")
+
+    assert pip_join(no_pts, polys).count() == 0
+    assert pip_join(pts, no_polys).count() == 0
+    assert pip_join(no_pts, no_polys).count() == 0
+
+
+def test_knn_join_empty_sides(spark):
+    from picogeojson_spark.operators import knn_join
+
+    q = _pts(spark, [(1, 5.0, 5.0)]).withColumnRenamed("point_id", "query_id")
+    c = _pts(spark, [(1, 5.0, 5.0)]).withColumnRenamed("point_id", "neighbor_id")
+    no_q = q.filter("query_id < 0")
+    no_c = c.filter("neighbor_id < 0")
+
+    assert knn_join(no_q, c, k=1, level=4).count() == 0
+    # empty candidates: every query falls to the brute tail, which is empty
+    assert knn_join(q, no_c, k=1, level=4).count() == 0
+
+
+def test_poly_intersection_join_empty_sides(spark):
+    import json
+
+    from picogeojson_spark.operators.poly_join import polygon_intersection_join
+
+    poly = {"type": "Polygon",
+            "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+    a = spark.createDataFrame([(1, json.dumps(poly))],
+                              "a_id long, geometry_json string")
+    b = spark.createDataFrame([(2, json.dumps(poly))],
+                              "b_id long, geometry_json string")
+    assert polygon_intersection_join(a.filter("a_id < 0"), b).count() == 0
+    assert polygon_intersection_join(a, b.filter("b_id < 0")).count() == 0
+
+
+def test_asof_and_dedup_empty(spark):
+    from picogeojson_spark.operators.asof import asof_join
+    from picogeojson_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    left = spark.createDataFrame([], "k long, lid long, ts long")
+    right = spark.createDataFrame([(1, 9, 4)], "k long, rid long, ts long")
+    assert asof_join(left, right, by="k", ts_col="ts",
+                     right_value_cols=["rid"]).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_duplicates(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
