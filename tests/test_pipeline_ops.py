@@ -580,3 +580,26 @@ def test_polygon_intersection_join(spark):
     expected = {(i, j) for i, ga in A for j, gb in B
                 if polygons_intersect(ga, gb)}
     assert got == expected and got
+
+
+def test_morton_key_matches_python_reference(spark):
+    from picogeojson_spark.geo.cells import cell_of
+    from picogeojson_spark.plans.spatial_layout import morton_key
+
+    def py_morton(x, y):
+        out = 0
+        for b in range(29):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    pts = [(i, float((i * 13) % 720) / 2 - 180 + 0.25,
+            float((i * 17) % 360) / 2 - 90 + 0.25) for i in range(200)]
+    df = spark.createDataFrame(pts, "i long, lon double, lat double")
+    df = df.withColumn("cell", F.udf(lambda lo, la: int(cell_of(lo, la)), "long")(
+        "lon", "lat")).withColumn("z", morton_key("cell"))
+    for r in df.collect():
+        c = r["cell"]
+        x = (c >> 29) & ((1 << 29) - 1)
+        y = c & ((1 << 29) - 1)
+        assert r["z"] == py_morton(x, y), (x, y)
