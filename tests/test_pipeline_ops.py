@@ -603,3 +603,53 @@ def test_morton_key_matches_python_reference(spark):
         x = (c >> 29) & ((1 << 29) - 1)
         y = c & ((1 << 29) - 1)
         assert r["z"] == py_morton(x, y), (x, y)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential vs pandas.merge_asof (an independent implementation of
+    as-of semantics): 50 random cases batched into one Spark job via a
+    composite (case, k) key. Unique (key, ts) per side avoids the
+    tie-among-equal-right-ts ambiguity both implementations leave open."""
+    import random
+
+    import pandas as pd
+
+    from picogeojson_spark.operators.asof import asof_join
+
+    rng = random.Random(424242)
+    left_rows, right_rows = [], []
+    for case in range(50):
+        for side, rows in (("l", left_rows), ("r", right_rows)):
+            seen = set()
+            for _ in range(rng.randint(0, 12)):
+                key = (case * 10 + rng.randint(0, 2), rng.randint(0, 60))
+                if key in seen:
+                    continue
+                seen.add(key)
+                rows.append((key[0], len(rows) + 1, key[1]))
+
+    left = spark.createDataFrame(left_rows, "k long, lid long, ts long")
+    right = spark.createDataFrame(
+        [(k, i + 9000, ts) for k, i, ts in right_rows], "k long, rid long, ts long"
+    )
+    got = {
+        (r.k, r.lid, r.r_rid)
+        for r in asof_join(left, right, by="k", ts_col="ts",
+                           right_value_cols=["rid"], how="left").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "lid", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        [(k, i + 9000, ts) for k, i, ts in right_rows],
+        columns=["k", "rid", "ts"],
+    ).sort_values("ts")
+    if len(lp) and len(rp):
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                          allow_exact_matches=True)
+        expected = {
+            (int(r.k), int(r.lid), None if pd.isna(r.rid) else int(r.rid))
+            for r in m.itertuples()
+        }
+    else:
+        expected = {(int(k), int(l), None) for k, l, _ in left_rows}
+    assert got == expected
