@@ -59,19 +59,61 @@ def _fixed_cover_df(polygons: DataFrame, id_col: str, level: int,
     )
 
 
+def _max_extent(polygons: DataFrame) -> tuple:
+    """(max bbox width, max bbox height) over a polygon table — one cheap
+    aggregation used by auto-level selection."""
+    import pandas as pd
+
+    from ..geo.bounds import geometry_bbox
+
+    def extents(batches):
+        for pdf in batches:
+            w = h = 0.0
+            for gj in pdf["geometry_json"]:
+                bb = geometry_bbox(json.loads(gj))
+                nd = len(bb) // 2
+                w = max(w, bb[nd] - bb[0])
+                h = max(h, bb[nd + 1] - bb[1])
+            yield pd.DataFrame({"w": [w], "h": [h]})
+
+    r = (polygons.select("geometry_json").mapInPandas(
+            extents, schema="w double, h double")
+         .agg(F.max("w").alias("w"), F.max("h").alias("h")).first())
+    return float(r["w"] or 0.0), float(r["h"] or 0.0)
+
+
+def choose_poly_level(max_w: float, max_h: float, max_cells: int = 4096,
+                      finest: int = 12) -> int:
+    """Finest level at which the largest bbox still covers <= max_cells
+    cells (finer level = tighter candidate pruning; the fixed-level
+    constraint means one size must fit all)."""
+    for level in range(finest, -1, -1):
+        cs = 180.0 / (2 ** level)
+        if (max_w / cs + 2) * (max_h / cs + 2) <= max_cells:
+            return level
+    return 0
+
+
 def polygon_intersection_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
-    level: int = 6,
+    level: int = None,
     max_cells: int = 4096,
     broadcast_b: bool = True,
 ) -> DataFrame:
     """(a_id, b_id) pairs of strictly-overlapping polygons.
 
     ``polys_a``: (a_id, geometry_json); ``polys_b``: (b_id, geometry_json).
-    Degenerate touching (shared edges / vertex contacts) is out of contract
-    — see geo/polyjoin.py.
+    ``level=None`` auto-tunes: two cheap max-extent aggregations pick the
+    finest level at which every polygon's cover fits ``max_cells`` — a
+    wrong manual level is a hard error (never silent truncation), so auto
+    is the safe default. Degenerate touching (shared edges / vertex
+    contacts) is out of contract — see geo/polyjoin.py.
     """
+    if level is None:
+        wa, ha = _max_extent(polys_a)
+        wb, hb = _max_extent(polys_b)
+        level = choose_poly_level(max(wa, wb), max(ha, hb), max_cells)
     import pandas as pd
 
     from ..geo.polyjoin import polygons_intersect

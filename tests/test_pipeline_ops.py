@@ -653,3 +653,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     else:
         expected = {(int(k), int(l), None) for k, l, _ in left_rows}
     assert got == expected
+
+
+def test_poly_join_auto_level_equals_fixed(spark):
+    import json as _json
+
+    from picogeojson_spark.operators.poly_join import polygon_intersection_join
+
+    def rect(x0, y0, w, h):
+        return {"type": "Polygon",
+                "coordinates": [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                                 [x0, y0 + h], [x0, y0]]]}
+
+    A = [(i, _json.dumps(rect((i * 13) % 300 / 2.0 - 90 + 0.25,
+                              (i * 17) % 200 / 2.0 - 60 + 0.25, 5.5, 3.5)))
+         for i in range(60)]
+    B = [(j, _json.dumps(rect((j * 29) % 280 / 2.0 - 70 + 0.125,
+                              (j * 31) % 120 / 2.0 - 30 + 0.125, 12.25, 7.25)))
+         for j in range(15)]
+    dfa = spark.createDataFrame(A, "a_id long, geometry_json string")
+    dfb = spark.createDataFrame(B, "b_id long, geometry_json string")
+    auto = {(r.a_id, r.b_id)
+            for r in polygon_intersection_join(dfa, dfb).collect()}
+    fixed = {(r.a_id, r.b_id)
+             for r in polygon_intersection_join(dfa, dfb, level=6).collect()}
+    assert auto == fixed and auto
