@@ -3,6 +3,9 @@ entry on Spark and its oracle_sql() on DuckDB over the same parquet tables,
 compare row count, column names, and order-insensitive values.
 
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Env:   GATE_MASTER (default local[8]), GATE_SHUFFLE (default engine pick) —
+       run with odd values (local[7], 13) to prove results don't depend on
+       parallelism/partitioning.
 """
 
 from __future__ import annotations
@@ -36,7 +39,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(master="local[8]", extra_conf={"spark.ui.enabled": "false"})
+    import os
+
+    master = os.environ.get("GATE_MASTER", "local[8]")
+    extra = {"spark.ui.enabled": "false"}
+    spark = get_spark(
+        master=master,
+        shuffle_partitions=(int(os.environ["GATE_SHUFFLE"])
+                            if "GATE_SHUFFLE" in os.environ else None),
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
