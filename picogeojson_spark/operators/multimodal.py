@@ -97,3 +97,91 @@ def synth_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(
         gen, schema=MEDIA_SCHEMA_DDL
     )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: a real deployment plugs
+    PIL/libvips here (see decode_image). The fake emits a payload whose
+    content is a pure function of (input bytes, target dims) so tests can
+    assert exact bytes."""
+    h = hashlib.sha256(payload + "{}x{}".format(width, height).encode()).digest()
+    return h * max(1, (width * height) // (32 * 1024) + 1)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """media -> (media_id, kind, payload, meta) with image payloads resized.
+
+    One mapInPandas (batch-shaped like a real codec stage); non-image rows
+    pass through untouched. The meta struct is updated JVM-side — only the
+    byte transform runs in Python.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            mask = out["kind"] == "image"
+            out.loc[mask, "payload"] = [
+                fake_resize(bytes(p), width, height)
+                for p in out.loc[mask, "payload"]
+            ]
+            yield out
+
+    resized = media.mapInPandas(run, schema=media.schema)
+    new_meta = F.struct(
+        F.when(F.col("kind") == "image", F.lit(width)).otherwise(
+            F.col("meta.width")).alias("width"),
+        F.when(F.col("kind") == "image", F.lit(height)).otherwise(
+            F.col("meta.height")).alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+    )
+    return resized.withColumn("meta", new_meta)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 16) -> DataFrame:
+    """video rows -> one row per sampled frame:
+    (media_id, frame_idx, ts_ms, frame payload).
+
+    The frame count comes from the typed metadata JVM-side (sequence +
+    explode — the fan-out never runs in Python); only the per-frame byte
+    extraction is a Pandas UDF, and the deterministic fake stands in for
+    an ffmpeg seek+decode."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frames = (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.greatest(
+                            F.floor(F.col("meta.duration_ms") / every_ms)
+                            .cast("int") - 1,
+                            F.lit(0),
+                        ),
+                        F.lit(max_frames - 1),
+                    ),
+                )
+            ),
+        )
+        .withColumn("ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+    @pandas_udf("binary")
+    def extract_frame(payload, ts_ms):
+        out = []
+        for p, t in zip(payload, ts_ms):
+            out.append(
+                hashlib.sha256(bytes(p) + int(t).to_bytes(8, "big")).digest()
+            )
+        return pd.Series(out)
+
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms",
+        extract_frame(F.col("payload"), F.col("ts_ms")).alias("frame"),
+    )

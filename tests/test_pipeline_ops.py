@@ -678,3 +678,41 @@ def test_poly_join_auto_level_equals_fixed(spark):
     fixed = {(r.a_id, r.b_id)
              for r in polygon_intersection_join(dfa, dfb, level=6).collect()}
     assert auto == fixed and auto
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    import hashlib
+
+    from picogeojson_spark.operators.multimodal import (
+        fake_resize,
+        frame_sample,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    resized = resize_media(media, 128, 96)
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r.kind == "image":
+            assert (r.meta.width, r.meta.height) == (128, 96)
+            assert bytes(r.payload) == fake_resize(bytes(orig[mid].payload),
+                                                   128, 96)
+        else:
+            assert bytes(r.payload) == bytes(orig[mid].payload)
+            assert r.meta == orig[mid].meta
+
+    frames = frame_sample(media, every_ms=1000, max_frames=4).collect()
+    assert frames and all(f.frame_idx < 4 and f.ts_ms == f.frame_idx * 1000
+                          for f in frames)
+    # frame bytes are the deterministic fake of (payload, ts)
+    f0 = frames[0]
+    expect = hashlib.sha256(
+        bytes(orig[f0.media_id].payload) + int(f0.ts_ms).to_bytes(8, "big")
+    ).digest()
+    assert bytes(f0.frame) == expect
+    # every video with duration>0 contributed at least one frame
+    vids = {m for m, r in orig.items()
+            if r.kind == "video" and r.meta.duration_ms > 0}
+    assert vids <= {f.media_id for f in frames}
