@@ -74,6 +74,18 @@ class ResumableJob:
         )
         done_before = self.done_buckets()
         all_buckets = [b for b in range(self.buckets) if b not in done_before]
+        # idempotent resume regardless of the output committer: a wave that
+        # died mid-write can have left partial files in bucket dirs that
+        # never got their marker (possible with committer v2 / direct
+        # committers); appending onto those would duplicate rows, so any
+        # unmarked bucket directory is stale output and is removed first
+        import shutil
+
+        data_dir = os.path.join(self.out_dir, "data")
+        for b in all_buckets:
+            stale = os.path.join(data_dir, "bucket={}".format(b))
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         per_wave = max(1, (len(all_buckets) + self.waves - 1) // self.waves)
 
         total_rows = 0

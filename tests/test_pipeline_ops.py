@@ -716,3 +716,36 @@ def test_multimodal_resize_and_frame_sample(spark):
     vids = {m for m, r in orig.items()
             if r.kind == "video" and r.meta.duration_ms > 0}
     assert vids <= {f.media_id for f in frames}
+
+
+def test_resumable_job_cleans_stale_partial_buckets(spark, tmp_path):
+    """A crash between data write and marker write must not duplicate rows
+    on resume (stale unmarked bucket dirs are removed before re-running)."""
+    import os
+
+    from picogeojson_spark.plans.checkpoint import ResumableJob
+
+    out = str(tmp_path / "job_out")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("url"), F.col("id").alias("v")
+    )
+
+    # first run: complete
+    job = ResumableJob(spark, out, buckets=8, waves=2)
+    s1 = job.run(df, key_col="url")
+    assert s1["rows"] == 200
+
+    # simulate a crashed wave: write partial junk into one bucket dir and
+    # remove its marker
+    victim = 3
+    os.remove(os.path.join(out, "_done", "bucket_{}".format(victim)))
+    stale = os.path.join(out, "data", "bucket={}".format(victim))
+    assert os.path.isdir(stale)
+
+    job2 = ResumableJob(spark, out, buckets=8, waves=2)
+    s2 = job2.run(df, key_col="url")
+    assert s2["buckets_done_before"] == 7 and s2["buckets_run"] == 1
+
+    # total output is exactly the input — no duplicates from the re-run
+    assert job2.read_output().count() == 200
+    assert job2.read_output().select("url").distinct().count() == 200
