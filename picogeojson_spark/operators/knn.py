@@ -129,10 +129,15 @@ def knn_join(
         (F.col("found") >= k) & (F.col("kth") <= F.lit(guard))
     ).select("query_id")
 
-    settled = ringed.join(F.broadcast(settled_ids), on="query_id")
+    # NO broadcast hint on settled_ids: it has one row per settled query,
+    # which at production scale is the full query cardinality — forcing a
+    # broadcast would collect it to the driver. AQE broadcasts it anyway
+    # whenever it is actually small (runtime stats), so small cases lose
+    # nothing and large ones stay shuffle joins
+    settled = ringed.join(settled_ids, on="query_id")
 
     # brute-force tail for the rest (rare; exact by construction)
-    rest = queries.join(F.broadcast(settled_ids), on="query_id", how="left_anti")
+    rest = queries.join(settled_ids, on="query_id", how="left_anti")
     brute = rest.select(
         "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     ).crossJoin(
