@@ -171,13 +171,16 @@ def q_pricing_summary(spark, sf_dir):
 
 Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cents,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))
-           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_cents,
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -211,8 +214,9 @@ def q_revenue_by_nation(spark, sf_dir):
 
 Q_REVENUE_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -242,7 +246,7 @@ def q_top_parts_per_brand(spark, sf_dir):
 
 
 Q_TOP_PARTS_SQL = """
-SELECT p_brand, p_partkey, price_cents, rnk FROM (
+SELECT p_brand, p_partkey, price_cents, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT p_brand, p_partkey,
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
          ROW_NUMBER() OVER (PARTITION BY p_brand
@@ -272,7 +276,7 @@ def q_events_hourly(spark, sf_dir):
 Q_EVENTS_SQL = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
@@ -445,7 +449,7 @@ WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})),
                                         + (q.lat - c.lat) * (q.lat - c.lat) ASC,
                                           c.neighbor_id ASC) AS rank
        FROM q CROSS JOIN c)
-SELECT query_id, rank, neighbor_id,
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
        CAST(round(dist2 * 16) AS BIGINT) AS dist2_x16
 FROM d WHERE rank <= 3 ORDER BY query_id, rank
 """.format(points=_POINTS_SQL, cands=_CANDS_SQL)
@@ -840,7 +844,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
                             * sqrt(list_dot_product(e.v, e.v))) DESC,
                          e.vec_id ASC) AS rank
        FROM q CROSS JOIN e)
-SELECT query_id, rank, neighbor_id,
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
        CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
 FROM scored WHERE rank <= 3 ORDER BY query_id, rank
 """
@@ -862,9 +866,10 @@ def q_embed_label_stats(spark, sf_dir):
 
 Q_EMBED_STATS_SQL = """
 SELECT label, COUNT(*) AS n_vecs,
-       SUM(CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[])) * 1000000)
-                AS BIGINT)) AS sum_norm2_x1e6
+       CAST(SUM(CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))
+                           * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_norm2_x1e6
 FROM embeddings GROUP BY label ORDER BY label
 """
 
@@ -1303,7 +1308,7 @@ WITH pts AS (
                greatest(least(lat, 85.05112878), -85.05112878) AS clat
         FROM ({points})) t),
 polys AS (
-  SELECT n_nationkey AS poly_id,
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
          CAST((n_nationkey * 29) % 280 AS DOUBLE) / 2 - 70 + 0.25 AS x0,
          CAST((n_nationkey * 31) % 120 AS DOUBLE) / 2 - 30 + 0.25 AS y0
   FROM nation),
@@ -1382,8 +1387,10 @@ s AS (
   SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM g)
-SELECT user_id, session_idx, COUNT(*) AS n_events,
-       MIN(tus) AS start_us, MAX(tus) AS end_us, SUM(cents) AS cents_sum
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(tus) AS start_us, MAX(tus) AS end_us,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
 FROM s
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
@@ -1507,7 +1514,8 @@ Q_PRICING_ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
        coalesce(l_linestatus, 'ALL') AS ls,
        COUNT(*) AS n_rows,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_sum
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY rf, ls
@@ -1573,7 +1581,7 @@ WITH a AS (
          CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
   FROM customer),
 b AS (
-  SELECT n_nationkey AS b_id,
+  SELECT CAST(n_nationkey AS BIGINT) AS b_id,
          CAST((n_nationkey * 29) % 280 AS DOUBLE) / 2 - 70 + 0.125 AS x0,
          CAST((n_nationkey * 31) % 120 AS DOUBLE) / 2 - 30 + 0.125 AS y0
   FROM nation)

@@ -30,6 +30,78 @@ def canon(v):
     return v
 
 
+def _canon_arrow_type(t):
+    """Canonical type token for a DuckDB-result Arrow type. HUGEINT surfaces
+    as decimal128 — deliberately NOT collapsed to i64, because the driver's
+    value-hash encodes it differently than Spark's bigint (the round-1
+    hash-red root cause)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_int16(t):
+        return "i16"
+    if pa.types.is_int8(t):
+        return "i8"
+    if pa.types.is_uint64(t) or pa.types.is_uint32(t):
+        return "u" + str(t.bit_width)
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_decimal(t):
+        return "dec"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + _canon_arrow_type(t.value_type) + ">"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+def _canon_spark_type(dt):
+    """Canonical type token for a Spark DataType (same token space as
+    :func:`_canon_arrow_type`)."""
+    s = dt.simpleString()
+    flat = {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+        "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+        "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+        "binary": "bin",
+    }
+    if s in flat:
+        return flat[s]
+    if s.startswith("decimal"):
+        return "dec"
+    if s.startswith("array<"):
+        return "list<" + _canon_spark_type(dt.elementType) + ">"
+    return s
+
+
+def typed_schema_mismatches(spark_schema, arrow_schema):
+    """Pairs (name, spark_tok, duck_tok) whose encoded types differ. Columns
+    are matched by lower-cased name (order-insensitive, like the driver)."""
+    s_map = {f.name.lower(): _canon_spark_type(f.dataType)
+             for f in spark_schema.fields}
+    bad = []
+    for field in arrow_schema:
+        name = field.name.lower()
+        duck_tok = _canon_arrow_type(field.type)
+        spark_tok = s_map.get(name)
+        if spark_tok is not None and spark_tok != duck_tok:
+            bad.append((name, spark_tok, duck_tok))
+    return bad
+
+
 def main():
     import duckdb
 
@@ -78,7 +150,11 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = [c.lower() for c in rel.columns]
-            duck_rows = rel.fetchall()
+            duck_arrow = rel.fetch_arrow_table()
+            duck_rows = [
+                tuple(row[c] for c in duck_arrow.column_names)
+                for row in duck_arrow.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             print("FAIL {:24s} duckdb error: {}".format(name, e))
             failures.append(name)
@@ -88,6 +164,17 @@ def main():
         dc = sorted(duck_cols)
         if sc != dc:
             print("FAIL {:24s} schema: spark={} duck={}".format(name, sc, dc))
+            failures.append(name)
+            continue
+        # encoded-type compare: the driver hashes typed/encoded values, so a
+        # DuckDB HUGEINT (decimal128 in Arrow) vs Spark bigint is a hash
+        # mismatch even when the Python values are equal
+        type_bad = typed_schema_mismatches(df.schema, duck_arrow.schema)
+        if type_bad:
+            print("FAIL {:24s} encoded types: {}".format(
+                name,
+                ", ".join("{} spark={} duck={}".format(*b) for b in type_bad),
+            ))
             failures.append(name)
             continue
         if len(spark_rows) != len(duck_rows):
