@@ -1027,20 +1027,109 @@ ORDER BY id_a, id_b
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (approximate by design — rows-only check;
-    recall vs the exact baseline is asserted in tests)."""
+    """Hyperplane-LSH bucketed ANN, OR-of-8-bands × 3 planes: candidates are
+    corpus vectors sharing any band signature with the query, scored exactly.
+    The md5-derived hyperplanes are engine-portable arithmetic, so the DuckDB
+    oracle reproduces buckets — and therefore the full candidate-gated
+    result — exactly; recall vs the brute-force baseline is additionally
+    asserted in the correctness gate (scripts/check_correctness.py)."""
     from picogeojson_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return ann_lsh_topk(queries, emb, k=3, planes=6).orderBy("query_id", "rank")
+    return ann_lsh_topk(
+        queries, emb, k=3, planes=3, bands=8, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_keys_sql(planes: int, bands: int, dim: int) -> str:
+    """CTE fragment computing (vec_id, band, key) — the same hyperplane
+    band signatures picogeojson_spark.operators.similarity._band_keys
+    assigns (global plane index p = band*planes + i; component j of plane p
+    is (md5-derived int in [-500, 500)) / 500)."""
+    total = planes * bands
+    return """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comps AS (
+  SELECT p, list((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':'
+                                          || CAST(j AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 1000 - 500) / 500.0 ORDER BY j) AS cl
+  FROM range(0, {total}) t(p), range(0, {dim}) s(j)
+  GROUP BY p),
+bits AS (
+  SELECT e.vec_id, c.p,
+         CASE WHEN list_dot_product(e.v, c.cl) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN comps c),
+keys AS (
+  SELECT vec_id, CAST(p // {planes} AS INTEGER) AS band,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS key
+  FROM bits GROUP BY vec_id, CAST(p // {planes} AS INTEGER))
+""".format(total=total, dim=dim, planes=planes)
+
+
+Q_ANN_LSH_SQL = """
+WITH {keys},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id % 10 = 0),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand
+  JOIN e a ON a.vec_id = cand.query_id
+  JOIN e b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+""".format(keys=_lsh_keys_sql(planes=3, bands=8, dim=64))
+
+
+def q_embed_cosine_pairs_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup pairs: LSH bands gate candidates, exact
+    cosine verifies >= 0.3 — the scale path for embedding near-dup (no cross
+    join; cost tracks collision density, not n²). Candidate-gated semantics
+    are reproduced exactly by the oracle's identical bucket arithmetic."""
+    from picogeojson_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(
+        emb, 0.3, planes=3, bands=4, dim=64
+    ).orderBy("id_a", "id_b")
+
+
+Q_EMBED_PAIRS_LSH_SQL = """
+WITH {keys},
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM keys x JOIN keys y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand
+  JOIN e a ON a.vec_id = cand.id_a
+  JOIN e b ON b.vec_id = cand.id_b)
+SELECT id_a, id_b, CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
+FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b
+""".format(keys=_lsh_keys_sql(planes=3, bands=4, dim=64))
 
 
 _EXTRA_QUERIES["embed_cosine_pairs"] = q_embed_cosine_pairs
 _EXTRA_ORACLES["embed_cosine_pairs"] = Q_EMBED_PAIRS_SQL
 _EXTRA_QUERIES["ann_lsh"] = q_ann_lsh
-# NB: ann_lsh deliberately has no oracle entry (approximate operator ->
-# driver records the weaker rows-only check)
+_EXTRA_ORACLES["ann_lsh"] = Q_ANN_LSH_SQL
+_EXTRA_QUERIES["embed_cosine_pairs_lsh"] = q_embed_cosine_pairs_lsh
+_EXTRA_ORACLES["embed_cosine_pairs_lsh"] = Q_EMBED_PAIRS_LSH_SQL
 
 
 # --------------------------------------------------------------------------
@@ -1195,26 +1284,185 @@ def q_stream_counts(spark, sf_dir):
 
 
 _EXTRA_QUERIES["stream_counts"] = q_stream_counts
-# NB: stream_counts has no oracle entry (streaming -> rows-only check)
+# NB: stream_counts has no oracle entry (the mined-page content derives from
+# a Python RNG, not SQL-expressible). The correctness gate instead asserts
+# stream==batch equality over the same parquet (the two paths share the
+# mining UDF); see scripts/check_correctness.py SPECIAL_CHECKS.
+
+
+def _stream_dir(sf_dir, table):
+    """Spark's file stream source needs a DIRECTORY; the testdata tables are
+    single parquet files. Hard-link (or copy) the file into a per-sf /tmp
+    dir once and stream from there — contents identical to the registered
+    oracle view."""
+    import os
+    import shutil
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    d = "/tmp/stream_src_{}_{}".format(label, table)
+    dst = os.path.join(d, table + ".parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        src = os.path.join(sf_dir, table + ".parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    return d
+
+
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_EVENTS_DDL = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+               "event_type string, value double, props string")
+
+
+def q_stream_doc_stats(spark, sf_dir):
+    """Streaming rollup with a full oracle: readStream over the documents
+    parquet (availableNow) -> stateful groupBy(lang) aggregation -> memory
+    sink. The stream consumes the SAME driver-registered table the oracle
+    reads, so this is a genuine rows+schema+hash check of the streaming
+    aggregation path (not just rows-only)."""
+    src = (
+        spark.readStream.schema(_DOCS_DDL)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    agg = src.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_doc_stats_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_doc_stats_q").orderBy("lang")
+
+
+Q_STREAM_DOC_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+_EXTRA_QUERIES["stream_doc_stats"] = q_stream_doc_stats
+_EXTRA_ORACLES["stream_doc_stats"] = Q_STREAM_DOC_STATS_SQL
+
+
+def q_stream_events_windows(spark, sf_dir):
+    """Watermarked event-time windowed aggregation with a full oracle:
+    readStream over the events parquet -> withWatermark(1h) ->
+    groupBy(window(ts_i, 1h), event_type) -> memory sink (complete mode, so
+    every window is emitted and the batch oracle predicts the exact output;
+    append-mode late-drop semantics are exercised in tests). The NTZ wall
+    time is pinned to UTC instants (watermarks require TIMESTAMP) and the
+    window start is emitted as epoch-hour MICROSECONDS — an integer, so the
+    result is session-timezone-independent; money in integer cents."""
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    ts_i = F.to_utc_timestamp(F.col("ts"), "UTC")
+    agg = (
+        src.withColumn("ts_i", ts_i)
+        .withWatermark("ts_i", "1 hour")
+        .groupBy(F.window("ts_i", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_events_windows_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("stream_events_windows_q")
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type", "n_events",
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+Q_STREAM_EVENTS_WINDOWS_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type
+"""
+
+_EXTRA_QUERIES["stream_events_windows"] = q_stream_events_windows
+_EXTRA_ORACLES["stream_events_windows"] = Q_STREAM_EVENTS_WINDOWS_SQL
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (approximate by design — rows-only check; recall vs
-    the exact baseline and determinism are asserted in tests). Deterministic
-    coarse quantizer: centroids are the nlist corpus vectors with smallest
-    md5(vec_id)."""
+    """IVF-bucketed ANN. The coarse quantizer is deterministic (centroids =
+    the nlist corpus vectors with smallest md5(vec_id), L2-normalized), so
+    the DuckDB oracle reproduces list assignment, probing, and the exact
+    per-pair scores. Assignment argmax is computed by numpy on the Spark
+    side and by sequential list_dot_product in DuckDB — ulp-level sum
+    differences cannot flip an argmax on this data (centroid-similarity
+    gaps are ~1e-2); pair SCORES go through the same sequential-fold
+    arithmetic on both sides and match bit-for-bit."""
     from picogeojson_spark.operators.similarity import ann_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return ann_ivf_topk(queries, emb, k=3, nlist=16, nprobe=4).orderBy(
+    return ann_ivf_topk(queries, emb, k=3, nlist=16, nprobe=8).orderBy(
         "query_id", "rank"
     )
 
 
+Q_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+              AS INTEGER) AS list_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+cassign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+qassign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id % 10 = 0) t WHERE rn <= 8),
+scored AS (
+  SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM qassign q
+  JOIN cassign ca ON ca.list_id = q.list_id
+  JOIN e a ON a.vec_id = q.vec_id
+  JOIN e b ON b.vec_id = ca.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
 _EXTRA_QUERIES["ann_ivf"] = q_ann_ivf
-# NB: ann_ivf deliberately has no oracle entry (approximate operator ->
-# driver records the weaker rows-only check)
+_EXTRA_ORACLES["ann_ivf"] = Q_ANN_IVF_SQL
 
 
 def q_geo_extract_props(spark, sf_dir):

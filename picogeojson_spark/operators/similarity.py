@@ -97,38 +97,66 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
     return (dot >= 0).cast("int")
 
 
+def _band_keys(df: DataFrame, id_col: str, id_alias: str, vec_col: str,
+               planes: int, bands: int, dim: int) -> DataFrame:
+    """(id, band, key) rows: per input row, one signature per band, where
+    band ``b``'s key packs the sign bits of global planes
+    ``[b*planes, (b+1)*planes)``. Narrow map — no shuffle, no Python."""
+    out = []
+    for b in range(bands):
+        sig = None
+        for i in range(planes):
+            p = b * planes + i
+            bit = _hyperplane_sign(F.col(vec_col), p, dim) * (2**i)
+            sig = bit if sig is None else sig + bit
+        out.append(F.struct(F.lit(b).alias("band"), sig.alias("key")))
+    return df.select(
+        F.col(id_col).alias(id_alias), F.explode(F.array(*out)).alias("bk")
+    ).select(id_alias, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     planes: int = 8,
+    bands: int = 1,
     dim: int = None,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed cosine top-k (approximate: searches the query's bucket)."""
+    """LSH-bucketed cosine top-k, OR-of-bands: ``bands`` independent
+    signatures of ``planes`` hyperplanes each; a corpus vector is a candidate
+    if it shares ANY band signature with the query (the standard recall
+    repair over a single AND-bucket — one unlucky plane split no longer
+    hides a true neighbour). Candidates are deduped before scoring, and
+    scoring is exact cosine, so returned pair scores are bit-identical to
+    the brute-force baseline.
+
+    Scale shape: band keys are a narrow JVM-side map; the only exchanges are
+    the (band, key) equi-join and the two id-joins that re-attach vectors to
+    the deduped candidate pairs — no cross join anywhere. Recall vs
+    ``ann_bruteforce_topk`` is measured in the correctness gate."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    def bucket(df, id_alias):
-        sig = None
-        for p in range(planes):
-            bit = _hyperplane_sign(F.col(vec_col), p, dim) * (2**p)
-            sig = bit if sig is None else sig + bit
-        return df.select(
-            F.col("*"), sig.alias("bucket")
-        ).withColumnRenamed(query_id if id_alias == "query_id" else corpus_id,
-                            id_alias)
+    qk = _band_keys(queries, query_id, "query_id", vec_col, planes, bands, dim)
+    ck = _band_keys(corpus, corpus_id, "neighbor_id", vec_col, planes, bands, dim)
+    cand = (
+        qk.join(ck, on=["band", "key"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
 
-    q = bucket(queries, "query_id").select(
-        "query_id", "bucket", F.col(vec_col).alias("qv")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", F.sqrt(_norm2(F.col("qv"))))
-    c = bucket(corpus, "neighbor_id").select(
-        "neighbor_id", "bucket", F.col(vec_col).alias("cv")
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", F.sqrt(_norm2(F.col("cv"))))
 
-    scored = q.join(c, on="bucket").select(
+    scored = cand.join(q, on="query_id").join(c, on="neighbor_id").select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
@@ -146,9 +174,60 @@ def ann_lsh_topk(
     )
 
 
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: int = 4,
+    bands: int = 3,
+    dim: int = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: hyperplane-LSH bands gate the
+    candidate set (pairs sharing >=1 band signature), then exact cosine
+    verifies ``>= threshold`` — the same candidates->verify shape as
+    ``minhash_lsh_pairs`` (dedup.py), applied to the embedding column.
+
+    Scale shape: no cross join — the all-pairs work is confined to rows that
+    collide in a band bucket, so cost tracks true-near-duplicate density
+    instead of n². The trade is recall: a qualifying pair split by every
+    band is missed (candidate-gated semantics, reproduced exactly by the
+    SQL oracle; raise ``bands`` to trade compute for recall)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+
+    keys = _band_keys(embeddings, id_col, "vid", vec_col, planes, bands, dim)
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), on=["band", "key"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", F.sqrt(_norm2(F.col("va"))))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", F.sqrt(_norm2(F.col("vb"))))
+    return (
+        cand.join(a, on="id_a").join(b, on="id_b")
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
 def cosine_pairs(embeddings: DataFrame, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold (embedding near-dups)."""
+    """All (a < b) pairs with cosine >= threshold (embedding near-dups).
+
+    Exact all-pairs semantics — O(n²) by definition, so this is the
+    small-scale / test-oracle path; the scale path is
+    :func:`cosine_pairs_lsh` (bucket-gated candidates, no cross join)."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     ).withColumn("na", F.sqrt(_norm2(F.col("va"))))
@@ -177,50 +256,67 @@ def ann_bruteforce_topk_np(
 ) -> DataFrame:
     """numpy-matmul brute-force cosine top-k (the fast exact path).
 
-    The corpus is broadcast as one float64 matrix; each Arrow batch of
-    queries does a single (B x D) @ (D x C) matmul and a partial-sort —
-    orders of magnitude faster than per-pair expression folds. Appropriate
-    while the corpus fits in executor memory (the standard brute-force ANN
-    regime); beyond that, shard the corpus and union per-shard top-k.
+    Distributed over the CORPUS: the (small, designated) query side is
+    broadcast as one float64 matrix, and every corpus partition computes a
+    single matmul against its own shard plus a per-shard top-k; a global
+    window then merges the per-shard winners. The corpus — the side that is
+    unbounded at production scale — is never collected to the driver and
+    never has to fit in any single memory; the only materialized object is
+    the query matrix (bounded by the broadcast budget; batch the query set
+    and union when it isn't).
 
-    Tie-break identical to ``ann_bruteforce_topk``: cos desc, neighbor id
-    asc. Scores emitted as ``cos_x1e6`` like the expression variant.
+    Per-shard top-k then global top-k is exact: a global winner is
+    necessarily a winner of its own shard. Tie-break identical to
+    ``ann_bruteforce_topk``: cos desc, neighbor id asc. Scores emitted as
+    ``cos_x1e6`` like the expression variant (same per-pair arithmetic, so
+    values are bit-identical to the single-matrix path).
     """
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(corpus_id, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = queries.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    q_rows = queries.select(query_id, vec_col).collect()  # small side only
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
-    def topk(batches):
-        c_ids, c_mat, c_norms = bc.value
+    def shard_topk(batches):
+        ids, qm, qn = bc.value
+        nq = len(ids)
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or nq == 0:
                 continue
-            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cos = (q @ c_mat.T) / (qn[:, None] * c_norms[None, :])
+            c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (qm @ c_mat.T) / (qn[:, None] * cn[None, :])
+            kk = min(k, len(c_ids))
             # lexicographic: primary cos desc, secondary id asc
-            order = np.lexsort((c_ids[None, :].repeat(len(q), 0), -cos), axis=1)
-            out_q, out_r, out_n, out_c = [], [], [], []
-            for i, qid in enumerate(pdf[query_id]):
-                sel = order[i, :k]
-                out_q.extend([qid] * len(sel))
-                out_r.extend(range(1, len(sel) + 1))
-                out_n.extend(int(c_ids[j]) for j in sel)
-                out_c.extend(int(v) for v in np.round(cos[i, sel] * 1e6))
+            order = np.lexsort((c_ids[None, :].repeat(nq, 0), -cos), axis=1)[:, :kk]
+            sel_cos = np.take_along_axis(cos, order, axis=1)
             yield pd.DataFrame(
-                {"query_id": out_q, "rank": out_r, "neighbor_id": out_n,
-                 "cos_x1e6": out_c}
+                {
+                    "query_id": np.repeat(q_ids, kk),
+                    "neighbor_id": c_ids[order].reshape(-1),
+                    "cos": sel_cos.reshape(-1),
+                    "cos_x1e6": np.round(sel_cos.reshape(-1) * 1e6).astype(np.int64),
+                }
             )
 
-    return queries.select(
-        F.col(query_id).alias(query_id), vec_col
+    shards = corpus.select(
+        F.col(corpus_id).alias(corpus_id), vec_col
     ).mapInPandas(
-        topk, schema="query_id long, rank int, neighbor_id long, cos_x1e6 long"
+        shard_topk,
+        schema="query_id long, neighbor_id long, cos double, cos_x1e6 long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shards.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "neighbor_id", "cos_x1e6")
     )
 
 
@@ -249,7 +345,9 @@ def ivf_centroids(
         .collect()
     )
     mat = np.asarray([r["v"] for r in seeds], dtype=np.float64)
-    mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0  # a zero seed vector must not poison assignments
+    mat = mat / norms[:, None]
     return np.asarray([r["cid"] for r in seeds], dtype=np.int64), mat
 
 

@@ -132,6 +132,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    kept = {}  # results needed by cross-query SPECIAL_CHECKS below
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -140,6 +141,8 @@ def main():
             df = fn(spark, sf_dir)
             spark_rows = df.collect()
             spark_cols = df.columns
+            if name in KEEP_FOR_SPECIAL:
+                kept[name] = (spark_cols, spark_rows)
         except Exception as e:  # noqa: BLE001
             print("FAIL {:24s} spark error: {}".format(name, e))
             failures.append(name)
@@ -210,11 +213,74 @@ def main():
             )
         )
 
+    failures += run_special_checks(spark, kept)
+
     spark.stop()
     if failures:
         print("\nFAILED:", failures)
         sys.exit(1)
     print("\nall queries match")
+
+
+KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
+
+# Measured on the synthetic embeddings (uniform-random — the adversarial
+# case for clustering-based ANN, since there IS no cluster structure):
+# ann_lsh (3 planes × 8 bands) = 0.94; ann_ivf (nlist=16, nprobe=8) = 0.85.
+# IVF's floor is lower by design: probing half of 16 lists on uniform data
+# bounds recall well below the LSH OR-of-bands construction; on clustered
+# real-world embeddings the same config sits far higher.
+RECALL_FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.8}
+
+
+def _pairs(res):
+    cols, rows = res
+    qi, ni = cols.index("query_id"), cols.index("neighbor_id")
+    return {(r[qi], r[ni]) for r in rows}
+
+
+def run_special_checks(spark, kept):
+    """Quality/equivalence assertions that a single-query oracle can't
+    express: approximate-ANN recall vs the exact baseline, and
+    stream==batch equality for the streaming miner."""
+    failures = []
+
+    if "ann_topk" in kept:
+        exact = _pairs(kept["ann_topk"])
+        for approx_name in ("ann_lsh", "ann_ivf"):
+            if approx_name not in kept:
+                continue
+            approx = _pairs(kept[approx_name])
+            recall = len(exact & approx) / len(exact) if exact else 1.0
+            if recall < RECALL_FLOORS[approx_name]:
+                print("FAIL {:24s} recall vs ann_topk = {:.3f} < {}".format(
+                    approx_name, recall, RECALL_FLOORS[approx_name]))
+                failures.append(approx_name + ":recall")
+            else:
+                print("PASS {:24s} recall vs ann_topk = {:.3f}".format(
+                    approx_name + " (recall)", recall))
+
+    if "stream_counts" in kept:
+        # batch miner over the same parquet the stream consumed — the two
+        # paths share the mining UDF, so counts must be identical
+        from picogeojson_spark.operators import mine_features
+
+        cols, rows = kept["stream_counts"]
+        gi, ci = cols.index("geom_type"), cols.index("count")
+        stream_counts = {(r[gi], r[ci]) for r in rows}
+        batch = (
+            mine_features(spark.read.parquet("/tmp/stream_pages_400"))
+            .groupBy("geom_type").count().collect()
+        )
+        batch_counts = {(r["geom_type"], r["count"]) for r in batch}
+        if stream_counts != batch_counts:
+            print("FAIL stream_counts            stream != batch: {} vs {}".format(
+                sorted(stream_counts), sorted(batch_counts)))
+            failures.append("stream_counts:batch_equiv")
+        else:
+            print("PASS {:24s} stream == batch ({} types)".format(
+                "stream_counts (equiv)", len(batch_counts)))
+    return failures
 
 
 if __name__ == "__main__":

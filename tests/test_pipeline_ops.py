@@ -190,6 +190,129 @@ def test_cosine_pairs_threshold(spark, embeddings):
     assert got == expected
 
 
+def test_ann_lsh_multiband_recall_dominates_single_band(spark, embeddings):
+    """OR-of-bands must recover strictly more (or equal) true neighbours
+    than any single AND bucket, and its candidate-gated scores must equal
+    the exact baseline's for every returned pair."""
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_x1e6
+        for r in ann_bruteforce_topk(embeddings, embeddings, k=3).collect()
+    }
+    one_band = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(embeddings, embeddings, k=3, planes=3,
+                              bands=1).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id): r.cos_x1e6
+        for r in ann_lsh_topk(embeddings, embeddings, k=3, planes=3,
+                              bands=6).collect()
+    }
+    # self-match always collides in every band
+    assert all((i, i) in multi for i in range(1, 41))
+    r1 = len(one_band & set(brute)) / len(brute)
+    rn = len(set(multi) & set(brute)) / len(brute)
+    assert rn >= r1, (rn, r1)
+    assert rn > 0.8, rn
+    # exact scoring inside the gate: every returned true pair scores
+    # identically to brute force
+    for pair, score in multi.items():
+        if pair in brute:
+            assert score == brute[pair], pair
+
+
+def test_cosine_pairs_lsh_gated_subset_with_exact_scores(spark, embeddings):
+    from picogeojson_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_x1e6
+        for r in cosine_pairs(embeddings, 0.8).collect()
+    }
+    gated = {
+        (r.id_a, r.id_b): r.cos_x1e6
+        for r in cosine_pairs_lsh(embeddings, 0.8, planes=3, bands=6).collect()
+    }
+    # candidate-gated semantics: subset of the exact pair set, scores equal
+    assert set(gated) <= set(exact)
+    for pair, score in gated.items():
+        assert score == exact[pair], pair
+    # identical vectors share every band signature -> a true duplicate can
+    # never be missed; near-identical (cos>=0.999) pairs collide w.h.p. too
+    must_find = {p for p, s in exact.items() if s >= 999000}
+    assert must_find <= set(gated), must_find - set(gated)
+
+
+def test_ann_np_corpus_never_collected_and_distributed_plan(spark, embeddings):
+    """The brute-force matmul path must not pull the corpus to the driver:
+    only the (small) query side may be collected, and the plan must be a
+    distributed MapInPandas over the corpus scan (no cartesian product)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk_np
+
+    corpus = embeddings.select(
+        F.col("vec_id").alias("cid"), "embedding"
+    ).repartition(7)
+    queries = embeddings.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    # patch the CONCRETE DataFrame class (pyspark 4's pyspark.sql.DataFrame
+    # is a facade; instances are classic/connect subclasses)
+    cls = type(corpus)
+    collected_cols = []
+    orig = cls.collect
+
+    def spy(self):
+        collected_cols.append(tuple(self.columns))
+        return orig(self)
+
+    cls.collect = spy
+    try:
+        out = ann_bruteforce_topk_np(
+            queries, corpus, k=3, query_id="qid", corpus_id="cid"
+        )
+    finally:
+        cls.collect = orig
+    assert collected_cols == [("qid", "embedding")], collected_cols
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_np_sharded_merge_exact(spark, embeddings):
+    """Per-shard top-k + global window must equal the single-shard result
+    regardless of corpus partitioning."""
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk_np
+
+    one = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk_np(
+            embeddings, embeddings.coalesce(1), k=4
+        ).collect()
+    }
+    many = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk_np(
+            embeddings, embeddings.repartition(13), k=4
+        ).collect()
+    }
+    assert one == many
+
+
 def test_multimodal_plumbing(spark):
     from picogeojson_spark.operators.multimodal import (
         decode_image,
