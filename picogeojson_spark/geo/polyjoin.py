@@ -48,6 +48,12 @@ def _edges_of(geom):
             e1, e2 = _ring_edges(ring)
             p1s.append(e1)
             p2s.append(e2)
+    if not p1s:
+        # degenerate geometry (no ring with >=2 points): no edges, so the
+        # intersection test degrades to vertex containment instead of
+        # raising from np.concatenate([])
+        empty = np.empty((0, 2), dtype=np.float64)
+        return empty, empty
     return np.concatenate(p1s), np.concatenate(p2s)
 
 

@@ -61,9 +61,14 @@ def _face_uv(x, y, z):
 
 
 def _st_from_uv(u):
-    """S2's quadratic projection: evens out cell areas across a face."""
+    """S2's quadratic projection: evens out cell areas across a face.
+    Both np.where branches are evaluated for every element, so each sqrt
+    argument is clamped at 0 — the clamped values only occur on the branch
+    that is discarded (|u| <= 1 on the selected side)."""
     return np.where(
-        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        u >= 0,
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
     )
 
 

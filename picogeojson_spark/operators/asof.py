@@ -36,20 +36,29 @@ def asof_join(
     ``how``: 'inner' drops left rows with no prior right row; 'left' keeps
     them with nulls.
     """
+    from pyspark.sql.types import StructField, StructType
+
     right_value_cols = list(right_value_cols)
     lcols = [c for c in left.columns]
 
+    # the right payload travels as ONE struct so a single
+    # last(ignorenulls=True) carries a single as-of row — carrying columns
+    # independently could stitch values from DIFFERENT right rows whenever
+    # a right value column contains NULLs, and a NULL first value column
+    # would misclassify a matched row under how='inner'
+    payload_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c)
-          for c in right_value_cols],
+        F.lit(None).cast(payload_t).alias("__r"),
     )
     r_tag = right.select(
         *[F.col(c) if c in (by, ts_col) else F.lit(None).cast(
             left.schema[c].dataType).alias(c) for c in lcols],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias("__r_" + c) for c in right_value_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
 
@@ -61,12 +70,14 @@ def asof_join(
     carried = u.select(
         *lcols,
         "__side",
-        *[
-            F.last("__r_" + c, ignorenulls=True).over(w).alias("r_" + c)
-            for c in right_value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col("r_" + right_value_cols[0]).isNotNull())
-    return out
+        # the struct itself is non-null iff an as-of match exists, even when
+        # every right value in the matched row is NULL
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *lcols,
+        *[F.col("__r." + c).alias("r_" + c) for c in right_value_cols],
+    )

@@ -62,6 +62,7 @@ def knn_join(
     k: int = 5,
     level: int = None,
     radius: int = 1,
+    cache: str = "checkpoint",
 ) -> DataFrame:
     """Exact kNN -> DataFrame(query_id, rank, neighbor_id, dist2).
 
@@ -69,7 +70,22 @@ def knn_join(
     A candidate at the same coordinates as the query is its own neighbour
     (no self-exclusion — callers can filter ``query_id != neighbor_id``).
     ``level=None`` auto-tunes from the candidate count (one cheap count job).
+
+    ``cache`` controls how the ring-candidate intermediate (consumed three
+    times: settled filter, anti-join, output) is materialized:
+
+    - ``"checkpoint"`` (default): ``localCheckpoint(eager=True)`` — the
+      operator owns the lifecycle; blocks are freed by the ContextCleaner
+      when the result DataFrame is garbage-collected, so long-lived
+      sessions cannot leak. Trade: lineage is severed (executor loss needs
+      a re-run) and it measures ~25% slower than persist at sf0.1.
+    - ``"persist"``: fastest, but the cache entry outlives the call — the
+      handle is exposed as ``result._knn_cached`` and the CALLER must
+      ``.unpersist()`` it after consuming the result.
+    - ``"none"``: no materialization (consumers recompute the ring join).
     """
+    if cache not in ("checkpoint", "persist", "none"):
+        raise ValueError("cache must be checkpoint|persist|none: " + cache)
     if level is None:
         level = choose_level(candidates.count(), k, radius)
     nx, ny = grid_shape(level)
@@ -111,13 +127,12 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist2")
     )
-    # ringed feeds three consumers (settled filter, anti-join, output);
-    # persist is measurably faster here than both localCheckpoint and
-    # relying on ReuseExchange (1.6s vs 2.0-2.5s at sf0.1, measured). A
-    # library call can't unpersist before its lazy consumers run, so the
-    # cached handle is exposed on the result as ``_knn_cached`` — callers
-    # in long-lived sessions unpersist it after consuming the result
-    ringed = ringed.persist()
+    # ringed feeds three consumers (settled filter, anti-join, output) —
+    # see the ``cache`` docstring for the lifecycle trade-offs
+    if cache == "persist":
+        ringed = ringed.persist()
+    elif cache == "checkpoint":
+        ringed = ringed.localCheckpoint(eager=True)
 
     # exactness guard: a query is settled iff it found k neighbours and its
     # k-th distance is within the ring guarantee radius
@@ -155,5 +170,6 @@ def knn_join(
         .select("query_id", "rank", "neighbor_id", "dist2")
     )
     out = settled.unionByName(brute_k)
-    out._knn_cached = ringed  # cleanup handle (see persist note above)
+    if cache == "persist":
+        out._knn_cached = ringed  # cleanup handle (see ``cache`` docstring)
     return out

@@ -151,21 +151,19 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
     frames = (
         media.filter(F.col("kind") == "video")
+        # a clip shorter than the sampling interval yields ZERO frames —
+        # without this gate every row emitted a ts=0 frame even when
+        # duration_ms is 0 (a frame beyond the media's duration)
+        .filter(n_frames >= 1)
         .withColumn(
             "frame_idx",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.least(
-                        F.greatest(
-                            F.floor(F.col("meta.duration_ms") / every_ms)
-                            .cast("int") - 1,
-                            F.lit(0),
-                        ),
-                        F.lit(max_frames - 1),
-                    ),
+                    F.least(n_frames - 1, F.lit(max_frames - 1)),
                 )
             ),
         )

@@ -55,21 +55,23 @@ def tile_cover_features(features: DataFrame, z: int,
 
     id_cols = list(id_cols)
 
+    from ..geo.tiles import tile_unpack
+
     def cover(batches):
         for pdf in batches:
             out = {c: [] for c in id_cols}
             tz, tx, ty = [], [], []
-            for _, row in pdf.iterrows():
-                bb = row["bbox"]
+            # zip over column lists — iterrows materializes a Series per
+            # row, the slowest pandas idiom in a batch-shaped UDF
+            id_vals = [pdf[c].tolist() for c in id_cols]
+            for i, bb in enumerate(pdf["bbox"]):
                 if bb is None:
                     continue
                 tids = tile_cover_bbox(bb["xmin"], bb["ymin"], bb["xmax"],
                                        bb["ymax"], z)
-                from ..geo.tiles import tile_unpack
-
                 zz, xx, yy = tile_unpack(tids)
-                for c in id_cols:
-                    out[c].extend([row[c]] * len(tids))
+                for c, vals in zip(id_cols, id_vals):
+                    out[c].extend([vals[i]] * len(tids))
                 tz.extend(int(v) for v in zz)
                 tx.extend(int(v) for v in xx)
                 ty.extend(int(v) for v in yy)

@@ -26,6 +26,12 @@ def _dedup_fn(timeout):
     import pandas as pd
 
     def fn(key, pdf_iter, state):
+        # TTL expiry: the timed-out invocation carries no data — drop the
+        # state so a later re-arrival of this hash re-emits (the documented
+        # state-bounding behavior)
+        if timeout is not None and state.hasTimedOut:
+            state.remove()
+            return
         # one group == one content hash; emit only the first row ever seen
         if state.exists:
             already = True
@@ -39,8 +45,11 @@ def _dedup_fn(timeout):
             already = True
         if not state.exists:
             state.update((1,))
-            if timeout is not None:
-                state.setTimeoutDuration(timeout)
+        if timeout is not None:
+            # re-arm EVERY invocation: a state update for an existing key
+            # cancels the pending timeout, so arming only at creation would
+            # leave re-seen keys immortal
+            state.setTimeoutDuration(timeout)
         if out:
             yield pd.concat(out)
 

@@ -661,6 +661,91 @@ def test_asof_join_semantics(spark):
     assert left_mode == {(101, 901), (102, 902), (103, None), (201, None)}
 
 
+def test_asof_join_null_right_values_carry_one_row(spark):
+    """A NULL in a right value column must NOT be backfilled from an older
+    right row — the payload travels as one struct, so the output row is
+    exactly the single as-of match; and an all-NULL payload still counts
+    as matched under how='inner' (the struct, not its first field, marks
+    the match)."""
+    from picogeojson_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 11, 30), (1, 12, 15)], "k long, lid long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, "x"), (1, 20, None, "y")],
+        "k long, ts long, a int, b string",
+    )
+    got = {
+        (r.lid, r.r_a, r.r_b)
+        for r in asof_join(left, right, by="k", ts_col="ts",
+                           right_value_cols=["a", "b"]).collect()
+    }
+    # lid 11 at ts=30 matches the ts=20 row WHOLE: (NULL, 'y') — a
+    # per-column carry would stitch (7, 'y') from two different rows
+    assert got == {(11, None, "y"), (12, 7, "x")}, got
+
+    # inner mode keeps a matched row whose FIRST value column is NULL
+    right2 = spark.createDataFrame(
+        [(1, 10, None, None)], "k long, ts long, a int, b string"
+    )
+    inner = asof_join(left, right2, by="k", ts_col="ts",
+                      right_value_cols=["a", "b"]).collect()
+    assert {(r.lid, r.r_a, r.r_b) for r in inner} == {
+        (11, None, None), (12, None, None)
+    }
+
+
+def test_stream_dedup_ttl_expires_state(spark, tmp_path):
+    """ProcessingTime TTL: after the timeout elapses the key's state is
+    removed (the timed-out invocation), so a re-arrival of the same content
+    re-emits — and state stops growing without bound."""
+    import time
+
+    from picogeojson_spark.streaming.stateful import stream_dedup_exact
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        q = (
+            stream_dedup_exact(stream, ttl_minutes=0.005)  # 300 ms
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted((r.url, r.h) for r in spark.read.parquet(out).collect())
+
+    spark.createDataFrame(
+        [("u1", "alpha text")], "url string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    assert [u for u, _ in first] == ["u1"]
+
+    time.sleep(2)  # let u1's 300 ms TTL lapse
+    # an unrelated batch triggers timeout processing -> u1's state removed
+    spark.createDataFrame(
+        [("u2", "beta text")], "url string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    time.sleep(2)
+    spark.createDataFrame(
+        [("u3", "gamma text"), ("u4", "alpha text")],
+        "url string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    third = run_once()
+    # without expiry u4 ("alpha text" again) would be dropped forever;
+    # with the TTL it re-emits
+    assert ("u4", [h for u, h in first if u == "u1"][0]) in third, third
+
+
 def test_polygon_intersection_join(spark):
     import json as _json
 
@@ -839,6 +924,11 @@ def test_multimodal_resize_and_frame_sample(spark):
     vids = {m for m, r in orig.items()
             if r.kind == "video" and r.meta.duration_ms > 0}
     assert vids <= {f.media_id for f in frames}
+    # and a zero-duration clip contributes NONE (no ts=0 frame beyond the
+    # media's actual duration)
+    zero = {m for m, r in orig.items()
+            if r.kind == "video" and r.meta.duration_ms == 0}
+    assert not (zero & {f.media_id for f in frames})
 
 
 def test_resumable_job_cleans_stale_partial_buckets(spark, tmp_path):

@@ -191,6 +191,25 @@ def test_knn_matches_bruteforce(spark, features):
         for r in knn_join(queries, cands, k=3, level=6, radius=1).collect()
     }
 
+    # lifecycle: the default (localCheckpoint) mode must not register
+    # anything in the SQL CacheManager — that registry pins plans until an
+    # explicit unpersist, which is exactly the long-lived-session leak.
+    # (pts.cache() above is RDD-level via DataFrame.cache -> clear it first
+    # to make the manager state unambiguous.)
+    pts.unpersist()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    knn_join(queries, cands, k=3, level=6, radius=1).count()
+    assert cache_mgr.isEmpty(), "default knn_join must not pin a cache entry"
+    # persist mode trades that safety for speed and must hand the caller
+    # the cleanup handle
+    cached = knn_join(queries, cands, k=3, level=6, radius=1, cache="persist")
+    cached.count()
+    assert not cache_mgr.isEmpty()
+    assert cached._knn_cached is not None
+    cached._knn_cached.unpersist()
+    assert cache_mgr.isEmpty()
+
     rows = pts.collect()
     expected = {}
     for q in rows:
