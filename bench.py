@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "text_langid",
     "text_simhash",
     "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "embed_cosine_pairs_lsh",
     "embed_label_stats",
     "multimodal_meta",
     "geo_merge_burst",
@@ -157,7 +160,9 @@ def main():
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall-clock (30 oracle queries + pages spine)",
+        "metric": "headline suite wall-clock ({} oracle queries + pages spine)".format(
+            len(BENCH_QUERIES)
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -168,8 +173,41 @@ def main():
         "pages_per_sec": round(n_pages / spine_sec, 1),
         "joined_rows_per_sec": round(joined / spine_sec, 1),
     }
+    out["regressions"] = record_history(out)
     spark.stop()
     print(json.dumps(out))
+
+
+def record_history(out, path=None):
+    """Append this run to BENCH/history.jsonl and diff per-query timings
+    against the most recent comparable run (same sf + cpus), so a
+    round-over-round regression is visible at a glance in the bench line
+    itself. A query regresses if it is both >=30% and >=0.3s slower —
+    this host's idle-window noise sits below that band."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(here, "BENCH", "history.jsonl")
+    prev = None
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == out["sf"] and rec.get("cpus") == out["cpus"]:
+                    prev = rec
+    except OSError:
+        pass
+    regressions = {}
+    if prev:
+        for q, now in out["queries"].items():
+            was = prev["queries"].get(q)
+            if was and now >= was * 1.3 and now - was >= 0.3:
+                regressions[q] = {"prev": was, "now": now}
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps({
+            "ts": time.time(), "sf": out["sf"], "cpus": out["cpus"],
+            "value": out["value"], "queries": out["queries"],
+        }) + "\n")
+    return regressions
 
 
 if __name__ == "__main__":
