@@ -699,7 +699,13 @@ def test_asof_join_null_right_values_carry_one_row(spark):
 def test_stream_dedup_ttl_expires_state(spark, tmp_path):
     """ProcessingTime TTL: after the timeout elapses the key's state is
     removed (the timed-out invocation), so a re-arrival of the same content
-    re-emits — and state stops growing without bound."""
+    re-emits — and state stops growing without bound.
+
+    One CONTINUOUS query (processingTime trigger): with a processing-time
+    timeout an availableNow query never self-terminates — it idles firing
+    empty timer batches forever — so the batch-restart harness the other
+    dedup test uses would hang/leak here. Timers fire in later batches of
+    the same run instead."""
     import time
 
     from picogeojson_spark.streaming.stateful import stream_dedup_exact
@@ -708,42 +714,48 @@ def test_stream_dedup_ttl_expires_state(spark, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
-    def run_once():
-        stream = spark.readStream.schema("url string, text string").parquet(src)
-        q = (
-            stream_dedup_exact(stream, ttl_minutes=0.005)  # 300 ms
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        return sorted((r.url, r.h) for r in spark.read.parquet(out).collect())
+    def add(rows):
+        spark.createDataFrame(rows, "url string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
 
-    spark.createDataFrame(
-        [("u1", "alpha text")], "url string, text string"
-    ).coalesce(1).write.mode("append").parquet(src)
-    first = run_once()
-    assert [u for u, _ in first] == ["u1"]
+    def urls_seen():
+        try:
+            return {r.url for r in spark.read.parquet(out).collect()}
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            return set()
 
-    time.sleep(2)  # let u1's 300 ms TTL lapse
-    # an unrelated batch triggers timeout processing -> u1's state removed
-    spark.createDataFrame(
-        [("u2", "beta text")], "url string, text string"
-    ).coalesce(1).write.mode("append").parquet(src)
-    run_once()
+    def wait_for(url, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if url in urls_seen():
+                return True
+            time.sleep(0.5)
+        return False
 
-    time.sleep(2)
-    spark.createDataFrame(
-        [("u3", "gamma text"), ("u4", "alpha text")],
-        "url string, text string",
-    ).coalesce(1).write.mode("append").parquet(src)
-    third = run_once()
-    # without expiry u4 ("alpha text" again) would be dropped forever;
-    # with the TTL it re-emits
-    assert ("u4", [h for u, h in first if u == "u1"][0]) in third, third
+    add([("u1", "alpha text")])
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    q = (
+        stream_dedup_exact(stream, ttl_minutes=0.005)  # 300 ms
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        assert wait_for("u1")
+        time.sleep(2)  # let u1's 300 ms TTL lapse; timer batch removes state
+        add([("u2", "beta text")])
+        assert wait_for("u2")
+        time.sleep(2)
+        # without expiry u4 ("alpha text" again) would be dropped forever
+        add([("u3", "gamma text"), ("u4", "alpha text")])
+        assert wait_for("u4")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
 
 
 def test_polygon_intersection_join(spark):
