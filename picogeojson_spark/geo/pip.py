@@ -43,6 +43,10 @@ def points_in_rings(xs, ys, rings):
     (ring 0 exterior, rest holes), with a bbox fast-reject."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
+    if not len(rings) or len(rings[0]) < 2:
+        # degenerate polygon (no exterior ring / single point): nothing is
+        # strictly inside it
+        return np.zeros(len(xs), dtype=bool)
     ext = np.asarray(rings[0], dtype=np.float64)
     bx0, by0 = ext[:, 0].min(), ext[:, 1].min()
     bx1, by1 = ext[:, 0].max(), ext[:, 1].max()

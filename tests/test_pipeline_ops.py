@@ -782,6 +782,13 @@ def test_polygon_intersection_join(spark):
     assert not polygons_intersect(donut, inside_hole)
     assert polygons_intersect(donut, rect(5.0, 5.0, 3.0, 3.0))
     assert not polygons_intersect(rect(0, 0, 2, 2), rect(10, 10, 2, 2))
+    # degenerate input (no ring with >=2 points): no crash; the test
+    # degrades to vertex containment
+    dot = {"type": "Polygon", "coordinates": [[[1.0, 1.0]]]}
+    assert polygons_intersect(dot, rect(0, 0, 2, 2))      # vertex inside
+    assert not polygons_intersect(dot, rect(10, 10, 2, 2))
+    empty = {"type": "Polygon", "coordinates": []}
+    assert not polygons_intersect(empty, rect(0, 0, 2, 2))
 
     # operator vs O(n^2) kernel oracle on a lattice world (A quarters,
     # B offset eighths -> no degenerate touching)
