@@ -45,6 +45,30 @@ def run_stream_to_memory(spark, pages_dir: str, query_name: str = "feat_counts")
     )
 
 
+def stream_pip_join(spark, pages_dir: str, polygons: DataFrame,
+                    max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming spatial join: incoming pages are mined and their Point
+    features joined against a STATIC polygon table — the continuous-crawl
+    shape of the engine's headline spine.
+
+    Works unchanged because ``pip_join`` is fully lazy (no count/persist/
+    collect): the stream side flows through ancestors -> equi-join against
+    the broadcast polygon cover -> vectorized refine, all supported in
+    stream-static joins. Output is an append stream of (point_id, poly_id)
+    pairs; equality with the batch ``pip_join`` over the same parquet is
+    asserted in tests (the two paths share every operator).
+    """
+    from ..operators.pip_join import pip_join
+
+    feats = stream_mine_features(spark, pages_dir, max_files_per_trigger)
+    pts = feats.filter(F.col("geom_type") == "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100
+         + F.col("feature_idx")).alias("point_id"),
+        "lon", "lat",
+    )
+    return pip_join(pts, polygons)
+
+
 def stream_windowed_counts(spark, pages_dir: str,
                            window: str = "1 hour",
                            watermark: str = "2 hours"):

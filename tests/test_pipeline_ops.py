@@ -413,6 +413,49 @@ def test_streaming_mine(spark, tmp_path):
     assert sum(counts.values()) > 0
 
 
+def test_streaming_pip_join_equals_batch(spark, tmp_path):
+    """Stream-static spatial join: mined Point features joined to a static
+    polygon table produce EXACTLY the batch pip_join pairs over the same
+    parquet (the two paths share every operator)."""
+    from pyspark.sql import functions as F
+
+    from picogeojson_spark.operators import filter_by_type, mine_features, pip_join
+    from picogeojson_spark.sources.synth import pages_dataframe
+    from picogeojson_spark.streaming.pages_stream import stream_pip_join
+
+    import __spark_entry__ as em
+
+    pages_dir = str(tmp_path / "pages_sjoin")
+    pages_dataframe(spark, 80, partitions=3).write.parquet(pages_dir)
+    polys = em._grid_polygons(spark)
+
+    q = (
+        stream_pip_join(spark, pages_dir, polys)
+        .writeStream.format("memory")
+        .queryName("stream_pip_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_pairs = {
+            (r.point_id, r.poly_id)
+            for r in spark.sql("select * from stream_pip_t").collect()
+        }
+    finally:
+        q.stop()
+
+    pts = filter_by_type(mine_features(spark.read.parquet(pages_dir)), "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100
+         + F.col("feature_idx")).alias("point_id"),
+        "lon", "lat",
+    )
+    batch_pairs = {(r.point_id, r.poly_id) for r in pip_join(pts, polys).collect()}
+    assert stream_pairs == batch_pairs
+    assert stream_pairs
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     from picogeojson_spark.sources.synth import pages_dataframe
     from picogeojson_spark.streaming.pages_stream import stream_windowed_counts
