@@ -1258,6 +1258,7 @@ def q_stream_counts(spark, sf_dir):
     equivalence is asserted in tests (same UDF object)."""
     import glob
 
+    _ensure_shipped(spark)
     from picogeojson_spark.sources import pages_dataframe
     from picogeojson_spark.streaming.pages_stream import (
         stream_feature_counts,

@@ -219,7 +219,10 @@ def main():
     if failures:
         print("\nFAILED:", failures)
         sys.exit(1)
-    print("\nall queries match")
+    n_oracled = sum(1 for n in qs if (not only or n in only) and n in oracles)
+    n_rows_only = sum(1 for n in qs if (not only or n in only) and n not in oracles)
+    print("\nall queries match ({} oracled hash-exact, {} rows-only)".format(
+        n_oracled, n_rows_only))
 
 
 KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
