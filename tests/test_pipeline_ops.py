@@ -226,6 +226,36 @@ def test_ann_lsh_multiband_recall_dominates_single_band(spark, embeddings):
             assert score == brute[pair], pair
 
 
+def test_band_keys_match_expression_reference(spark, embeddings):
+    """The vectorized numpy signature path must produce bit-identical band
+    keys to the expression-fold reference (sequential left-to-right double
+    adds — the arithmetic the DuckDB oracle also runs)."""
+    from picogeojson_spark.operators.similarity import (
+        _band_keys,
+        _hyperplane_sign,
+    )
+
+    planes, bands, dim = 3, 4, 8
+    fast = {
+        (r.vid, r.band): r.key
+        for r in _band_keys(embeddings, "vec_id", "vid", "embedding",
+                            planes, bands, dim).collect()
+    }
+
+    ref_cols = []
+    for b in range(bands):
+        sig = None
+        for i in range(planes):
+            bit = _hyperplane_sign(F.col("embedding"), b * planes + i, dim) * (2**i)
+            sig = bit if sig is None else sig + bit
+        ref_cols.append(sig.alias("k{}".format(b)))
+    ref = {}
+    for r in embeddings.select(F.col("vec_id").alias("vid"), *ref_cols).collect():
+        for b in range(bands):
+            ref[(r.vid, b)] = r["k{}".format(b)]
+    assert fast == ref
+
+
 def test_cosine_pairs_lsh_gated_subset_with_exact_scores(spark, embeddings):
     from picogeojson_spark.operators.similarity import (
         cosine_pairs,
