@@ -300,14 +300,13 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
     :func:`cosine_pairs_lsh` (bucket-gated candidates, no cross join)."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    ).withColumn("na", F.sqrt(_norm2(F.col("va"))))
+    )
     b = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    ).withColumn("nb", F.sqrt(_norm2(F.col("vb"))))
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        _exact_cos_for_pairs(pairs, "id_a", "id_b", "va", "vb")
         .filter(F.col("cos") >= threshold)
         .select(
             "id_a", "id_b",
