@@ -345,7 +345,8 @@ def ann_bruteforce_topk_np(
 
     q_rows = queries.select(query_id, vec_col).collect()  # small side only
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = (np.asarray([r[1] for r in q_rows], dtype=np.float64)
+             if q_rows else np.zeros((0, 0)))
     q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
@@ -413,7 +414,8 @@ def ivf_centroids(
         .limit(nlist)
         .collect()
     )
-    mat = np.asarray([r["v"] for r in seeds], dtype=np.float64)
+    mat = (np.asarray([r["v"] for r in seeds], dtype=np.float64)
+           if seeds else np.zeros((0, 0)))
     norms = np.sqrt((mat * mat).sum(axis=1))
     norms[norms == 0] = 1.0  # a zero seed vector must not poison assignments
     mat = mat / norms[:, None]
@@ -453,7 +455,7 @@ def ann_ivf_topk(
         def run(batches):
             C = bc.value
             for pdf in batches:
-                if len(pdf) == 0:
+                if len(pdf) == 0 or C.size == 0:
                     continue
                 v = np.asarray(list(pdf["v"]), dtype=np.float64)
                 vn = np.sqrt((v * v).sum(axis=1))

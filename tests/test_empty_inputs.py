@@ -73,3 +73,29 @@ def test_asof_and_dedup_empty(spark):
     assert exact_duplicates(docs).count() == 0
     assert ngram_jaccard_pairs(docs).count() == 0
     assert minhash_lsh_pairs(docs).count() == 0
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_similarity_empty_sides(spark):
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk_np,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])])
+    empty = emb.filter("vec_id < 0")
+
+    assert cosine_pairs(empty, 0.5).count() == 0
+    assert cosine_pairs_lsh(empty, 0.5, dim=2).count() == 0
+    assert ann_bruteforce_topk_np(empty, emb, k=2).count() == 0
+    assert ann_bruteforce_topk_np(emb, empty, k=2).count() == 0
+    assert ann_lsh_topk(empty, emb, k=2, planes=2, bands=2, dim=2).count() == 0
+    assert ann_lsh_topk(emb, empty, k=2, planes=2, bands=2, dim=2).count() == 0
+    assert ann_ivf_topk(empty, emb, k=2, nlist=2, nprobe=1).count() == 0
+    assert ann_ivf_topk(emb, empty, k=2, nlist=2, nprobe=1).count() == 0
