@@ -547,6 +547,24 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_cosine_pairs_lsh_plan_has_no_cross_join(spark, embeddings):
+    """The bucketed near-dup path must never plan an all-pairs join — that
+    is the entire point of the LSH gate (plan-regression guard for the
+    PLANS.md claim)."""
+    import contextlib
+    import io
+
+    from picogeojson_spark.operators.similarity import cosine_pairs_lsh
+
+    out = cosine_pairs_lsh(embeddings, 0.5, planes=3, bands=4, dim=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ann_np_matches_expression_path(spark, embeddings):
     from picogeojson_spark.operators.similarity import (
         ann_bruteforce_topk,
