@@ -226,19 +226,27 @@ def test_ann_lsh_multiband_recall_dominates_single_band(spark, embeddings):
             assert score == brute[pair], pair
 
 
-def test_band_keys_match_expression_reference(spark, embeddings):
+@pytest.mark.parametrize("planes,bands,dim", [(3, 4, 8), (2, 5, 5), (4, 2, 7)])
+def test_band_keys_match_expression_reference(spark, planes, bands, dim):
     """The vectorized numpy signature path must produce bit-identical band
     keys to the expression-fold reference (sequential left-to-right double
-    adds — the arithmetic the DuckDB oracle also runs)."""
+    adds — the arithmetic the DuckDB oracle also runs), across dims that
+    don't align with any vector width."""
     from picogeojson_spark.operators.similarity import (
         _band_keys,
         _hyperplane_sign,
     )
 
-    planes, bands, dim = 3, 4, 8
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 5.0 + (i / 64.0 if j == 0 else 0.0)
+             for j in range(dim)])
+        for i in range(1, 41)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
     fast = {
         (r.vid, r.band): r.key
-        for r in _band_keys(embeddings, "vec_id", "vid", "embedding",
+        for r in _band_keys(embs, "vec_id", "vid", "embedding",
                             planes, bands, dim).collect()
     }
 
@@ -250,7 +258,7 @@ def test_band_keys_match_expression_reference(spark, embeddings):
             sig = bit if sig is None else sig + bit
         ref_cols.append(sig.alias("k{}".format(b)))
     ref = {}
-    for r in embeddings.select(F.col("vec_id").alias("vid"), *ref_cols).collect():
+    for r in embs.select(F.col("vec_id").alias("vid"), *ref_cols).collect():
         for b in range(bands):
             ref[(r.vid, b)] = r["k{}".format(b)]
     assert fast == ref
