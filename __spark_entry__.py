@@ -874,7 +874,57 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style quality gates (word-count bounds, mean word length,
+    duplicate-2-gram fraction) — exact integer metrics + boolean keep."""
+    from picogeojson_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+Q_TEXT_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) END AS n_words,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x)))
+              AS BIGINT) AS word_chars,
+         CAST(CASE WHEN n_words >= 2 THEN n_words - 1 ELSE 0 END
+              AS BIGINT) AS total_2grams,
+         CASE WHEN n_words >= 2
+              THEN CAST(len(list_distinct(list_transform(
+                       range(len(toks) - 1),
+                       i -> toks[i + 1] || ' ' || toks[i + 2])))
+                   AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS distinct_2grams
+  FROM w),
+x AS (
+  SELECT doc_id, n_words, total_2grams, distinct_2grams,
+         CAST(CASE WHEN n_words > 0
+                   THEN (word_chars * 1000000) // n_words
+                   ELSE 0 END AS BIGINT) AS mean_word_len_x1e6,
+         CAST(CASE WHEN total_2grams > 0
+                   THEN ((total_2grams - distinct_2grams) * 1000000)
+                        // total_2grams
+                   ELSE 0 END AS BIGINT) AS dup_2gram_frac_x1e6
+  FROM m)
+SELECT doc_id, n_words, total_2grams, distinct_2grams,
+       mean_word_len_x1e6, dup_2gram_frac_x1e6,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_word_len_x1e6 >= 2000000
+        AND mean_word_len_x1e6 <= 12000000
+        AND dup_2gram_frac_x1e6 <= 400000) AS keep
+FROM x ORDER BY doc_id
+"""
+
+
 _EXTRA_QUERIES = {
+    "text_gopher": q_text_gopher,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -887,6 +937,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "text_gopher": Q_TEXT_GOPHER_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_jaccard": Q_DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),

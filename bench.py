@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_simhash",
+    "text_gopher",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

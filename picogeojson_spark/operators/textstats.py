@@ -106,3 +106,61 @@ def _pred_from_scores(df_with_scores: DataFrame):
             (best > 0) & (F.col("score_{}".format(lang)) == best), F.lit(lang)
         ).otherwise(pred)
     return pred
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 5, max_words: int = 100000,
+                         min_mean_word_len: int = 2, max_mean_word_len: int = 12,
+                         max_dup_2gram_x1e6: int = 400000) -> DataFrame:
+    """Gopher-style document quality filters (Rae et al. 2021 §A1.1 family):
+    word-count bounds, mean word length bounds, duplicate-2-gram fraction —
+    the standard pre-training corpus gates, as pure Spark expressions.
+
+    All metrics are exact integers (counts, and x1e6 fractions via integer
+    division), so the DuckDB oracle reproduces them bit-for-bit; the boolean
+    ``keep`` column applies the thresholds. Whole-stage codegen end to end
+    except the per-doc 2-gram array construction (transform over a sequence
+    — one pass per document, not per pair).
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), n_words - 2),
+        lambda i: F.concat(
+            F.element_at(words, i + 1), F.lit(" "), F.element_at(words, i + 2)
+        ),
+    )
+    total_2g = F.when(n_words >= 2, n_words - 1).otherwise(F.lit(0)).cast("long")
+    distinct_2g = F.when(
+        n_words >= 2, F.size(F.array_distinct(grams))
+    ).otherwise(F.lit(0)).cast("long")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        word_chars.alias("word_chars"),
+        total_2g.alias("total_2grams"),
+        distinct_2g.alias("distinct_2grams"),
+    )
+    # exact integer division (div) on both engines — no double rounding
+    out = base.select(
+        "doc_id", "n_words", "total_2grams", "distinct_2grams",
+        F.expr("CASE WHEN n_words > 0 THEN (word_chars * 1000000) div n_words "
+               "ELSE 0 END").cast("long").alias("mean_word_len_x1e6"),
+        F.expr("CASE WHEN total_2grams > 0 THEN "
+               "((total_2grams - distinct_2grams) * 1000000) div total_2grams "
+               "ELSE 0 END").cast("long").alias("dup_2gram_frac_x1e6"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_x1e6") >= min_mean_word_len * 1000000)
+        & (F.col("mean_word_len_x1e6") <= max_mean_word_len * 1000000)
+        & (F.col("dup_2gram_frac_x1e6") <= max_dup_2gram_x1e6)
+    )
+    return out.withColumn("keep", keep)

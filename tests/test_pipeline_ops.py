@@ -351,6 +351,36 @@ def test_ann_np_sharded_merge_exact(spark, embeddings):
     assert one == many
 
 
+def test_gopher_quality_flags(spark):
+    from picogeojson_spark.operators.textstats import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # clean
+            (2, "spam spam spam spam spam spam spam spam"),      # repetitive
+            (3, "hi"),                                           # too short
+            (4, ""),                                             # empty
+            (5, "a b c d e f g h"),                              # 1-char words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+
+    r1 = rows[1]
+    assert r1.n_words == 9 and r1.total_2grams == 8 and r1.distinct_2grams == 8
+    assert r1.mean_word_len_x1e6 == (35 * 1000000) // 9
+    assert r1.dup_2gram_frac_x1e6 == 0 and r1.keep
+
+    r2 = rows[2]  # "spam spam" x7 duplicate 2-grams -> 6/7 duplicated
+    assert r2.total_2grams == 7 and r2.distinct_2grams == 1
+    assert r2.dup_2gram_frac_x1e6 == (6 * 1000000) // 7
+    assert not r2.keep
+
+    assert rows[3].n_words == 1 and not rows[3].keep
+    assert rows[4].n_words == 0 and not rows[4].keep
+    assert rows[5].mean_word_len_x1e6 == 1000000 and not rows[5].keep
+
+
 def test_multimodal_plumbing(spark):
     from picogeojson_spark.operators.multimodal import (
         decode_image,
