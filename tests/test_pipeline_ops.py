@@ -351,6 +351,58 @@ def test_ann_np_sharded_merge_exact(spark, embeddings):
     assert one == many
 
 
+def test_ivf_kmeans_beats_md5_sample_on_clustered_data(spark):
+    """On CLUSTERED embeddings (the realistic regime) the k-means quantizer
+    concentrates each cluster into one inverted list, so the same nprobe
+    yields far higher recall than the md5-sample quantizer — the measured
+    justification for ivf_kmeans_centroids as the production path."""
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk_np,
+        ann_ivf_topk,
+        ivf_kmeans_centroids,
+    )
+
+    # 8 well-separated cluster centers on coordinate axes, 30 points each,
+    # deterministic small offsets
+    rows = []
+    vid = 0
+    for c in range(8):
+        for m in range(30):
+            vid += 1
+            v = [0.0] * 16
+            v[c * 2] = 10.0
+            v[(c * 2 + 1) % 16] = 3.0
+            v[(c + m) % 16] += ((m * 7) % 5) * 0.1  # deterministic jitter
+            rows.append((vid, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 8 == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk_np(queries, emb, k=3).collect()
+    }
+    md5_ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(queries, emb, k=3, nlist=8, nprobe=2).collect()
+    }
+    km = ivf_kmeans_centroids(emb, nlist=8, iters=5)
+    km_ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(queries, emb, k=3, nlist=8, nprobe=2,
+                              centroids=km).collect()
+    }
+    r_md5 = len(md5_ivf & exact) / len(exact)
+    r_km = len(km_ivf & exact) / len(exact)
+    assert r_km >= r_md5, (r_km, r_md5)
+    assert r_km >= 0.9, r_km
+
+    # determinism: retraining yields identical centroids
+    km2 = ivf_kmeans_centroids(emb, nlist=8, iters=5)
+    import numpy as np
+
+    assert np.array_equal(km, km2)
+
+
 def test_gopher_quality_flags(spark):
     from picogeojson_spark.operators.textstats import gopher_quality_flags
 
