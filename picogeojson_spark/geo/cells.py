@@ -126,10 +126,9 @@ def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
     exceeded there (join code must keep this aligned with the point-side
     ancestor floor, or pairs would be silently missed).
     """
-    x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
-    while level > min_level and (x1 - x0 + 1) * (y1 - y0 + 1) > max_cells:
-        level -= 1
-        x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+    level, (x0, x1, y0, y1) = _fit_cover_level(
+        xmin, ymin, xmax, ymax, level, max_cells, min_level
+    )
     tag = level << LEVEL_SHIFT
     return np.fromiter(
         (tag | (x << X_SHIFT) | y
@@ -137,6 +136,50 @@ def cover_bbox(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
         dtype=np.int64,
         count=(x1 - x0 + 1) * (y1 - y0 + 1),
     )
+
+
+def _fit_cover_level(xmin, ymin, xmax, ymax, level, max_cells, min_level):
+    """Coarsest-fitting cover level + its grid range. Jumps straight to the
+    level the bbox SIZE predicts (each level halves both axis counts, so the
+    cell count shrinks ~4x per step) and fixes up edge effects with at most
+    a step or two — the per-level linear walk dominated the mining profile
+    (~4 range computations per feature)."""
+    orig = level
+    x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+    n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if n > max_cells:
+        # each level down divides the count by ~4; predict the jump
+        import math
+
+        jump = max(int(math.log(n / max_cells, 4)), 1)
+        level = max(level - jump, min_level)
+        x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+        while level > min_level and (x1 - x0 + 1) * (y1 - y0 + 1) > max_cells:
+            level -= 1
+            x0, x1, y0, y1 = _bbox_cell_range(xmin, ymin, xmax, ymax, level)
+        # exact first-fit semantics: if edge effects made the prediction
+        # overshoot, climb back to the FINEST level that still fits (what
+        # the pre-jump linear walk returned)
+        while level < orig:
+            nxt = _bbox_cell_range(xmin, ymin, xmax, ymax, level + 1)
+            if (nxt[1] - nxt[0] + 1) * (nxt[3] - nxt[2] + 1) > max_cells:
+                break
+            level += 1
+            x0, x1, y0, y1 = nxt
+    return level, (x0, x1, y0, y1)
+
+
+def cover_bbox_ints(xmin, ymin, xmax, ymax, level: int = DEFAULT_LEVEL,
+                    max_cells: int = 4096, min_level: int = 0):
+    """:func:`cover_bbox` as a plain ``list[int]`` — the mining UDF consumes
+    python ints row by row, so the numpy array round-trip is pure overhead
+    there (profiled). Same cells, same order."""
+    level, (x0, x1, y0, y1) = _fit_cover_level(
+        xmin, ymin, xmax, ymax, level, max_cells, min_level
+    )
+    tag = level << LEVEL_SHIFT
+    return [tag | (x << X_SHIFT) | y
+            for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)]
 
 
 def cell_bounds(cell):

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..geo import codec
 from ..geo.algebra import ATOMIC_TYPES  # noqa: F401  (re-export convenience)
-from ..geo.cells import DEFAULT_LEVEL, cover_bbox
+from ..geo.cells import DEFAULT_LEVEL, cover_bbox_ints
 from ..geo.dateline import cut_dateline
 from ..sources.extract import extract_text
 
@@ -196,8 +196,8 @@ def _feature_rows(url, doc_id, parsed_docs, level, max_cells):
                 cells = None
                 lon = lat = None
             else:
-                cells = [int(c) for c in cover_bbox(bb[0], bb[1], bb[2], bb[3],
-                                                    level, max_cells)]
+                cells = cover_bbox_ints(bb[0], bb[1], bb[2], bb[3],
+                                        level, max_cells)
                 lon = (bb[0] + bb[2]) / 2.0
                 lat = (bb[1] + bb[3]) / 2.0
             if geom["type"] == "Point":

@@ -29,7 +29,7 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geo.cells import DEFAULT_LEVEL, LEVEL_SHIFT, X_SHIFT, cell_of, cover_bbox
+from ..geo.cells import DEFAULT_LEVEL, LEVEL_SHIFT, X_SHIFT, cell_of, cover_bbox_ints
 
 MIN_LEVEL = 6
 
@@ -54,9 +54,9 @@ def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL,
 
                 bb = geometry_bbox(g)
                 ndim = len(bb) // 2
-                cells = cover_bbox(bb[0], bb[1], bb[ndim], bb[ndim + 1],
-                                   level, max_cells, min_level=min_level)
-                out_cell.extend(int(c) for c in cells)
+                cells = cover_bbox_ints(bb[0], bb[1], bb[ndim], bb[ndim + 1],
+                                        level, max_cells, min_level=min_level)
+                out_cell.extend(cells)
                 out_pid.extend([pid] * len(cells))
                 out_geom.extend([gj] * len(cells))
             yield pd.DataFrame(

@@ -121,3 +121,36 @@ def test_pip_multipolygon():
     xs = np.array([1.0, 11.0, 5.0])
     ys = np.array([1.0, 11.0, 5.0])
     assert points_in_geometry(xs, ys, g).tolist() == [True, True, False]
+
+
+def test_cover_bbox_ints_and_level_jump_match_linear_walk():
+    """cover_bbox_ints must return exactly cover_bbox's cells, and the
+    predicted-jump level fit must equal the original linear walk's
+    first-fitting level for bboxes of every size class."""
+    from picogeojson_spark.geo.cells import (
+        LEVEL_SHIFT,
+        _bbox_cell_range,
+        cover_bbox,
+        cover_bbox_ints,
+    )
+
+    cases = []
+    for k in range(40):
+        w = 0.01 * (1.7 ** (k % 12))           # 0.01 .. ~2000 degrees wide
+        h = 0.005 * (1.9 ** (k % 10))
+        x0 = -170.0 + (k * 7.3) % 330.0
+        y0 = -80.0 + (k * 11.7) % 150.0
+        cases.append((x0, y0, min(x0 + w, 179.9), min(y0 + h, 89.9)))
+    for (xmin, ymin, xmax, ymax) in cases:
+        for max_cells in (4, 32, 4096):
+            arr = cover_bbox(xmin, ymin, xmax, ymax, 12, max_cells)
+            lst = cover_bbox_ints(xmin, ymin, xmax, ymax, 12, max_cells)
+            assert [int(c) for c in arr] == lst, (xmin, ymin, xmax, ymax)
+            # reference first-fit: linear walk from the top
+            lv = 12
+            r = _bbox_cell_range(xmin, ymin, xmax, ymax, lv)
+            while lv > 0 and (r[1] - r[0] + 1) * (r[3] - r[2] + 1) > max_cells:
+                lv -= 1
+                r = _bbox_cell_range(xmin, ymin, xmax, ymax, lv)
+            got_level = lst[0] >> LEVEL_SHIFT
+            assert got_level == lv, (xmin, ymin, xmax, ymax, got_level, lv)
