@@ -69,6 +69,48 @@ def stream_pip_join(spark, pages_dir: str, polygons: DataFrame,
     return pip_join(pts, polygons)
 
 
+def stream_knn_foreach_batch(spark, pages_dir: str, candidates: DataFrame,
+                             out_path: str, checkpoint: str, k: int = 3,
+                             max_files_per_trigger: int = 4):
+    """Streaming kNN via ``foreachBatch`` — the standard pattern for
+    operators a stream can't express directly (kNN needs a global per-query
+    window plus an eager candidate count, both batch-only): each micro-batch
+    of mined Point features runs the BATCH ``knn_join`` against the static
+    candidate table and appends to parquet.
+
+    Exactness note: kNN is per-query independent, so batch-at-a-time
+    execution returns exactly what one batch run over the union would —
+    asserted in tests. Returns the started StreamingQuery.
+    """
+    from ..operators.features import mine_features
+    from ..operators.knn import knn_join
+
+    feats = mine_features(
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    pts = feats.filter(F.col("geom_type") == "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100
+         + F.col("feature_idx")).alias("query_id"),
+        "lon", "lat",
+    )
+
+    def run_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        knn_join(batch_df, candidates, k=k, level=6).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        pts.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts(spark, pages_dir: str,
                            window: str = "1 hour",
                            watermark: str = "2 hours"):

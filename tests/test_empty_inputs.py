@@ -99,3 +99,25 @@ def test_similarity_empty_sides(spark):
     assert ann_lsh_topk(emb, empty, k=2, planes=2, bands=2, dim=2).count() == 0
     assert ann_ivf_topk(empty, emb, k=2, nlist=2, nprobe=1).count() == 0
     assert ann_ivf_topk(emb, empty, k=2, nlist=2, nprobe=1).count() == 0
+
+
+def test_asof_and_textstats_empty(spark):
+    from picogeojson_spark.operators.asof import asof_join
+    from picogeojson_spark.operators.textstats import gopher_quality_flags
+
+    left = spark.createDataFrame([(1, 10, 5)], "k long, lid long, ts long")
+    right = spark.createDataFrame([(1, 7, 3)], "k long, ts long, v int")
+    no_left = left.filter("k < 0")
+    no_right = right.filter("k < 0")
+
+    assert asof_join(no_left, right, by="k", ts_col="ts",
+                     right_value_cols=["v"]).count() == 0
+    # empty right side: inner drops everything, left keeps with NULL payload
+    assert asof_join(left, no_right, by="k", ts_col="ts",
+                     right_value_cols=["v"]).count() == 0
+    kept = asof_join(left, no_right, by="k", ts_col="ts",
+                     right_value_cols=["v"], how="left").collect()
+    assert len(kept) == 1 and kept[0].r_v is None
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_quality_flags(docs).count() == 0

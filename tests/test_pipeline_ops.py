@@ -592,6 +592,49 @@ def test_streaming_mine(spark, tmp_path):
     assert sum(counts.values()) > 0
 
 
+def test_streaming_knn_foreach_batch_equals_batch(spark, tmp_path):
+    """foreachBatch kNN: per-micro-batch batch kNN against a static
+    candidate table accumulates exactly the single-batch result (kNN is
+    per-query independent)."""
+    from pyspark.sql import functions as F
+
+    from picogeojson_spark.operators import filter_by_type, mine_features
+    from picogeojson_spark.operators.knn import knn_join
+    from picogeojson_spark.sources.synth import pages_dataframe
+    from picogeojson_spark.streaming.pages_stream import stream_knn_foreach_batch
+
+    pages_dir = str(tmp_path / "pages_knn")
+    out = str(tmp_path / "knn_out")
+    ckpt = str(tmp_path / "knn_ckpt")
+    # several files so availableNow runs multiple micro-batches
+    pages_dataframe(spark, 120, partitions=6).write.parquet(pages_dir)
+
+    cands = spark.createDataFrame(
+        [(i, float((i * 37) % 360 - 180) + 0.25, float((i * 61) % 170 - 85) + 0.25)
+         for i in range(40)],
+        "neighbor_id long, lon double, lat double",
+    )
+    q = stream_knn_foreach_batch(spark, pages_dir, cands, out, ckpt, k=3,
+                                 max_files_per_trigger=2)
+    q.awaitTermination(180)
+    stream_rows = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in spark.read.parquet(out).collect()
+    }
+
+    pts = filter_by_type(mine_features(spark.read.parquet(pages_dir)), "Point").select(
+        (F.pmod(F.col("doc_id"), F.lit(2**40)) * 100
+         + F.col("feature_idx")).alias("query_id"),
+        "lon", "lat",
+    )
+    batch_rows = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(pts, cands, k=3, level=6).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows
+
+
 def test_streaming_pip_join_equals_batch(spark, tmp_path):
     """Stream-static spatial join: mined Point features joined to a static
     polygon table produce EXACTLY the batch pip_join pairs over the same
