@@ -52,6 +52,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_shipped(spark)
     return spark.read.parquet("{}/{}.parquet".format(sf_dir, name))
 
+def _ntz_epoch_us(col):
+    """Epoch microseconds of an NTZ wall time interpreted as UTC — PURE NTZ
+    arithmetic (timestampdiff between NTZ literals), so the value cannot
+    depend on spark.sql.session.timeZone. (`to_utc_timestamp(ntz, 'UTC')`
+    looks equivalent but implicitly casts NTZ->LTZ through the SESSION zone
+    first — a half-hour-offset session shifted every derived integer; caught
+    by the GATE_TZ=Asia/Kolkata robustness run.)"""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})".format(col)
+    )
+
+
 
 # --------------------------------------------------------------------------
 # derived deterministic geometry inputs (same arithmetic in the SQL oracle)
@@ -1415,7 +1427,7 @@ def q_stream_events_windows(spark, sf_dir):
         spark.readStream.schema(_EVENTS_DDL)
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    ts_i = F.to_utc_timestamp(F.col("ts"), "UTC")
+    ts_i = F.from_utc_timestamp(F.col("ts"), F.current_timezone())  # tz-free: see _ntz_epoch_us
     agg = (
         src.withColumn("ts_i", ts_i)
         .withWatermark("ts_i", "1 hour")
@@ -1644,8 +1656,9 @@ def q_events_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         # ts is TIMESTAMP_NTZ; interpret the wall time as UTC on both sides
-        # (DuckDB epoch_us does the same) -> session-timezone-independent
-        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("tus"),
+        # via pure NTZ arithmetic (DuckDB epoch_us does the same) ->
+        # session-timezone-independent (proved by the GATE_TZ gate run)
+        _ntz_epoch_us("ts").alias("tus"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
@@ -1709,7 +1722,7 @@ def q_events_asof(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type",
-        F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("tus"),
+        _ntz_epoch_us("ts").alias("tus"),
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "tus"

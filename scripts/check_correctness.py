@@ -115,6 +115,12 @@ def main():
 
     master = os.environ.get("GATE_MASTER", "local[8]")
     extra = {"spark.ui.enabled": "false"}
+    if "GATE_TZ" in os.environ:
+        # tz-robustness proof: every query/oracle pair is supposed to be
+        # session-timezone-independent (epoch-integer or NTZ-string time
+        # columns); run with e.g. GATE_TZ=Asia/Kolkata (half-hour offset)
+        # to catch any hidden dependence
+        extra["spark.sql.session.timeZone"] = os.environ["GATE_TZ"]
     spark = get_spark(
         master=master,
         shuffle_partitions=(int(os.environ["GATE_SHUFFLE"])
