@@ -115,6 +115,13 @@ def main():
 
     master = os.environ.get("GATE_MASTER", "local[8]")
     extra = {"spark.ui.enabled": "false"}
+    if "GATE_ARROW_BATCH" in os.environ:
+        # batch-size-independence proof: every Arrow UDF must produce
+        # identical results regardless of how rows are batched (per-shard
+        # top-k, band keys, pair scoring, mining are all per-row or
+        # merge-safe); run with e.g. GATE_ARROW_BATCH=37
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ[
+            "GATE_ARROW_BATCH"]
     if "GATE_TZ" in os.environ:
         # tz-robustness proof: every query/oracle pair is supposed to be
         # session-timezone-independent (epoch-integer or NTZ-string time
