@@ -115,6 +115,11 @@ def main():
 
     master = os.environ.get("GATE_MASTER", "local[8]")
     extra = {"spark.ui.enabled": "false"}
+    if "GATE_ANSI" in os.environ:
+        # ANSI-mode-independence: Spark 4 defaults ANSI on; GATE_ANSI=false
+        # proves no query relies on ANSI-only or legacy-only cast/indexing
+        # semantics
+        extra["spark.sql.ansi.enabled"] = os.environ["GATE_ANSI"]
     if "GATE_ARROW_BATCH" in os.environ:
         # batch-size-independence proof: every Arrow UDF must produce
         # identical results regardless of how rows are batched (per-shard
