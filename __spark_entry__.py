@@ -935,7 +935,34 @@ FROM x ORDER BY doc_id
 """
 
 
+def q_doc_hash_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split by id-hash bucket
+    (80/10/10) — split membership is a pure function of doc_id, so the
+    oracle reproduces every assignment."""
+    from picogeojson_spark.operators.dedup import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
+Q_DOC_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 _EXTRA_QUERIES = {
+    "doc_hash_split": q_doc_hash_split,
     "text_gopher": q_text_gopher,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -949,6 +976,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "doc_hash_split": Q_DOC_HASH_SPLIT_SQL,
     "text_gopher": Q_TEXT_GOPHER_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_jaccard": Q_DEDUP_JACCARD_SQL,

@@ -217,3 +217,30 @@ def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
         F.max(F.md5("shingle")).alias("fp_max"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def hash_split(docs: DataFrame, fractions, id_col: str = "doc_id",
+               buckets: int = 1000):
+    """Deterministic dataset split (train/val/test) by content-independent
+    id hash — the standard leakage-safe split for training corpora: a row's
+    split depends only on its id, so re-running over a grown corpus never
+    moves old rows between splits.
+
+    ``fractions``: {"train": 0.9, "val": 0.05, "test": 0.05} (must sum to
+    <= 1; the remainder is dropped). Buckets come from the md5 of the id —
+    portable arithmetic, so the SQL oracle reproduces the assignment
+    exactly. Returns the input plus a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions sum to {} > 1".format(total))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + int(round(frac * buckets))
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)

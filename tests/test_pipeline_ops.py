@@ -462,6 +462,32 @@ def test_lsh_candidate_volume_tracks_cluster_structure(spark):
     assert recall >= 0.95, recall
 
 
+def test_hash_split_deterministic_and_stable_under_growth(spark, docs):
+    """Split membership is a pure function of the id: re-running over a
+    GROWN corpus never moves an existing row between splits (the
+    leakage-safety property), fractions land near targets, and bad
+    fractions raise."""
+    from picogeojson_spark.operators.dedup import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    first = {r.doc_id: r.split for r in hash_split(docs, fr).collect()}
+    assert set(first.values()) <= {"train", "val", "test"}
+
+    grown = docs.unionByName(
+        spark.createDataFrame([(100 + i, "new doc {}".format(i), "en")
+                               for i in range(50)],
+                              "doc_id long, text string, lang string")
+    )
+    second = {r.doc_id: r.split for r in hash_split(grown, fr).collect()}
+    for did, split in first.items():
+        assert second[did] == split, did
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.9, "b": 0.2})
+
+
 def test_gopher_quality_flags(spark):
     from picogeojson_spark.operators.textstats import gopher_quality_flags
 
