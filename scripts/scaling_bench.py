@@ -157,14 +157,16 @@ page side; the only exchange is the polygon broadcast.
     )
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    # preserve hand-maintained sections (codec head-to-head etc.) below the
-    # scaling table across regenerations
-    marker = "## Single-node codec head-to-head"
+    # preserve hand-maintained sections (input-size scaling, codec
+    # head-to-head, etc.) below the scaling table across regenerations —
+    # keep everything from the FIRST such marker onward
+    markers = ["## Input-size scaling", "## Single-node codec head-to-head"]
     tail = ""
     if os.path.exists(out):
         prev = open(out).read()
-        if marker in prev:
-            tail = "\n" + prev[prev.index(marker):]
+        idxs = [prev.index(m) for m in markers if m in prev]
+        if idxs:
+            tail = "\n" + prev[min(idxs):]
     with open(out, "w") as f:
         f.write(md + tail)
     print("efficiency: {:.3f} -> {}".format(eff, out))
