@@ -62,17 +62,23 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents -> (rep_id, dup_id) pairs."""
+    """Groups of byte-identical documents -> (rep_id, dup_id) pairs.
+
+    Window formulation — the representative id is carried to each member
+    row, never materializing a group as one array: a pathologically hot
+    hash (e.g. millions of empty documents in a web crawl) streams through
+    like any other window partition instead of building a single
+    multi-million-element collect_list row."""
+    from pyspark.sql import Window
+
     h = docs.select(
         F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h")
     )
-    g = h.groupBy("h").agg(
-        F.min("doc_id").alias("rep_id"), F.collect_list("doc_id").alias("ids"),
-        F.count("*").alias("n"),
-    ).filter(F.col("n") > 1)
+    w = Window.partitionBy("h")
     return (
-        g.select("rep_id", F.explode("ids").alias("dup_id"))
-        .filter(F.col("dup_id") != F.col("rep_id"))
+        h.withColumn("rep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("rep_id", F.col("doc_id").alias("dup_id"))
     )
 
 
