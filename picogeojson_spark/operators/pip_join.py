@@ -65,7 +65,10 @@ def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL,
 
     # polygon tables are usually tiny next to the point side: coalesce so the
     # cover UDF pays a handful of python-worker round trips, not one per core
-    src = polygons.select("poly_id", "geometry_json").coalesce(8)
+    # — but never below the cluster's task slots, so a LARGE polygon table
+    # (country-scale admin boundaries at production) still covers in parallel
+    slots = polygons.sparkSession.sparkContext.defaultParallelism
+    src = polygons.select("poly_id", "geometry_json").coalesce(max(8, slots))
     return src.mapInPandas(
         cover, schema="cell long, poly_id long, geometry_json string"
     )
