@@ -63,6 +63,8 @@ def knn_join(
     level: int = None,
     radius: int = 1,
     cache: str = "checkpoint",
+    max_expansions: int = 2,
+    brute_pairs_budget: int = 50_000_000,
 ) -> DataFrame:
     """Exact kNN -> DataFrame(query_id, rank, neighbor_id, dist2).
 
@@ -83,11 +85,21 @@ def knn_join(
       handle is exposed as ``result._knn_cached`` and the CALLER must
       ``.unpersist()`` it after consuming the result.
     - ``"none"``: no materialization (consumers recompute the ring join).
+
+    Tail strategy (adaptive): when the first pass leaves queries unsettled,
+    the fallback brute-forces directly if ``n_unsettled * n_candidates <=
+    brute_pairs_budget`` (exact and cheapest at small scale), otherwise it
+    runs up to ``max_expansions`` rounds of query-side ring doubling — the
+    shrinking unsettled set is the exploding side, so no cross join at
+    scale — and only brute-forces the provably-tiny remnant. In persist
+    mode ``result._knn_cached.unpersist()`` releases every cached stage.
     """
     if cache not in ("checkpoint", "persist", "none"):
         raise ValueError("cache must be checkpoint|persist|none: " + cache)
+    n_cand = None
     if level is None:
-        level = choose_level(candidates.count(), k, radius)
+        n_cand = candidates.count()
+        level = choose_level(n_cand, k, radius)
     nx, ny = grid_shape(level)
     cell_deg = 180.0 / (2**level)
 
@@ -151,8 +163,79 @@ def knn_join(
     # nothing and large ones stay shuffle joins
     settled = ringed.join(settled_ids, on="query_id")
 
-    # brute-force tail for the rest (rare; exact by construction)
+    # tail for the rest: QUERY-side ring expansion before any brute force.
+    # The unsettled set shrinks every round while the expansion radius
+    # doubles, so each round the exploding side is the SMALL one (each
+    # unsettled query emits its (2R+1)^2 ring cells and equi-joins the
+    # unexploded candidate table) — no cross join unless expansions run out,
+    # and by then the remnant is provably tiny or the data is pathological
+    # (k > candidate count, empty planet regions at max radius).
     rest = queries.join(settled_ids, on="query_id", how="left_anti")
+    parts = [settled]
+    cached_stages = [ringed]
+    radius_r = radius
+    # adaptive tail (one cheap count — ringed is materialized): empty tail
+    # skips everything; a small tail brute-forces directly (old fast path);
+    # only a big tail pays the ring-expansion machinery
+    n_rest = rest.count()
+    if n_rest == 0:
+        max_expansions = 0
+        rest = rest.limit(0)
+    else:
+        if n_cand is None:
+            n_cand = candidates.count()
+        if n_rest * n_cand <= brute_pairs_budget:
+            max_expansions = 0
+    for _ in range(max_expansions):
+        radius_r *= 2
+        q_r = _with_cell_xy(rest, "query_id", level).select(
+            "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+            "cx", "cy",
+        )
+        offs = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius_r, radius_r + 1)
+            for dy in range(-radius_r, radius_r + 1)
+        ])
+        q_ex = (
+            q_r.withColumn("o", F.explode(offs))
+            .select(
+                "query_id", "qlon", "qlat",
+                F.pmod(F.col("cx") + F.col("o.dx"), F.lit(nx)).alias("cx"),
+                (F.col("cy") + F.col("o.dy")).alias("cy"),
+            )
+            .filter((F.col("cy") >= 0) & (F.col("cy") < ny))
+        )
+        joined_r = q_ex.join(c, on=["cx", "cy"]).select(
+            "query_id", "neighbor_id",
+            _dist2(F.col("qlon"), F.col("qlat"),
+                   F.col("clon"), F.col("clat")).alias("dist2"),
+        )
+        topk_r = (
+            joined_r.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist2")
+        )
+        if cache == "persist":
+            topk_r = topk_r.persist()
+            cached_stages.append(topk_r)
+        elif cache == "checkpoint":
+            topk_r = topk_r.localCheckpoint(eager=True)
+        guard_r = float(radius_r * cell_deg) ** 2
+        stats_r = topk_r.groupBy("query_id").agg(
+            F.count("*").alias("found"), F.max("dist2").alias("kth")
+        )
+        settled_r = stats_r.filter(
+            (F.col("found") >= k) & (F.col("kth") <= F.lit(guard_r))
+        ).select("query_id")
+        parts.append(topk_r.join(settled_r, on="query_id"))
+        rest = rest.join(settled_r, on="query_id", how="left_anti")
+        # whole-planet coverage: every further candidate is already in range
+        if radius_r >= max(nx, ny):
+            rest = rest.limit(0)
+            break
+
+    # brute-force remnant (provably-exact; empty in non-pathological runs)
     brute = rest.select(
         "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
     ).crossJoin(
@@ -169,7 +252,23 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist2")
     )
-    out = settled.unionByName(brute_k)
+    parts.append(brute_k)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     if cache == "persist":
-        out._knn_cached = ringed  # cleanup handle (see ``cache`` docstring)
+        # cleanup handle covering every cached stage (see ``cache`` docstring)
+        out._knn_cached = _CacheHandles(cached_stages)
     return out
+
+
+class _CacheHandles:
+    """Unpersists every cached stage of a persist-mode knn_join."""
+
+    def __init__(self, dfs):
+        self._dfs = list(dfs)
+
+    def unpersist(self, blocking: bool = False):
+        for df in self._dfs:
+            df.unpersist(blocking)
+        return self

@@ -191,6 +191,15 @@ def test_knn_matches_bruteforce(spark, features):
         for r in knn_join(queries, cands, k=3, level=6, radius=1).collect()
     }
 
+    # the scale tail (query-side ring expansion) must be exactly as correct
+    # as the small-scale direct-brute tail: force it by zeroing the budget
+    expanded = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(queries, cands, k=3, level=6, radius=1,
+                          brute_pairs_budget=0).collect()
+    }
+    assert expanded == got
+
     # lifecycle: the default (localCheckpoint) mode must not register
     # anything in the SQL CacheManager — that registry pins plans until an
     # explicit unpersist, which is exactly the long-lived-session leak.
