@@ -935,6 +935,32 @@ FROM x ORDER BY doc_id
 """
 
 
+def q_text_top_terms(spark, sf_dir):
+    """Per-language top-10 corpus terms (frequency + window rank; ties
+    broken lexicographically on both engines)."""
+    from picogeojson_spark.operators.textstats import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=10).orderBy(
+        "lang", "rnk"
+    )
+
+
+Q_TEXT_TOP_TERMS_SQL = r"""
+WITH w AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+c AS (SELECT lang, word, COUNT(*) AS n FROM w WHERE word <> ''
+      GROUP BY lang, word),
+r AS (SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, word ASC) AS rnk
+      FROM c)
+SELECT lang, CAST(rnk AS INTEGER) AS rnk, word, n
+FROM r WHERE rnk <= 10 ORDER BY lang, rnk
+"""
+
+
 def q_doc_hash_split(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split by id-hash bucket
     (80/10/10) — split membership is a pure function of doc_id, so the
@@ -962,6 +988,7 @@ FROM b ORDER BY doc_id
 
 
 _EXTRA_QUERIES = {
+    "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
     "text_gopher": q_text_gopher,
     "dedup_exact": q_dedup_exact,
@@ -976,6 +1003,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "text_top_terms": Q_TEXT_TOP_TERMS_SQL,
     "doc_hash_split": Q_DOC_HASH_SPLIT_SQL,
     "text_gopher": Q_TEXT_GOPHER_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,

@@ -164,3 +164,23 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("dup_2gram_frac_x1e6") <= max_dup_2gram_x1e6)
     )
     return out.withColumn("keep", keep)
+
+
+def top_terms(docs: DataFrame, k: int = 10, by: str = "lang",
+              text_col: str = "text") -> DataFrame:
+    """Top-k whitespace terms per group (corpus frequency analysis):
+    (group, rnk, word, n). One shuffle for the count, one for the window;
+    ties broken lexicographically so output is deterministic."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(by),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy(by, "word").count().withColumnRenamed("count", "n")
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(by, "rnk", "word", "n")
+    )

@@ -1290,3 +1290,22 @@ def test_resumable_job_cleans_stale_partial_buckets(spark, tmp_path):
     # total output is exactly the input — no duplicates from the re-run
     assert job2.read_output().count() == 200
     assert job2.read_output().select("url").distinct().count() == 200
+
+
+def test_top_terms(spark, docs):
+    from picogeojson_spark.operators.textstats import top_terms
+
+    rows = top_terms(docs, k=2).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.rnk, r.word, r.n))
+    # python oracle
+    import collections
+    expected = {}
+    for _, text, lang in DOCS:
+        for w in text.lower().strip().split():
+            expected.setdefault(lang, collections.Counter())[w] += 1
+    for lang, counter in expected.items():
+        top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        got = sorted(by_lang[lang])
+        assert [(i + 1, w, n) for i, (w, n) in enumerate(top)] == got, lang
