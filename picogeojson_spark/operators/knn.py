@@ -42,6 +42,28 @@ def _dist2(qlon, qlat, clon, clat):
     return (qlon - clon) * (qlon - clon) + (qlat - clat) * (qlat - clat)
 
 
+def _ring_dxs(radius: int, nx: int) -> range:
+    """Longitude offsets for a ring of half-width ``radius`` on an ``nx``-wide
+    wrapped grid, capped so the ring never spans more than ``nx`` distinct
+    columns. Without the cap, once ``2*radius+1 > nx`` two offsets pmod to the
+    same cell and the ring join emits duplicate (query, neighbor) pairs —
+    row_number then ranks the same neighbor twice and silently pushes the true
+    k-th neighbor out of the top-k."""
+    if 2 * radius + 1 >= nx:
+        return range(0, nx)  # any nx consecutive offsets cover each column once
+    return range(-radius, radius + 1)
+
+
+def _offsets_array(dxs, dys):
+    """(dx, dy) ring offsets as ONE parsed SQL literal — building the same
+    array from per-element F.struct/F.lit calls costs hundreds of Py4J round
+    trips of driver time for a wide ring (measured ~0.3 s at radius 4)."""
+    items = ",".join(
+        f"named_struct('dx',{dx},'dy',{dy})" for dx in dxs for dy in dys
+    )
+    return F.expr(f"array({items})")
+
+
 def choose_level(n_candidates: int, k: int, radius: int) -> int:
     """Pick the coarsest cell level whose (2r+1)² ring is expected to hold
     comfortably more than k candidates under uniform density — queries then
@@ -114,10 +136,7 @@ def knn_join(
 
     # candidate side explodes its (2r+1)^2 neighbourhood (lon-wrapped) so the
     # ring lookup is a plain equi-join on (cx, cy)
-    offsets = [(dx, dy) for dx in range(-radius, radius + 1)
-               for dy in range(-radius, radius + 1)]
-    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                    for dx, dy in offsets])
+    off = _offsets_array(_ring_dxs(radius, nx), range(-radius, radius + 1))
     c_ex = (
         c.withColumn("o", F.explode(off))
         .select(
@@ -128,12 +147,16 @@ def knn_join(
         .filter((F.col("cy") >= 0) & (F.col("cy") < ny))
     )
 
-    joined = q.join(c_ex, on=["cx", "cy"]).select(
+    # LEFT join: a query whose ring holds no candidate keeps one null-neighbor
+    # row, so the settled-stats aggregate below sees EVERY query — the
+    # all-settled fast path then needs no separate queries.count() job, and
+    # zero-candidate queries are counted into the unsettled tail exactly
+    joined = q.join(c_ex, on=["cx", "cy"], how="left").select(
         "query_id", "qlon", "qlat", "neighbor_id", "clon", "clat",
         _dist2(F.col("qlon"), F.col("qlat"), F.col("clon"), F.col("clat")).alias("dist2"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                               F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc_nulls_last(),
+                                               F.col("neighbor_id").asc_nulls_last())
     ringed = (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -147,15 +170,37 @@ def knn_join(
         ringed = ringed.localCheckpoint(eager=True)
 
     # exactness guard: a query is settled iff it found k neighbours and its
-    # k-th distance is within the ring guarantee radius
+    # k-th distance is within the ring guarantee radius. Settledness reads
+    # straight off the materialized top-k: rows are ordered by dist2 asc, so
+    # the rank==k row's own dist2 IS the k-th distance, and that row exists
+    # (with non-null dist2) iff the query matched >= k real candidates — no
+    # groupBy exchange, just filters over the cached blocks.
     guard = float(radius * cell_deg) ** 2
-    stats = ringed.groupBy("query_id").agg(
-        F.count("*").alias("found"), F.max("dist2").alias("kth")
+    settled_row = (
+        (F.col("rank") == k)
+        & F.col("dist2").isNotNull()
+        & (F.col("dist2") <= F.lit(guard))
     )
-    settled_ids = stats.filter(
-        (F.col("found") >= k) & (F.col("kth") <= F.lit(guard))
-    ).select("query_id")
 
+    # ONE cheap driver action over the materialized ringed blocks decides the
+    # whole tail: the left ring join gave every query a rank-1 row, so
+    # n_queries == count(rank==1) and n_rest == n_queries - n_settled exactly
+    agg_row = ringed.agg(
+        F.sum(settled_row.cast("int")).alias("n_settled"),
+        F.sum((F.col("rank") == 1).cast("int")).alias("n_queries"),
+    ).first()
+    n_settled = int(agg_row["n_settled"] or 0)
+    n_rest = int(agg_row["n_queries"] or 0) - n_settled
+
+    if n_rest == 0:
+        # fast path: the ring pass IS the exact answer (no null-neighbor rows
+        # can exist — every query settled, hence matched >= k candidates) —
+        # no settled join, no anti-join, no empty cross join in the plan
+        if cache == "persist":
+            ringed._knn_cached = _CacheHandles([ringed])
+        return ringed
+
+    settled_ids = ringed.filter(settled_row).select("query_id")
     # NO broadcast hint on settled_ids: it has one row per settled query,
     # which at production scale is the full query cardinality — forcing a
     # broadcast would collect it to the driver. AQE broadcasts it anyway
@@ -174,29 +219,20 @@ def knn_join(
     parts = [settled]
     cached_stages = [ringed]
     radius_r = radius
-    # adaptive tail (one cheap count — ringed is materialized): empty tail
-    # skips everything; a small tail brute-forces directly (old fast path);
+    # adaptive tail: a small tail brute-forces directly (old fast path);
     # only a big tail pays the ring-expansion machinery
-    n_rest = rest.count()
-    if n_rest == 0:
+    if n_cand is None:
+        n_cand = candidates.count()
+    if n_rest * n_cand <= brute_pairs_budget:
         max_expansions = 0
-        rest = rest.limit(0)
-    else:
-        if n_cand is None:
-            n_cand = candidates.count()
-        if n_rest * n_cand <= brute_pairs_budget:
-            max_expansions = 0
     for _ in range(max_expansions):
         radius_r *= 2
         q_r = _with_cell_xy(rest, "query_id", level).select(
             "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
             "cx", "cy",
         )
-        offs = F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-radius_r, radius_r + 1)
-            for dy in range(-radius_r, radius_r + 1)
-        ])
+        offs = _offsets_array(_ring_dxs(radius_r, nx),
+                              range(-radius_r, radius_r + 1))
         q_ex = (
             q_r.withColumn("o", F.explode(offs))
             .select(
@@ -221,19 +257,22 @@ def knn_join(
             cached_stages.append(topk_r)
         elif cache == "checkpoint":
             topk_r = topk_r.localCheckpoint(eager=True)
+        # whole-planet coverage: the searched ring now contains EVERY cell
+        # (x wraps fully, y spans [0, ny)), so topk_r is the globally-exact
+        # answer for every remaining query — settled-guard irrelevant, and
+        # queries with fewer than k neighbours on the whole planet keep
+        # their (shorter) result instead of vanishing
+        if 2 * radius_r + 1 >= nx and radius_r >= ny - 1:
+            parts.append(topk_r)
+            rest = rest.limit(0)
+            break
         guard_r = float(radius_r * cell_deg) ** 2
-        stats_r = topk_r.groupBy("query_id").agg(
-            F.count("*").alias("found"), F.max("dist2").alias("kth")
-        )
-        settled_r = stats_r.filter(
-            (F.col("found") >= k) & (F.col("kth") <= F.lit(guard_r))
+        # inner join here — no null rows; rank==k row exists iff found >= k
+        settled_r = topk_r.filter(
+            (F.col("rank") == k) & (F.col("dist2") <= F.lit(guard_r))
         ).select("query_id")
         parts.append(topk_r.join(settled_r, on="query_id"))
         rest = rest.join(settled_r, on="query_id", how="left_anti")
-        # whole-planet coverage: every further candidate is already in range
-        if radius_r >= max(nx, ny):
-            rest = rest.limit(0)
-            break
 
     # brute-force remnant (provably-exact; empty in non-pathological runs)
     brute = rest.select(

@@ -511,15 +511,18 @@ def ann_ivf_topk(
                 vn = np.sqrt((v * v).sum(axis=1))
                 vn[vn == 0] = 1.0
                 sims = (v @ C.T) / vn[:, None]
+                # probes can exceed the centroid count when the corpus has
+                # fewer than nlist rows — clamp so id-repeat and the argsort
+                # slice stay the same length
+                kk = min(probes, C.shape[0])
                 # lexicographic tie-break: sim desc, list id asc (np.argsort
                 # is stable, so sorting -sims keeps index order on ties)
-                lists = np.argsort(-sims, kind="stable", axis=1)[:, :probes]
-                n = len(pdf)
+                lists = np.argsort(-sims, kind="stable", axis=1)[:, :kk]
                 yield pd.DataFrame(
                     {
-                        id_name: pdf[id_name].repeat(probes).values,
+                        id_name: pdf[id_name].repeat(kk).values,
                         "list_id": lists.reshape(-1).astype("int32"),
-                        "v": [row for row in pdf["v"].repeat(probes)],
+                        "v": [row for row in pdf["v"].repeat(kk)],
                     }
                 )
 

@@ -230,6 +230,52 @@ def test_knn_matches_bruteforce(spark, features):
     assert got == expected
 
 
+def _brute_knn(qs, cs, k):
+    """Python oracle: dist2 asc, neighbor_id asc, top-k per query."""
+    out = {}
+    for qid, qlon, qlat in qs:
+        scored = sorted(
+            ((qlon - clon) ** 2 + (qlat - clat) ** 2, nid) for nid, clon, clat in cs
+        )
+        for rank, (d2, nid) in enumerate(scored[:k], start=1):
+            out[(qid, rank)] = nid
+    return out
+
+
+def test_knn_wide_ring_wrap_no_duplicates(spark):
+    # regression (ADVICE r2): at a coarse level the expansion ring can exceed
+    # the grid width (level=2 -> nx=8; two doublings reach radius 4, ring
+    # width 9). Un-capped pmod offsets then map two offsets to the same cell,
+    # duplicating (query, neighbor) pairs and corrupting the top-k.
+    qs = [(i, -170.25 + 3.0 * i, 10.25) for i in range(6)]
+    cs = [(100, 150.25, -60.25), (101, 100.25, 50.25),
+          (102, 0.25, 0.25), (103, -90.25, 80.25), (104, 179.25, -10.25)]
+    queries = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+    cands = spark.createDataFrame(cs, "neighbor_id long, lon double, lat double")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(queries, cands, k=3, level=2, radius=1,
+                          brute_pairs_budget=0, max_expansions=2).collect()
+    }
+    assert got == _brute_knn(qs, cs, 3)
+
+
+def test_knn_full_coverage_keeps_unsettled_queries(spark):
+    # regression (ADVICE r2): with fewer candidates than k no query ever
+    # "settles" (found < k); once the expansion ring covers the whole planet
+    # the result is globally exact and must be returned — the old break
+    # dropped these queries from the output entirely.
+    qs = [(i, -120.25 + 40.0 * i, -30.25 + 20.0 * i) for i in range(4)]
+    cs = [(100, 10.25, 10.25), (101, -170.25, 60.25), (102, 90.25, -70.25)]
+    queries = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+    cands = spark.createDataFrame(cs, "neighbor_id long, lon double, lat double")
+    rows = knn_join(queries, cands, k=5, level=2, radius=1,
+                    brute_pairs_budget=0, max_expansions=3).collect()
+    got = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    assert got == _brute_knn(qs, cs, 5)  # every query, all 3 neighbours
+    assert len(rows) == len(qs) * len(cs)
+
+
 def test_tile_assignment_points(spark, features):
     pts = filter_by_type(features, "Point").select("doc_id", "feature_idx", "lon", "lat")
     got = assign_tiles_points(pts, z=10).collect()
