@@ -236,3 +236,23 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = SEED):
     table = pa.Table.from_pylist(rows)
     pq.write_table(table, path)
     return path
+
+
+def clustered_embeddings(spark, n_clusters: int = 8, per_cluster: int = 30,
+                         dim: int = 16):
+    """Deterministic clustered embedding corpus: well-separated axis-aligned
+    cluster centers with small integer-derived jitter (no RNG state). The
+    realistic regime for clustering-based ANN — used by both the pytest
+    quantizer-quality test and the correctness gate's k-means IVF recall
+    floor, so the two always measure the same distribution."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            vid += 1
+            v = [0.0] * dim
+            v[(c * 2) % dim] = 10.0
+            v[(c * 2 + 1) % dim] = 3.0
+            v[(c + m) % dim] += ((m * 7) % 5) * 0.1
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -253,6 +253,44 @@ KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
 # real-world embeddings the same config sits far higher.
 RECALL_FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.8}
 
+# Production-path quantizer (ivf_kmeans_centroids) floor, measured on the
+# deterministic CLUSTERED corpus (its intended regime): probing only 2 of 8
+# lists must still recover >=0.9 of exact cosine top-3 — the trained
+# centroids concentrate each cluster into one inverted list.
+KMEANS_IVF_FLOOR = 0.9
+
+
+def check_kmeans_ivf_recall(spark):
+    """Gate the production k-means IVF quantizer (not just the md5-sample
+    oracle path that the contract query ann_ivf exercises)."""
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk_np,
+        ann_ivf_topk,
+        ivf_kmeans_centroids,
+    )
+    from picogeojson_spark.sources import clustered_embeddings
+
+    emb = clustered_embeddings(spark)
+    queries = emb.filter("vec_id % 8 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk_np(queries, emb, k=3).collect()
+    }
+    km = ivf_kmeans_centroids(emb, nlist=8, iters=5)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(queries, emb, k=3, nlist=8, nprobe=2,
+                              centroids=km).collect()
+    }
+    recall = len(exact & got) / len(exact) if exact else 1.0
+    if recall < KMEANS_IVF_FLOOR:
+        print("FAIL {:24s} clustered recall @ nprobe=2/8 = {:.3f} < {}".format(
+            "ann_ivf_kmeans", recall, KMEANS_IVF_FLOOR))
+        return ["ann_ivf_kmeans:recall"]
+    print("PASS {:24s} clustered recall @ nprobe=2/8 = {:.3f}".format(
+        "ann_ivf_kmeans (recall)", recall))
+    return []
+
 
 def _pairs(res):
     cols, rows = res
@@ -265,6 +303,9 @@ def run_special_checks(spark, kept):
     express: approximate-ANN recall vs the exact baseline, and
     stream==batch equality for the streaming miner."""
     failures = []
+
+    if "ann_ivf" in kept:
+        failures += check_kmeans_ivf_recall(spark)
 
     if "ann_topk" in kept:
         exact = _pairs(kept["ann_topk"])

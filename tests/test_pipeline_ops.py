@@ -361,20 +361,11 @@ def test_ivf_kmeans_beats_md5_sample_on_clustered_data(spark):
         ann_ivf_topk,
         ivf_kmeans_centroids,
     )
+    from picogeojson_spark.sources import clustered_embeddings
 
     # 8 well-separated cluster centers on coordinate axes, 30 points each,
-    # deterministic small offsets
-    rows = []
-    vid = 0
-    for c in range(8):
-        for m in range(30):
-            vid += 1
-            v = [0.0] * 16
-            v[c * 2] = 10.0
-            v[(c * 2 + 1) % 16] = 3.0
-            v[(c + m) % 16] += ((m * 7) % 5) * 0.1  # deterministic jitter
-            rows.append((vid, v))
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # deterministic small offsets (shared with the gate's kmeans-recall check)
+    emb = clustered_embeddings(spark)
     queries = emb.filter(F.col("vec_id") % 8 == 0)
 
     exact = {
@@ -401,6 +392,30 @@ def test_ivf_kmeans_beats_md5_sample_on_clustered_data(spark):
     import numpy as np
 
     assert np.array_equal(km, km2)
+
+
+def test_ivf_nprobe_exceeding_centroid_count(spark):
+    """Regression (ADVICE r2): a corpus smaller than nlist yields fewer
+    centroids than nprobe — the assign UDF must clamp the probe count
+    instead of crashing on mismatched column lengths, and the search is
+    then exhaustive (recall 1.0)."""
+    from picogeojson_spark.operators.similarity import (
+        ann_bruteforce_topk_np,
+        ann_ivf_topk,
+    )
+
+    rows = [(i, [float((i * 3 + j) % 5), float(i + 1), 0.5 * j, 1.0])
+            for i in range(3) for j in [0]]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_topk(emb, emb, k=2, nlist=16, nprobe=8).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_bruteforce_topk_np(emb, emb, k=2).collect()
+    }
+    assert got == exact
 
 
 def test_lsh_candidate_volume_tracks_cluster_structure(spark):
