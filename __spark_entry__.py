@@ -1123,15 +1123,22 @@ _EXTRA_ORACLES["geo_transform"] = Q_GEO_TRANSFORM_SQL
 
 def q_embed_cosine_pairs(spark, sf_dir):
     """Embedding similar pairs (cosine >= 0.3; the synthetic corpus has
-    no true near-dups, so the threshold targets a non-trivial pair set)."""
+    no true near-dups, so the threshold targets a non-trivial pair set).
+
+    DELIBERATELY capped input: exact all-pairs is O(n²) by definition and
+    this query exists for oracle duty (the scale path is
+    embed_cosine_pairs_lsh). The vec_id % 2 slice keeps the pair count
+    bounded as SF grows — intended ceiling ~sf1 (≈15k vectors → ~110M
+    scored pairs); beyond that only the LSH variant should be benched."""
     from picogeojson_spark.operators.similarity import cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
     return cosine_pairs(emb, 0.3).orderBy("id_a", "id_b")
 
 
 Q_EMBED_PAIRS_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % 2 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))

@@ -322,6 +322,7 @@ def ann_bruteforce_topk_np(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch_rows: int = 100_000,
 ) -> DataFrame:
     """numpy-matmul brute-force cosine top-k (the fast exact path).
 
@@ -330,9 +331,14 @@ def ann_bruteforce_topk_np(
     single matmul against its own shard plus a per-shard top-k; a global
     window then merges the per-shard winners. The corpus — the side that is
     unbounded at production scale — is never collected to the driver and
-    never has to fit in any single memory; the only materialized object is
-    the query matrix (bounded by the broadcast budget; batch the query set
-    and union when it isn't).
+    never has to fit in any single memory.
+
+    A query set above ``query_batch_rows`` is split into chunks, each chunk
+    broadcast and scored in its own corpus pass, results unioned (each query
+    lives in exactly one chunk, so the global window is unaffected). This
+    bounds BOTH the per-chunk broadcast and the nq x batch cos matrix an
+    executor allocates per Arrow batch — an unchunked 1M-query matrix would
+    otherwise OOM the workers long before the driver.
 
     Per-shard top-k then global top-k is exact: a global winner is
     necessarily a winner of its own shard. Tie-break identical to
@@ -344,46 +350,58 @@ def ann_bruteforce_topk_np(
     import pandas as pd
 
     q_rows = queries.select(query_id, vec_col).collect()  # small side only
-    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = (np.asarray([r[1] for r in q_rows], dtype=np.float64)
-             if q_rows else np.zeros((0, 0)))
-    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    sc = corpus.sparkSession.sparkContext
 
-    def shard_topk(batches):
-        ids, qm, qn = bc.value
-        nq = len(ids)
-        for pdf in batches:
-            if len(pdf) == 0 or nq == 0:
-                continue
-            c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
-            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
-            cos = (qm @ c_mat.T) / (qn[:, None] * cn[None, :])
-            kk = min(k, len(c_ids))
-            # lexicographic: primary cos desc, secondary id asc
-            order = np.lexsort((c_ids[None, :].repeat(nq, 0), -cos), axis=1)[:, :kk]
-            sel_cos = np.take_along_axis(cos, order, axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, kk),
-                    "neighbor_id": c_ids[order].reshape(-1),
-                    "cos": sel_cos.reshape(-1),
-                    "cos_x1e6": np.round(sel_cos.reshape(-1) * 1e6).astype(np.int64),
-                }
-            )
+    def make_shard_topk(bc):
+        def shard_topk(batches):
+            ids, qm, qn = bc.value
+            nq = len(ids)
+            for pdf in batches:
+                if len(pdf) == 0 or nq == 0:
+                    continue
+                c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+                cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+                cos = (qm @ c_mat.T) / (qn[:, None] * cn[None, :])
+                kk = min(k, len(c_ids))
+                # lexicographic: primary cos desc, secondary id asc
+                order = np.lexsort(
+                    (c_ids[None, :].repeat(nq, 0), -cos), axis=1
+                )[:, :kk]
+                sel_cos = np.take_along_axis(cos, order, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, kk),
+                        "neighbor_id": c_ids[order].reshape(-1),
+                        "cos": sel_cos.reshape(-1),
+                        "cos_x1e6": np.round(
+                            sel_cos.reshape(-1) * 1e6).astype(np.int64),
+                    }
+                )
 
-    shards = corpus.select(
-        F.col(corpus_id).alias(corpus_id), vec_col
-    ).mapInPandas(
-        shard_topk,
-        schema="query_id long, neighbor_id long, cos double, cos_x1e6 long",
-    )
+        return shard_topk
+
+    out = None
+    for start in range(0, max(len(q_rows), 1), query_batch_rows):
+        chunk = q_rows[start:start + query_batch_rows]
+        q_ids = np.asarray([r[0] for r in chunk], dtype=np.int64)
+        q_mat = (np.asarray([r[1] for r in chunk], dtype=np.float64)
+                 if chunk else np.zeros((0, 0)))
+        q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+        bc = sc.broadcast((q_ids, q_mat, q_norms))
+        shards = corpus.select(
+            F.col(corpus_id).alias(corpus_id), vec_col
+        ).mapInPandas(
+            make_shard_topk(bc),
+            schema="query_id long, neighbor_id long, cos double, cos_x1e6 long",
+        )
+        out = shards if out is None else out.unionByName(shards)
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        shards.withColumn("rank", F.row_number().over(w))
+        out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "neighbor_id", "cos_x1e6")

@@ -351,6 +351,24 @@ def test_ann_np_sharded_merge_exact(spark, embeddings):
     assert one == many
 
 
+def test_ann_np_query_batching_exact(spark, embeddings):
+    """A query set above query_batch_rows is chunked into several broadcast
+    passes; the unioned result must equal the single-pass result exactly."""
+    from picogeojson_spark.operators.similarity import ann_bruteforce_topk_np
+
+    one = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk_np(embeddings, embeddings, k=3).collect()
+    }
+    chunked = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_x1e6)
+        for r in ann_bruteforce_topk_np(
+            embeddings, embeddings, k=3, query_batch_rows=7
+        ).collect()
+    }
+    assert one == chunked
+
+
 def test_ivf_kmeans_beats_md5_sample_on_clustered_data(spark):
     """On CLUSTERED embeddings (the realistic regime) the k-means quantizer
     concentrates each cluster into one inverted list, so the same nprobe
@@ -531,6 +549,37 @@ def test_gopher_quality_flags(spark):
     assert rows[3].n_words == 1 and not rows[3].keep
     assert rows[4].n_words == 0 and not rows[4].keep
     assert rows[5].mean_word_len_x1e6 == 1000000 and not rows[5].keep
+
+
+def test_top_terms_crafted_docs(spark):
+    """Pins top_terms semantics: per-group top-k by count desc with
+    LEXICOGRAPHIC tie-break, lower-cased whitespace tokenization, empty
+    tokens dropped, and per-group (not global) k."""
+    from picogeojson_spark.operators.textstats import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "Apple banana APPLE cherry banana apple"),
+            (2, "en", "  cherry   banana\tdate  "),   # mixed whitespace
+            (3, "fr", "zebra yak zebra"),
+            (4, "fr", "yak xylo"),
+            (5, "de", ""),                            # empty doc: no terms
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = [(r.lang, r.rnk, r.word, r.n)
+            for r in top_terms(docs, k=2).orderBy("lang", "rnk").collect()]
+    # en: apple=3, banana=3 (tie -> 'apple' first lexicographically)
+    # fr: yak=2, zebra=2 (tie -> 'yak' first); xylo=1 cut by k=2
+    assert rows == [
+        ("en", 1, "apple", 3),
+        ("en", 2, "banana", 3),
+        ("fr", 1, "yak", 2),
+        ("fr", 2, "zebra", 2),
+    ]
+    # k is per group: k=1 keeps exactly one word per group
+    one = top_terms(docs, k=1).collect()
+    assert {(r.lang, r.word) for r in one} == {("en", "apple"), ("fr", "yak")}
 
 
 def test_multimodal_plumbing(spark):
