@@ -142,13 +142,40 @@ def pip_join(
     level: int = DEFAULT_LEVEL,
     max_cells: int = 64,
     min_level: int = MIN_LEVEL,
-    broadcast_polys: bool = True,
+    broadcast_polys: bool = None,
     salt: int = 1,
+    broadcast_budget_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Exact point-in-polygon join -> DataFrame(point_id, poly_id).
 
     ``points``: (point_id, lon, lat); ``polygons``: (poly_id, geometry_json).
+
+    ``broadcast_polys=None`` (default) auto-sizes: one narrow aggregate over
+    the raw polygon table estimates the exploded cover's bytes; at or under
+    ``broadcast_budget_bytes`` the cover side is broadcast-hinted (the
+    point side — unbounded at production scale — then never shuffles at
+    all), above it the join is left unhinted and AQE picks the strategy
+    from runtime sizes (including a runtime broadcast if the estimate was
+    pessimistic). Catalyst cannot make this call itself because the cover
+    is a Python-UDF output with no size statistics — an unconditional hint
+    here would force a country-scale polygon table into one broadcast.
+    Pass True/False to skip the estimate job and decide explicitly.
     """
+    if broadcast_polys is None:
+        est_row = polygons.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("geometry_json")).alias("geom_bytes"),
+        ).first()
+        n_polys = int(est_row["n"])
+        geom_bytes = int(est_row["geom_bytes"] or 0)
+        # each polygon's geometry string is replicated once per cover cell;
+        # typical adaptive covers use ~4-16 cells (ceiling max_cells), and a
+        # salted join replicates the whole side again. 16x is deliberately
+        # pessimistic for the common case — AQE still broadcasts an unhinted
+        # join at runtime when the real cover turns out small.
+        est = 16 * max(salt, 1) * (geom_bytes + 24 * n_polys)
+        broadcast_polys = est <= broadcast_budget_bytes
+
     polys = polygon_cover_df(polygons, level, max_cells, min_level)
     pts = point_ancestors_df(points, level, min_level)
 

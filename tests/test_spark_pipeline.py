@@ -158,6 +158,32 @@ def test_pip_join_matches_oracle(spark, features):
     assert len(expected) > 0
 
 
+def test_pip_join_broadcast_autosizing(spark, features):
+    """Default broadcast_polys=None sizes the cover side: a tiny polygon
+    table gets the forced-broadcast plan (point side never shuffles), while
+    one over the budget is left unhinted so AQE decides from runtime sizes
+    — and the output is identical either way."""
+    points = filter_by_type(features, "Point").select(
+        (F.pmod(features.doc_id, F.lit(2**40)) * 100 + features.feature_idx).alias("point_id"),
+        "lon",
+        "lat",
+    ).limit(120)
+    polys = _poly_table(spark)
+
+    auto_small = pip_join(points, polys)
+    assert "ResolvedHint" in auto_small._jdf.queryExecution().analyzed().toString()
+
+    # simulate the country-scale-table regime by zeroing the budget
+    auto_big = pip_join(points, polys, broadcast_budget_bytes=0)
+    assert "ResolvedHint" not in auto_big._jdf.queryExecution().analyzed().toString()
+
+    forced = {(r.point_id, r.poly_id)
+              for r in pip_join(points, polys, broadcast_polys=True).collect()}
+    assert {(r.point_id, r.poly_id) for r in auto_big.collect()} == forced
+    assert {(r.point_id, r.poly_id) for r in auto_small.collect()} == forced
+    assert len(forced) > 0
+
+
 def test_pip_join_salted_equals_plain(spark, features):
     points = filter_by_type(features, "Point").select(
         (F.pmod(features.doc_id, F.lit(2**40)) * 100 + features.feature_idx).alias("point_id"),
