@@ -1490,7 +1490,14 @@ def q_stream_events_windows(spark, sf_dir):
         spark.readStream.schema(_EVENTS_DDL)
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    ts_i = F.from_utc_timestamp(F.col("ts"), F.current_timezone())  # tz-free: see _ntz_epoch_us
+    # Pin the NTZ wall time to a UTC instant with ZERO session-tz
+    # involvement: pure-NTZ epoch micros (see _ntz_epoch_us) -> instant.
+    # The previous from_utc_timestamp(ntz, current_timezone()) relied on the
+    # implicit NTZ->LTZ session cast cancelling against the explicit shift —
+    # exact only for FIXED-OFFSET zones (the two offsets are resolved at
+    # different points: wall time vs instant), so a DST-zone session with
+    # events near a transition would shift the hour bucket.
+    ts_i = F.timestamp_micros(_ntz_epoch_us("ts"))
     agg = (
         src.withColumn("ts_i", ts_i)
         .withWatermark("ts_i", "1 hour")

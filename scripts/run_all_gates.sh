@@ -15,6 +15,7 @@ run() {
 run "default"            __=
 run "odd parallelism"    GATE_MASTER='local[7]' GATE_SHUFFLE=13
 run "offset timezone"    GATE_TZ=Asia/Kolkata
+run "DST timezone"       GATE_TZ=America/New_York
 run "tiny arrow batches" GATE_ARROW_BATCH=37
 run "ansi off"           GATE_ANSI=false
 if [ "$fail" -ne 0 ]; then echo "GATE VARIANTS FAILED"; exit 1; fi
