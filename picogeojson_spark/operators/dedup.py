@@ -22,12 +22,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (lower-cased, whitespace
-    tokenized — same normalization the SQL oracle applies)."""
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan gives fewer partitions
+    than cores. Spark sizes scan partitions by bytes, so a small parquet
+    input caps the downstream hash/explode work at 1-2 tasks; at production
+    scale the scan has far more partitions than cores and this is a no-op
+    (no shuffle added — the partial-aggregation shuffle that follows stays
+    the only exchange and carries per-doc mins, not shingles)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
+def _raw_shingles(docs: DataFrame, n: int, id_col: str,
+                  text_col: str) -> DataFrame:
+    """All word n-gram shingle occurrences per document (duplicates kept)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = _spread(docs).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
     idx = F.sequence(F.lit(0), F.col("n_toks") - n)
     shingle = F.array_join(
@@ -36,28 +48,34 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return (
         d.withColumn("i", F.explode(idx))
         .select("doc_id", shingle.alias("shingle"))
-        .distinct()
     )
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (lower-cased, whitespace
+    tokenized — same normalization the SQL oracle applies)."""
+    return _raw_shingles(docs, n, id_col, text_col).distinct()
 
 
 def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles array<string>, sz): per-doc DISTINCT word n-grams,
-    built entirely JVM-side (array_distinct inside the row — zero shuffles).
-    Used by the LSH verify path, where per-pair set intersection beats a
-    shingle self-join because candidates << all pairs."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-    d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
-    arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_toks") - n),
-            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
-        )
-    )
-    return d.select("doc_id", arr.alias("shingles")).withColumn(
-        "sz", F.size("shingles")
-    )
+    """(doc_id, shingles array<string>, sz): per-doc DISTINCT word n-grams.
+
+    Built as explode -> ``collect_set`` (one shuffle of the shingle rows)
+    rather than an in-row ``transform(...)`` lambda. The in-row shape looks
+    shuffle-free, but Catalyst's CollapseProject inlines the ``split(text)``
+    tokenization INTO the lambda, and higher-order functions evaluate
+    interpreted — the split then re-runs once per shingle element, an
+    O(tokens^2) regex blowup per document (caught by stack-sampling: all
+    time in ArrayTransform.nullSafeEval -> StringSplit). The exploded
+    formulation stays in whole-stage codegen end to end; element ORDER in
+    ``shingles`` is not defined (callers use it only for set intersection /
+    size, both order-independent)."""
+    sh = _raw_shingles(docs, n, id_col, text_col)
+    return sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles")
+    ).withColumn("sz", F.size("shingles"))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -122,9 +140,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     """MinHash signature per doc: sig_i = min(md5(i || ':' || shingle)).
 
     One shuffle computes all ``num_hashes`` components (agg list), and md5 is
-    available verbatim in the SQL oracle.
+    available verbatim in the SQL oracle. Shingle duplicates are NOT
+    deduplicated first: ``min()`` over a multiset equals ``min()`` over its
+    set, so the values are identical and the distinct()'s full shuffle of
+    every shingle row is skipped — the only exchange left is the per-doc
+    partial-min shuffle (``num_hashes`` hex digests per doc per map task).
     """
-    sh = shingles_df(docs, n)
+    sh = _raw_shingles(docs, n, "doc_id", "text")
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(
             "sig_{}".format(i)
@@ -135,14 +157,26 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
-                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 4, threshold: float = 0.5,
+                      cache: str = "checkpoint") -> DataFrame:
     """LSH-bucketed candidate pairs, exact-verified by n-gram Jaccard.
 
     Output == { (a,b) : LSH band collision } ∩ { jaccard >= t }, both sides
     deterministic, so the SQL oracle reproduces it exactly.
-    """
+
+    ``cache`` controls the signature table: the band self-join consumes it
+    on BOTH sides, and without materialization Spark recomputes the whole
+    shingle-explode + num_hashes x md5 subtree twice (exchange reuse does
+    not survive AQE's per-side re-optimization here). "checkpoint"
+    (default) eagerly localCheckpoints the signatures — num_hashes hex
+    digests per doc, orders of magnitude smaller than the corpus, so the
+    materialization is cheap at any scale; "none" keeps the plan fully lazy
+    (lineage-preserving, for resume-from-checkpoint pipelines that manage
+    their own persistence)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, n, num_hashes)
+    if cache == "checkpoint":
+        sigs = sigs.localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
         parts = [F.col("sig_{}".format(b * rows + r)) for r in range(rows)]
@@ -161,13 +195,25 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
         )
         .distinct()
     )
+    if cache == "checkpoint":
+        # the pair table is consumed three times below (id extraction + the
+        # two verify joins); materializing it also hands AQE its exact size,
+        # so the verify joins broadcast whenever candidates are few
+        cand = cand.localCheckpoint(eager=True)
     # exact verify on CANDIDATES ONLY: join each pair to its two (distinct)
     # shingle arrays and intersect JVM-side. The naive alternative — the
     # full ngram_jaccard_pairs self-join — scores every co-shingled pair in
     # the corpus, which is exactly the quadratic work LSH exists to avoid;
     # this path's cost is O(candidates), and the LSH sketch only ever
-    # GATES work (output still exactly { band collision } ∩ { jaccard>=t })
-    arrs = shingle_arrays(docs, n)
+    # GATES work (output still exactly { band collision } ∩ { jaccard>=t }).
+    # Shingle arrays are built ONLY for docs that appear in some candidate
+    # pair (semi-join first): after LSH gating that is a small fraction of
+    # the corpus, so the in-row shingle-array construction — the priciest
+    # per-row expression here — never touches the non-candidate majority.
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    arrs = shingle_arrays(docs.join(cand_ids, on="doc_id", how="semi"), n)
     a = arrs.select(F.col("doc_id").alias("doc_a"),
                     F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = arrs.select(F.col("doc_id").alias("doc_b"),

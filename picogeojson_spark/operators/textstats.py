@@ -129,11 +129,20 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
     word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), n_words - 2),
-        lambda i: F.concat(
-            F.element_at(words, i + 1), F.lit(" "), F.element_at(words, i + 2)
+    # adjacent-pair 2-grams via zip_with(words, words[2:]) — NOT an indexed
+    # transform: element_at(words, i) inside a lambda makes Catalyst inline
+    # and re-evaluate the split(text) ONCE PER ELEMENT (interpreted HOF, no
+    # codegen), an O(words^2) regex blowup per document. zip_with evaluates
+    # both array arguments a single time; the shorter shifted slice pads the
+    # last element with null, dropped by slice() below.
+    grams = F.slice(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(n_words - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
+        1,
+        F.greatest(n_words - 1, F.lit(1)),
     )
     total_2g = F.when(n_words >= 2, n_words - 1).otherwise(F.lit(0)).cast("long")
     distinct_2g = F.when(
