@@ -961,6 +961,52 @@ FROM r WHERE rnk <= 10 ORDER BY lang, rnk
 """
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli-by-hash 10% corpus sample: membership is a
+    pure function of (salt, doc_id) — reproducible at any parallelism and
+    growth-stable under appends. A narrow codegen filter, zero shuffles."""
+    from picogeojson_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_sample(docs, 0.1).orderBy("doc_id")
+
+
+Q_SAMPLE_HASH_SQL = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 < 100000
+ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Fixed-size deterministic sample per language stratum (20 docs per
+    lang, first by (hash(doc_id), doc_id)): a reservoir sample whose
+    reservoir never reshuffles as the corpus grows. WindowGroupLimit
+    pre-prunes each map partition to 20 rows before the one exchange."""
+    from picogeojson_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, 20, key_col="lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS hb
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hb ASC, doc_id ASC)
+           AS rk
+  FROM h)
+SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
 def q_doc_hash_split(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split by id-hash bucket
     (80/10/10) — split membership is a pure function of doc_id, so the
@@ -990,6 +1036,8 @@ FROM b ORDER BY doc_id
 _EXTRA_QUERIES = {
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
     "text_gopher": q_text_gopher,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1005,6 +1053,8 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "text_top_terms": Q_TEXT_TOP_TERMS_SQL,
     "doc_hash_split": Q_DOC_HASH_SPLIT_SQL,
+    "sample_hash": Q_SAMPLE_HASH_SQL,
+    "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "text_gopher": Q_TEXT_GOPHER_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_jaccard": Q_DEDUP_JACCARD_SQL,

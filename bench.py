@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "sample_hash",
+    "sample_stratified",
     "text_tokens",
     "text_quality",
     "text_langid",

@@ -1,0 +1,87 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is the wrong tool for corpus curation at
+scale: membership changes across runs, across cluster sizes, and whenever
+partitioning shifts, so an experiment can never be re-cut from the raw
+corpus. Every operator here derives membership from a hash of the row's
+OWN id (plus a salt), which buys three properties the pipeline needs:
+
+- **reproducible**: same ids + same salt -> same sample, on any cluster,
+  at any parallelism, in any engine (md5 is the same everywhere — the
+  DuckDB oracle replays every assignment bit-for-bit);
+- **growth-stable**: appending new documents never changes the membership
+  of existing ones (critical for incremental crawls — the eval set cut
+  last month is still exactly inside the sample cut today);
+- **composable**: different salts give independent samples; the same salt
+  on two tables gives a CONSISTENT sample (joinable slices).
+
+Scale shape: ``hash_sample`` is a pure narrow filter (whole-stage codegen,
+evaluated in the scan stage — zero shuffles, zero driver actions).
+``stratified_sample`` shuffles once on the stratum key; its rank<=n filter
+is recognized by Spark's WindowGroupLimit rule, which pre-prunes each map
+partition to n rows before the exchange, so a pathologically hot stratum
+ships at most n rows per upstream partition instead of its full mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket count for fraction quantization — fractions resolve to 1e-6 steps
+BUCKETS = 1_000_000
+
+
+def hash_bucket(col, salt: str = "s0", buckets: int = BUCKETS):
+    """Deterministic bucket in [0, buckets) from md5(salt ':' value).
+
+    First 8 hex chars -> 32-bit integer (``conv``), mod buckets — the exact
+    construction the SQL oracle replays with
+    ``CAST(('0x' || substring(md5(...), 1, 8)) AS BIGINT) % buckets``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                salt: str = "s0", buckets: int = BUCKETS) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps a row iff its id's
+    hash bucket falls below ``fraction * buckets``.
+
+    ``fraction`` is quantized to 1/buckets steps (exactness over surprise:
+    the kept set is a pure function of ids, never of row order or count).
+    A pure narrow filter — no shuffle, no RNG state, no driver action.
+    """
+    threshold = int(round(fraction * buckets))
+    return df.filter(hash_bucket(id_col, salt, buckets) < F.lit(threshold))
+
+
+def stratified_sample(df: DataFrame, n_per_key: int, key_col: str = "lang",
+                      id_col: str = "doc_id", salt: str = "s0",
+                      buckets: int = BUCKETS) -> DataFrame:
+    """Fixed-size deterministic sample per stratum: the ``n_per_key`` rows
+    of each ``key_col`` group that rank first by (hash(id), id).
+
+    Statistically a per-stratum uniform sample (hash order is unrelated to
+    any data attribute), operationally a reservoir sample whose reservoir
+    never reshuffles: a stratum that grows only ever EVICTS the
+    highest-hash members, it never churns the rest. One exchange on the
+    stratum key; the rank<=n predicate triggers WindowGroupLimit so every
+    map partition pre-prunes to n rows before shuffling — a hot stratum
+    (half the corpus in one language) costs n rows per upstream partition,
+    not its full mass.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(id_col, salt, buckets).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_key)
+        .drop("_rk")
+    )
