@@ -697,7 +697,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _minhash_sql():
+def _minhash_cte_prefix():
+    """Shared CTE chain computing verified minhash/LSH duplicate pairs —
+    reused by the pair oracle and the transitive-cluster oracle."""
     sig_cols = ",\n       ".join(
         "MIN(md5('{i}:' || shingle)) AS sig_{i}".format(i=i) for i in range(16)
     )
@@ -707,8 +709,7 @@ def _minhash_sql():
         )
         for b in range(4)
     )
-    return """
-WITH sh AS ({shingles}),
+    return """sh AS ({shingles}),
      sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
      banded AS ({band_rows}),
      cand AS (
@@ -719,15 +720,56 @@ WITH sh AS ({shingles}),
      inter AS (
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_sz
        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b, i.inter_sz, (sa.sz + sb.sz - i.inter_sz) AS union_sz
-FROM cand c
-JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE i.inter_sz >= 0.5 * (sa.sz + sb.sz - i.inter_sz)
-ORDER BY c.doc_a, c.doc_b
-""".format(shingles=_SHINGLES_SQL, sig_cols=sig_cols, band_rows=band_rows)
+       GROUP BY 1, 2),
+     pairs AS (
+       SELECT c.doc_a, c.doc_b, i.inter_sz,
+              (sa.sz + sb.sz - i.inter_sz) AS union_sz
+       FROM cand c
+       JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       JOIN sizes sa ON sa.doc_id = c.doc_a
+       JOIN sizes sb ON sb.doc_id = c.doc_b
+       WHERE i.inter_sz >= 0.5 * (sa.sz + sb.sz - i.inter_sz))""".format(
+        shingles=_SHINGLES_SQL, sig_cols=sig_cols, band_rows=band_rows
+    )
+
+
+def _minhash_sql():
+    return """
+WITH {prefix}
+SELECT doc_a, doc_b, inter_sz, union_sz FROM pairs ORDER BY doc_a, doc_b
+""".format(prefix=_minhash_cte_prefix())
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters over the verified minhash/LSH pair
+    graph: distributed connected components (alternating large-star /
+    small-star, O(log n) rounds of groupBy-min + join) -> every graph node
+    mapped to its component-minimum representative. The oracle replays the
+    same pair graph and takes min-over-transitive-closure via a recursive
+    CTE."""
+    from picogeojson_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4,
+                              threshold=0.5)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql():
+    return """
+WITH RECURSIVE {prefix},
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, t) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON r.t = e.a WHERE e.b <> r.s)
+SELECT s AS doc_id, LEAST(s, MIN(t)) AS rep_id
+FROM reach GROUP BY s ORDER BY doc_id
+""".format(prefix=_minhash_cte_prefix())
 
 
 def q_text_tokens(spark, sf_dir):
@@ -1042,6 +1084,7 @@ _EXTRA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1059,6 +1102,7 @@ _EXTRA_ORACLES = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_jaccard": Q_DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "text_tokens": Q_TEXT_TOKENS_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),

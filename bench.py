@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "sample_hash",
     "sample_stratified",
     "text_tokens",

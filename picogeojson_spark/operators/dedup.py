@@ -100,6 +100,95 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
+                       dst: str = "doc_b", max_iters: int = 100) -> DataFrame:
+    """Transitive duplicate clusters: connected components over an
+    undirected pair graph -> one ``(doc_id, rep_id)`` row per graph node,
+    ``rep_id`` = the smallest id in the node's component (representatives
+    map to themselves; documents with no duplicate pair never enter the
+    graph and are implicitly their own representative).
+
+    Pair emitters (``minhash_lsh_pairs``, ``ngram_jaccard_pairs``,
+    ``exact_duplicates``) are not a dedup policy by themselves — similarity
+    is not transitive, so a corpus-level "keep one per group" needs the
+    components of the pair graph, not the pairs.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — O(log n) rounds on
+    any graph, and each round is TWO passes of groupBy-min + equi-join.
+    The per-node minimum is an aggregate and neighbors re-attach by join,
+    so no adjacency list is ever materialized: a component with millions
+    of members streams through like any other key instead of building one
+    giant collect_list row. Every round's edge set is localCheckpointed —
+    iterative lineage otherwise grows unboundedly and re-executes from the
+    source on every convergence probe.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e):
+        # for every node u: attach all LARGER neighbors to m(u) = min of
+        # the closed neighborhood. Symmetrize so each endpoint plays u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv")).alias("m")
+        return (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # key every edge by its larger endpoint; attach the smaller
+        # neighbors AND the node itself to the minimum of that set
+        t = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = t.groupBy("u").agg(F.min("v").alias("mv"))
+        attach_self = mins.select(F.col("u").alias("u"), F.col("mv").alias("v"))
+        attach_nbrs = (
+            t.join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        )
+        return (
+            attach_nbrs.union(attach_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # converged when the (distinct) edge sets are identical — at that
+        # point the edges ARE the component stars (child -> component min)
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError(
+            "duplicate_clusters did not converge in {} rounds".format(max_iters)
+        )
+
+    nodes = (
+        pairs.select(F.col(src).alias("doc_id"))
+        .union(pairs.select(F.col(dst).alias("doc_id")))
+        .distinct()
+    )
+    stars = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("rep"))
+    return (
+        nodes.join(stars, on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep_id")
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         max_df: int = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= t).

@@ -73,6 +73,70 @@ def test_minhash_lsh_recalls_near_dups(spark, docs):
     assert (1, 2) in lsh and (1, 7) in lsh
 
 
+def test_duplicate_clusters_matches_union_find(spark):
+    """Large-star/small-star connected components == a driver union-find
+    on randomized graphs (chains, forests, dense blobs)."""
+    import random
+
+    from picogeojson_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(7)
+    for n, m in [(12, 6), (80, 40), (150, 300)]:
+        edges = [
+            (rng.randrange(n) * 3 + 1, rng.randrange(n) * 3 + 1)
+            for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for v in nodes:
+            comps.setdefault(find(v), []).append(v)
+        want = {v: min(members) for members in comps.values() for v in members}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.rep_id for r in duplicate_clusters(df).collect()}
+        assert got == want
+
+
+def test_duplicate_clusters_chain_and_empty(spark):
+    """A long path graph (worst diameter for naive label propagation)
+    converges to a single min-rep cluster; empty input stays empty."""
+    from picogeojson_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r.doc_id: r.rep_id for r in duplicate_clusters(df).collect()}
+    assert got == {i: 1 for i in range(1, 41)}
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(empty).count() == 0
+
+
+def test_duplicate_clusters_over_minhash(spark, docs):
+    """End-to-end: exact dups 1/2/7 form one cluster with rep 1."""
+    from picogeojson_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    reps = {r.doc_id: r.rep_id
+            for r in duplicate_clusters(pairs).collect()}
+    assert reps[1] == reps[2] == reps[7] == 1
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     from picogeojson_spark.operators.dedup import simhash
 
