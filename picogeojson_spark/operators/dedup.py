@@ -22,17 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the scan gives fewer partitions
-    than cores. Spark sizes scan partitions by bytes, so a small parquet
-    input caps the downstream hash/explode work at 1-2 tasks; at production
-    scale the scan has far more partitions than cores and this is a no-op
-    (no shuffle added — the partial-aggregation shuffle that follows stays
-    the only exchange and carries per-doc mins, not shingles)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+from ._util import spread_small_scans as _spread
 
 
 def _raw_shingles(docs: DataFrame, n: int, id_col: str,

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_small_scans as _spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -151,7 +153,9 @@ def _band_keys(df: DataFrame, id_col: str, id_alias: str, vec_col: str,
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # tiny scan inputs would run this CPU-heavy UDF on 1-2 tasks; no-op at
+    # production scan sizes (see spread_small_scans)
+    return _spread(df.select(id_col, vec_col)).mapInPandas(
         keys, schema="{} long, band long, key long".format(id_alias)
     )
 
@@ -389,9 +393,9 @@ def ann_bruteforce_topk_np(
                  if chunk else np.zeros((0, 0)))
         q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
         bc = sc.broadcast((q_ids, q_mat, q_norms))
-        shards = corpus.select(
+        shards = _spread(corpus.select(
             F.col(corpus_id).alias(corpus_id), vec_col
-        ).mapInPandas(
+        )).mapInPandas(
             make_shard_topk(bc),
             schema="query_id long, neighbor_id long, cos double, cos_x1e6 long",
         )
@@ -546,16 +550,16 @@ def ann_ivf_topk(
 
         return run
 
-    q = queries.select(
+    q = _spread(queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("v")
-    ).mapInPandas(
+    )).mapInPandas(
         assign("query_id", nprobe),
         schema="query_id long, list_id int, v array<float>",
     ).select("query_id", "list_id", F.col("v").alias("qv"))
 
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("v")
-    ).mapInPandas(
+    )).mapInPandas(
         assign("neighbor_id", 1),
         schema="neighbor_id long, list_id int, v array<float>",
     ).select("neighbor_id", "list_id", F.col("v").alias("cv"))

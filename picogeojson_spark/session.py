@@ -65,6 +65,14 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # AQE's partition coalescing optimizes shuffle IO, not CPU: with the
+        # default 1 MiB floor it squeezed CPU-heavy Arrow-UDF stages (exact
+        # cosine scoring over candidate pairs) onto ~5 tasks because the
+        # DATA is only a few MB while the COMPUTE is seconds per MB. A 64 KiB
+        # floor keeps parallelismFirst honest for small-but-hot stages; at
+        # production scale post-shuffle partitions are far above either
+        # floor, so this changes nothing there.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     }
     if extra_conf:
         conf.update(extra_conf)
