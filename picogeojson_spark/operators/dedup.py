@@ -152,14 +152,19 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
             .distinct()
         )
 
+    n_edges = edges.count()
     for _ in range(max_iters):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
         # converged when the (distinct) edge sets are identical — at that
-        # point the edges ARE the component stars (child -> component min)
-        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+        # point the edges ARE the component stars (child -> component min).
+        # One count job per round (the previous round's count is carried);
+        # the exact exceptAll probe only runs when the counts match, which
+        # for this monotone iteration is the convergence round itself.
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
             edges = nxt
             break
-        edges = nxt
+        edges, n_edges = nxt, n_nxt
     else:
         raise RuntimeError(
             "duplicate_clusters did not converge in {} rounds".format(max_iters)
@@ -180,11 +185,18 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        max_df: int = None) -> DataFrame:
+                        max_df: int = None,
+                        cache: str = "checkpoint") -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= t).
 
     Emits jaccard scaled to an exact rational check: output columns are the
     integer intersection / union sizes (floats avoided entirely).
+
+    The distinct shingle table feeds THREE consumers (both self-join sides
+    and the per-doc sizes), so ``cache="checkpoint"`` (default) materializes
+    it once — without it Spark recomputes the tokenize-explode-distinct
+    subtree three times (alias-renamed subtrees defeat exchange reuse).
+    Pass ``cache="none"`` to keep the plan fully lazy (lineage-preserving).
     """
     sh = shingles_df(docs, n)
     if max_df is not None:
@@ -192,6 +204,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             F.col("df") <= max_df
         )
         sh = sh.join(keep.select("shingle"), on="shingle")
+    if cache == "checkpoint":
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
