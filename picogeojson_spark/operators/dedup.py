@@ -186,17 +186,19 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         max_df: int = None,
-                        cache: str = "checkpoint") -> DataFrame:
+                        cache: str = "none") -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= t).
 
     Emits jaccard scaled to an exact rational check: output columns are the
     integer intersection / union sizes (floats avoided entirely).
 
     The distinct shingle table feeds THREE consumers (both self-join sides
-    and the per-doc sizes), so ``cache="checkpoint"`` (default) materializes
-    it once — without it Spark recomputes the tokenize-explode-distinct
-    subtree three times (alias-renamed subtrees defeat exchange reuse).
-    Pass ``cache="none"`` to keep the plan fully lazy (lineage-preserving).
+    and the per-doc sizes). ``cache="none"`` (default) recomputes the
+    tokenize-explode-distinct subtree per consumer — measured FASTER than
+    materializing, because the shingle table is several times the corpus
+    size (unlike minhash's tiny signatures) and recompute from a columnar
+    scan is cheap. Pass ``cache="checkpoint"`` when the input itself is an
+    expensive derived pipeline worth computing only once.
     """
     sh = shingles_df(docs, n)
     if max_df is not None:

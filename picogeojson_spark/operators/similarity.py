@@ -393,9 +393,13 @@ def ann_bruteforce_topk_np(
                  if chunk else np.zeros((0, 0)))
         q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
         bc = sc.broadcast((q_ids, q_mat, q_norms))
-        shards = _spread(corpus.select(
+        # deliberately NOT spread: each shard's cost is one (q x shard)
+        # matmul, and numpy wants big batches — splitting a small corpus
+        # into per-core slivers pays python-worker overhead per sliver for
+        # matmuls that were already sub-millisecond (measured 2x slower)
+        shards = corpus.select(
             F.col(corpus_id).alias(corpus_id), vec_col
-        )).mapInPandas(
+        ).mapInPandas(
             make_shard_topk(bc),
             schema="query_id long, neighbor_id long, cos double, cos_x1e6 long",
         )
