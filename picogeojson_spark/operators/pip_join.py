@@ -29,7 +29,7 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geo.cells import DEFAULT_LEVEL, LEVEL_SHIFT, X_SHIFT, cell_of, cover_bbox_ints
+from ..geo.cells import DEFAULT_LEVEL, LEVEL_SHIFT, X_SHIFT, cover_bbox_ints
 
 MIN_LEVEL = 6
 
@@ -74,33 +74,45 @@ def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL,
     )
 
 
+def cell_expr(lon, lat, level: int):
+    """JVM-side replica of ``geo.cells.cell_of``: same double arithmetic in
+    the same order (add, divide, multiply, floor — all IEEE-754 binary64 on
+    both sides), same clip, same bit packing, so the produced cell ids are
+    BIT-IDENTICAL to the numpy kernel (pinned by a differential test over
+    random points plus the ±180/±90 edges). Being a plain expression it
+    runs in whole-stage codegen — no Python worker on the point side."""
+    from ..geo.cells import grid_shape
+
+    nx, ny = grid_shape(level)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny)))
+    x = F.least(F.greatest(x, F.lit(0).cast("long")),
+                F.lit(int(nx - 1)).cast("long"))
+    y = F.least(F.greatest(y, F.lit(0).cast("long")),
+                F.lit(int(ny - 1)).cast("long"))
+    return (
+        F.lit(int(level) << LEVEL_SHIFT).cast("long")
+        .bitwiseOR(F.shiftleft(x, X_SHIFT))
+        .bitwiseOR(y)
+    )
+
+
 def point_ancestors_df(points: DataFrame, level: int = DEFAULT_LEVEL,
                        min_level: int = MIN_LEVEL) -> DataFrame:
     """points(point_id, lon, lat) -> (cell, point_id, lon, lat), one row per
-    ancestor level so mixed-level polygon covers still equi-join."""
-    import pandas as pd
+    ancestor level so mixed-level polygon covers still equi-join.
 
-    def ancestors(batches):
-        for pdf in batches:
-            lon = pdf["lon"].to_numpy()
-            lat = pdf["lat"].to_numpy()
-            frames = []
-            for lv in range(min_level, level + 1):
-                cells = cell_of(lon, lat, lv)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "cell": cells,
-                            "point_id": pdf["point_id"].to_numpy(),
-                            "lon": lon,
-                            "lat": lat,
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    return points.select("point_id", "lon", "lat").mapInPandas(
-        ancestors, schema="cell long, point_id long, lon double, lat double"
+    Pure JVM expressions (``cell_expr`` per level, one array explode): the
+    point side — unbounded at production scale — pays NO Python stage here,
+    which also leaves the exact-refine UDF as the only Python stage in the
+    whole pip_join pipeline (chained mapInPandas UDFs in one stage
+    oversubscribe python workers; see CLAUDE.md)."""
+    cells = F.array(*[
+        cell_expr(F.col("lon"), F.col("lat"), lv)
+        for lv in range(min_level, level + 1)
+    ])
+    return points.select(
+        F.explode(cells).alias("cell"), "point_id", "lon", "lat"
     )
 
 

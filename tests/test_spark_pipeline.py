@@ -158,6 +158,51 @@ def test_pip_join_matches_oracle(spark, features):
     assert len(expected) > 0
 
 
+def test_cell_expr_matches_numpy_kernel(spark):
+    """The JVM cell expression must be BIT-identical to geo.cells.cell_of
+    for every level pip_join uses — random lattice + the ±180/±90 edges
+    (where floor lands exactly on nx/ny and the clip must engage)."""
+    import numpy as np
+
+    from picogeojson_spark.geo.cells import cell_of
+    from picogeojson_spark.operators.pip_join import MIN_LEVEL, cell_expr
+
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 20000),
+        np.array([-180.0, 180.0, 0.0, -179.999999, 179.999999,
+                  -1e-12, 1e-12, 45.5, -45.5, 179.5]),
+    ])
+    lat = np.concatenate([
+        rng.uniform(-90, 90, 20000),
+        np.array([-90.0, 90.0, 0.0, -89.999999, 89.999999,
+                  -1e-12, 1e-12, 22.25, -22.25, 89.5]),
+    ])
+    pdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double",
+    )
+    for lv in range(MIN_LEVEL, 11):
+        got = np.array([
+            r.c for r in pdf.select(
+                cell_expr(F.col("lon"), F.col("lat"), lv).alias("c")
+            ).collect()
+        ])
+        want = cell_of(lon, lat, lv)
+        assert (got == want).all(), "level {} diverged".format(lv)
+
+
+def test_point_ancestors_plan_has_no_python(spark, features):
+    """The point side of pip_join must be pure codegen — no Python stage."""
+    from picogeojson_spark.operators.pip_join import point_ancestors_df
+
+    pts = spark.createDataFrame([(1, 10.0, 20.0)],
+                                "point_id long, lon double, lat double")
+    plan = point_ancestors_df(pts)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+
+
 def test_pip_join_broadcast_autosizing(spark, features):
     """Default broadcast_polys=None sizes the cover side: a tiny polygon
     table gets the forced-broadcast plan (point side never shuffles), while
