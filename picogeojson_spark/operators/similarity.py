@@ -235,17 +235,7 @@ def ann_lsh_topk(
     )
     pairs = cand.join(q, on="query_id").join(c, on="neighbor_id")
     scored = _exact_cos_for_pairs(pairs, "query_id", "neighbor_id", "qv", "cv")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "neighbor_id",
-            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
-        )
-    )
+    return cosine_topk_tail(scored, k)
 
 
 def cosine_pairs_lsh(
@@ -518,59 +508,71 @@ def ann_ivf_topk(
     At 100 TB the list assignment is a narrow map (no shuffle); the
     list-id equi-join is the only exchange and AQE handles hot lists.
     """
-    import numpy as np
-    import pandas as pd
-
     if centroids is not None:
         cmat = centroids  # e.g. ivf_kmeans_centroids (trained offline)
     else:
         _, cmat = ivf_centroids(corpus, nlist, corpus_id, vec_col)
     bc = corpus.sparkSession.sparkContext.broadcast(cmat)
 
-    def assign(id_name, probes):
-        def run(batches):
-            C = bc.value
-            for pdf in batches:
-                if len(pdf) == 0 or C.size == 0:
-                    continue
-                v = np.asarray(list(pdf["v"]), dtype=np.float64)
-                vn = np.sqrt((v * v).sum(axis=1))
-                vn[vn == 0] = 1.0
-                sims = (v @ C.T) / vn[:, None]
-                # probes can exceed the centroid count when the corpus has
-                # fewer than nlist rows — clamp so id-repeat and the argsort
-                # slice stay the same length
-                kk = min(probes, C.shape[0])
-                # lexicographic tie-break: sim desc, list id asc (np.argsort
-                # is stable, so sorting -sims keeps index order on ties)
-                lists = np.argsort(-sims, kind="stable", axis=1)[:, :kk]
-                yield pd.DataFrame(
-                    {
-                        id_name: pdf[id_name].repeat(kk).values,
-                        "list_id": lists.reshape(-1).astype("int32"),
-                        "v": [row for row in pdf["v"].repeat(kk)],
-                    }
-                )
-
-        return run
-
-    q = _spread(queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("v")
-    )).mapInPandas(
-        assign("query_id", nprobe),
-        schema="query_id long, list_id int, v array<float>",
+    q = ivf_assign(
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("v")),
+        bc, "query_id", nprobe,
     ).select("query_id", "list_id", F.col("v").alias("qv"))
 
-    c = _spread(corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("v")
-    )).mapInPandas(
-        assign("neighbor_id", 1),
-        schema="neighbor_id long, list_id int, v array<float>",
+    c = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("v")),
+        bc, "neighbor_id", 1,
     ).select("neighbor_id", "list_id", F.col("v").alias("cv"))
 
     scored = _exact_cos_for_pairs(
         q.join(c, on="list_id"), "query_id", "neighbor_id", "qv", "cv"
     )
+    return cosine_topk_tail(scored, k)
+
+
+def ivf_assign(df: DataFrame, bc, id_name: str, probes: int) -> DataFrame:
+    """(id, v) -> one (id, list_id, v) row per probed inverted list, via a
+    vectorized matmul against the broadcast centroid matrix. Shared by the
+    ad-hoc ``ann_ivf_topk`` path and the persistent index build/query paths
+    so their list assignments are identical by construction."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or C.size == 0:
+                continue
+            v = np.asarray(list(pdf["v"]), dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            vn[vn == 0] = 1.0
+            sims = (v @ C.T) / vn[:, None]
+            # probes can exceed the centroid count when the corpus has
+            # fewer than nlist rows — clamp so id-repeat and the argsort
+            # slice stay the same length
+            kk = min(probes, C.shape[0])
+            # lexicographic tie-break: sim desc, list id asc (np.argsort
+            # is stable, so sorting -sims keeps index order on ties)
+            lists = np.argsort(-sims, kind="stable", axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].repeat(kk).values,
+                    "list_id": lists.reshape(-1).astype("int32"),
+                    "v": [row for row in pdf["v"].repeat(kk)],
+                }
+            )
+
+    return _spread(df).mapInPandas(
+        run, schema="{} long, list_id int, v array<float>".format(id_name)
+    )
+
+
+def cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, neighbor_id, cos) -> ranked top-k with the family's
+    canonical tie-break (cos desc, neighbor_id asc) and scaled-integer
+    score output."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
