@@ -1069,6 +1069,75 @@ def test_stream_dedup_exact_cross_batch_and_restart(spark, tmp_path):
     assert {u for u, _ in new} == {"u5"}, new
 
 
+def test_stream_band_keys_match_batch_minhash(spark, docs):
+    """The streaming per-row band keys must equal the batch operator's
+    (concat of md5-min signature groups) doc for doc, band for band."""
+    from picogeojson_spark.operators.dedup import minhash_signatures
+    from picogeojson_spark.streaming.stateful import _band_keys_udf
+
+    got = {
+        (r.doc_id, r.band): r.key
+        for r in docs.select("doc_id", "text").mapInPandas(
+            _band_keys_udf(3, 16, 4, "doc_id", "text"),
+            schema="doc_id long, band int, key string",
+        ).collect()
+    }
+    sigs = minhash_signatures(docs, 3, 16).collect()
+    want = {}
+    for r in sigs:
+        for b in range(4):
+            want[(r.doc_id, b)] = "".join(
+                r["sig_{}".format(b * 4 + i)] for i in range(4)
+            )
+    assert got == want
+
+
+def test_stream_dedup_minhash_cross_batch(spark, tmp_path):
+    """Near-dup candidates flow in-batch AND across restarts (checkpointed
+    band-key state): a re-crawl of known content is flagged against the
+    original representative."""
+    from picogeojson_spark.streaming.stateful import stream_dedup_minhash
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(src)
+        q = (
+            stream_dedup_minhash(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.doc_id, r.rep_id)
+                for r in spark.read.parquet(out).collect()}
+
+    base = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(1, base), (2, base),
+         (5, "completely different text about spark engines and data")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    # identical docs collide in every band; rep is the min id in the batch
+    assert first == {(2, 1)}
+
+    spark.createDataFrame(
+        [(9, base), (10, "unrelated fresh content nothing shared here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run_once()
+    # the re-crawl (9) is flagged against the checkpointed rep (1);
+    # fresh content stays silent
+    assert second - first == {(9, 1)}
+
+
 def test_asof_join_semantics(spark):
     from picogeojson_spark.operators.asof import asof_join
 
