@@ -1141,7 +1141,9 @@ def q_text_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
 
 
-def _simhash_sql(bits=16):
+def _simhash_cte_prefix(bits=16):
+    """Shared CTE chain ending in sim(doc_id, simhash) — reused by the
+    per-doc simhash oracle and the hamming-pairs oracle."""
     votes = ",\n       ".join(
         "SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}".format(k=k)
         for k in range(bits)
@@ -1150,16 +1152,63 @@ def _simhash_sql(bits=16):
         "CASE WHEN v{k} > 0 THEN CAST({p} AS BIGINT) ELSE 0 END".format(k=k, p=2**k)
         for k in range(bits)
     )
-    return r"""
-WITH toks AS (
+    return r"""toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
   FROM documents),
 hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h
   FROM toks),
-votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
-SELECT doc_id, {packed} AS simhash FROM votes ORDER BY doc_id
-""".format(votes=votes, packed=packed)
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sim AS (SELECT doc_id, {packed} AS simhash FROM votes)""".format(
+        votes=votes, packed=packed
+    )
+
+
+def _simhash_sql(bits=16):
+    return """
+WITH {prefix}
+SELECT doc_id, simhash FROM sim ORDER BY doc_id
+""".format(prefix=_simhash_cte_prefix(bits))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-ball near-dup pairs (d<=3 over 32 bits, 4 bit-block
+    bands): pigeonhole bucketing is EXACT — within distance d, at most d
+    blocks differ, so bands >= d+1 guarantees a shared block — and the
+    bit_count(xor) verify is replayed verbatim by the oracle. 32 bits keeps
+    the hamming ball selective (16-bit hashes put a third of all random
+    pairs within d=3; 8-bit blocks collide at ~1/256, so candidates stay
+    near the true near-dup count as the corpus grows)."""
+    from picogeojson_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=32, bands=4
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs_sql(bits=16, bands=4, max_hamming=3):
+    w = bits // bands
+    block_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, simhash, {b} AS blk, (simhash >> {lo}) & {mask} AS val FROM sim".format(
+            b=b, lo=b * w,
+            mask=(1 << ((bits - b * w) if b == bands - 1 else w)) - 1,
+        )
+        for b in range(bands)
+    )
+    return """
+WITH {prefix},
+banded AS ({block_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y
+    ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {d}
+ORDER BY doc_a, doc_b
+""".format(prefix=_simhash_cte_prefix(bits), block_rows=block_rows,
+           d=max_hamming)
 
 
 def q_geo_transform(spark, sf_dir):
@@ -1211,6 +1260,8 @@ ORDER BY id
 
 _EXTRA_QUERIES["text_simhash"] = q_text_simhash
 _EXTRA_ORACLES["text_simhash"] = _simhash_sql()
+_EXTRA_QUERIES["dedup_simhash_pairs"] = q_dedup_simhash_pairs
+_EXTRA_ORACLES["dedup_simhash_pairs"] = _simhash_pairs_sql(bits=32)
 _EXTRA_QUERIES["geo_transform"] = q_geo_transform
 _EXTRA_ORACLES["geo_transform"] = Q_GEO_TRANSFORM_SQL
 

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_simhash_pairs",
     "sample_hash",
     "sample_stratified",
     "text_tokens",

@@ -366,6 +366,65 @@ def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
+                  bands: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: (doc_a < doc_b, hamming) with hamming
+    distance between the two ``bits``-bit simhashes at most ``max_hamming``.
+
+    Pigeonhole bucketing makes this EXACT, not approximate: the hash splits
+    into ``bands`` contiguous bit blocks, and two hashes within distance d
+    differ in at most d blocks — with ``bands >= d+1`` they therefore agree
+    on at least one whole block, so the block equi-join surfaces every
+    qualifying pair (zero recall loss) and ``bit_count(xor)`` verifies
+    exactly. All JVM expressions end to end (simhash itself is one
+    explode + groupBy); candidates << all pairs because a block match needs
+    ``bits/bands`` identical bits, so the verify stays cheap at scale.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming or the block join loses pairs"
+        )
+    w = bits // bands
+    sh = simhash(docs, bits, id_col, text_col)
+    blocks = []
+    for b in range(bands):
+        lo = b * w
+        width = bits - lo if b == bands - 1 else w  # last block: remainder
+        mask = (1 << width) - 1
+        blocks.append(F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(
+                F.lit(mask)).alias("val"),
+        ))
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("bk")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["blk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def hash_split(docs: DataFrame, fractions, id_col: str = "doc_id",
                buckets: int = 1000):
     """Deterministic dataset split (train/val/test) by content-independent

@@ -73,6 +73,35 @@ def test_minhash_lsh_recalls_near_dups(spark, docs):
     assert (1, 2) in lsh and (1, 7) in lsh
 
 
+def test_simhash_pairs_equals_bruteforce_hamming(spark, docs):
+    """Block-bucketed pairs == all-pairs bit_count(xor) <= d, for every
+    (bits, bands, d) combo the pigeonhole guarantee covers."""
+    from picogeojson_spark.operators.dedup import simhash, simhash_pairs
+
+    for bits, bands, d in [(16, 4, 3), (32, 4, 3), (32, 8, 5)]:
+        hashes = {r.doc_id: r.simhash
+                  for r in simhash(docs, bits=bits).collect()}
+        ids = sorted(hashes)
+        want = {
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hashes[a] ^ hashes[b]).count("1") <= d
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(docs, max_hamming=d, bits=bits,
+                                   bands=bands).collect()
+        }
+        assert got == want, (bits, bands, d)
+
+
+def test_simhash_pairs_rejects_lossy_banding(spark, docs):
+    from picogeojson_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4, bands=4)
+
+
 def test_duplicate_clusters_matches_union_find(spark):
     """Large-star/small-star connected components == a driver union-find
     on randomized graphs (chains, forests, dense blobs)."""
