@@ -488,6 +488,40 @@ ORDER BY point_id
 """.format(points=_POINTS_SQL)
 
 
+def q_geo_tile_pyramid(spark, sf_dir):
+    """Multi-zoom tile rollup (z=4..8): one point shuffle at the finest
+    zoom, coarser levels cascade parent = child >> 1 (XYZ tiles nest — an
+    IEEE floor identity). The oracle computes every level DIRECTLY from
+    the points, so a hash match proves the cascade exact."""
+    from picogeojson_spark.operators.tiling import tile_pyramid
+
+    pts = _points_from_customer(spark, sf_dir)
+    return tile_pyramid(pts, z_min=4, z_max=8).orderBy(
+        "tile_z", "tile_x", "tile_y"
+    )
+
+
+def _tile_pyramid_sql(z_min=4, z_max=8):
+    per = []
+    for z in range(z_min, z_max + 1):
+        n = 2 ** z
+        per.append(
+            "SELECT CAST({z} AS INTEGER) AS tile_z,\n"
+            "       CAST(greatest(least(floor((lon + 180) / 360 * {n}), {n1}), 0) AS BIGINT) AS tile_x,\n"
+            "       CAST(greatest(least(floor((1 - ln(tan(radians(clat)) + 1 / cos(radians(clat))) / pi()) / 2 * {n}), {n1}), 0) AS BIGINT) AS tile_y\n"
+            "FROM c".format(z=z, n=n, n1=n - 1)
+        )
+    return """
+WITH pts AS ({points}),
+c AS (SELECT point_id, lon,
+             greatest(least(lat, 85.05112878), -85.05112878) AS clat
+      FROM pts),
+levels AS ({levels})
+SELECT tile_z, tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM levels GROUP BY 1, 2, 3 ORDER BY tile_z, tile_x, tile_y
+""".format(points=_POINTS_SQL, levels="\nUNION ALL\n".join(per))
+
+
 def q_geo_cell_index(spark, sf_dir):
     """Hierarchical cell ids at level 12 + a level-8 parent rollup count."""
     from picogeojson_spark.functions.geo_udfs import cell_of_udf
@@ -593,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_holes": q_geo_pip_holes,
         "geo_knn": q_geo_knn,
         "geo_tile_assign": q_geo_tile_assign,
+        "geo_tile_pyramid": q_geo_tile_pyramid,
         "geo_cell_index": q_geo_cell_index,
         "geo_bbox_agg": q_geo_bbox_agg,
     }
@@ -610,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_holes": Q_GEO_PIP_HOLES_SQL,
         "geo_knn": Q_GEO_KNN_SQL,
         "geo_tile_assign": Q_GEO_TILE_SQL,
+        "geo_tile_pyramid": _tile_pyramid_sql(),
         "geo_cell_index": Q_GEO_CELL_SQL,
         "geo_bbox_agg": Q_GEO_BBOX_SQL,
     }

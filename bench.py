@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "geo_pip_holes",
     "geo_knn",
     "geo_tile_assign",
+    "geo_tile_pyramid",
     "geo_cell_index",
     "geo_bbox_agg",
     "geo_transform",

@@ -48,6 +48,48 @@ def assign_tiles_points(points: DataFrame, z: int,
     )
 
 
+def tile_pyramid(points: DataFrame, z_min: int = 4, z_max: int = 10,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Point counts per tile for EVERY zoom in [z_min, z_max] — the
+    multi-resolution heatmap/rollup table.
+
+    OLAP rollup cascade: the point set is shuffled ONCE (the groupBy at the
+    finest zoom); every coarser level aggregates the PREVIOUS level's
+    aggregates, because XYZ tiles nest exactly — parent = child >> 1, an
+    IEEE floor identity (scaling by a power of two only changes the
+    exponent, so floor(u*n) >> 1 == floor(u*n/2), and the 0/n-1 clamps
+    shift consistently; pinned by a rollup-vs-direct-assignment test). At
+    production scale that is the difference between one corpus-wide
+    shuffle and (z_max - z_min + 1) of them: the cascade's later shuffles
+    move tile-count rows, bounded by 4^z, not points.
+    """
+    if z_min > z_max:
+        raise ValueError("z_min must be <= z_max")
+    base = (
+        assign_tiles_points(points, z_max, lon_col, lat_col)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+    levels = [base]
+    cur = base
+    for z in range(z_max - 1, z_min - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("tile_z"),
+                F.shiftright("tile_x", 1).alias("tile_x"),
+                F.shiftright("tile_y", 1).alias("tile_y"),
+                "n_points",
+            )
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def tile_cover_features(features: DataFrame, z: int,
                         id_cols=("doc_id", "feature_idx")) -> DataFrame:
     """features (with bbox struct) -> one row per covering tile at zoom z."""

@@ -158,6 +158,39 @@ def test_pip_join_matches_oracle(spark, features):
     assert len(expected) > 0
 
 
+def test_tile_pyramid_rollup_equals_direct_assignment(spark):
+    """The parent=child>>1 cascade must equal assigning tiles DIRECTLY at
+    every zoom — including poles (mercator clamp), the dateline, and
+    exact tile-boundary points."""
+    import numpy as np
+
+    from picogeojson_spark.operators.tiling import (
+        assign_tiles_points,
+        tile_pyramid,
+    )
+
+    rng = np.random.default_rng(5)
+    lon = np.concatenate([rng.uniform(-180, 180, 4000),
+                          [-180.0, 180.0, 0.0, 90.0, -90.0, 179.999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 4000),
+                          [90.0, -90.0, 0.0, 85.06, -85.06, 66.6]])
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "point_id long, lon double, lat double",
+    )
+    got = {
+        (r.tile_z, r.tile_x, r.tile_y): r.n_points
+        for r in tile_pyramid(pts, z_min=3, z_max=9).collect()
+    }
+    want = {}
+    for z in range(3, 10):
+        for r in (assign_tiles_points(pts, z)
+                  .groupBy("tile_z", "tile_x", "tile_y")
+                  .agg(F.count("*").alias("n")).collect()):
+            want[(r.tile_z, r.tile_x, r.tile_y)] = r.n
+    assert got == want
+
+
 def test_cell_expr_matches_numpy_kernel(spark):
     """The JVM cell expression must be BIT-identical to geo.cells.cell_of
     for every level pip_join uses — random lattice + the ±180/±90 edges
