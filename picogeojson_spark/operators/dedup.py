@@ -26,10 +26,17 @@ from ._util import spread_small_scans as _spread
 
 
 def _raw_shingles(docs: DataFrame, n: int, id_col: str,
-                  text_col: str) -> DataFrame:
-    """All word n-gram shingle occurrences per document (duplicates kept)."""
+                  text_col: str, spread: bool = False) -> DataFrame:
+    """All word n-gram shingle occurrences per document (duplicates kept).
+
+    ``spread=True`` lifts tiny scan inputs onto all cores BEFORE the
+    explode — worth it only when heavy per-shingle compute (minhash's
+    num_hashes x md5) runs pre-shuffle; the plain jaccard path is
+    shuffle-bound (its distinct/self-join exchanges already redistribute)
+    and measured faster without the extra repartition."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    d = _spread(docs).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    src = _spread(docs) if spread else docs
+    d = src.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
     idx = F.sequence(F.lit(0), F.col("n_toks") - n)
     shingle = F.array_join(
@@ -241,7 +248,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     every shingle row is skipped — the only exchange left is the per-doc
     partial-min shuffle (``num_hashes`` hex digests per doc per map task).
     """
-    sh = _raw_shingles(docs, n, "doc_id", "text")
+    sh = _raw_shingles(docs, n, "doc_id", "text", spread=True)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(
             "sig_{}".format(i)

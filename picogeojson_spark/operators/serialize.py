@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..geo import codec
 from ..geo.algebra import burst as kernel_burst
 from ..geo.algebra import make_feature, make_feature_collection, merge as kernel_merge
+from ._util import spread_small_scans as _spread
 
 
 def _feature_from_row(geometry_json, props_json, feature_id, crs_json):
@@ -149,8 +150,10 @@ def burst_features(features: DataFrame) -> DataFrame:
             out.append(parts)
         return pd.Series(out)
 
+    # tiny scan inputs would run the burst kernel single-task (see
+    # spread_small_scans — a no-op at production scan sizes)
     return (
-        features.withColumn(
+        _spread(features).withColumn(
             "part_json", F.explode(do_burst(F.col("geometry_json"), F.col("crs")))
         )
         .withColumn("part_type", F.get_json_object("part_json", "$.type"))
