@@ -689,13 +689,17 @@ ORDER BY rep_id, dup_id
 """.format(docs=_DOCS_DUP_SQL)
 
 
-_SHINGLES_SQL = r"""
+def _shingles_sql(table="documents"):
+    return r"""
 SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
 FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-      FROM documents) t,
+      FROM {table}) t,
      LATERAL (SELECT unnest(range(0, len(toks) - 2)) AS i) s
 WHERE len(toks) >= 3
-"""
+""".format(table=table)
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -733,9 +737,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _minhash_cte_prefix():
+def _minhash_cte_prefix(table="documents"):
     """Shared CTE chain computing verified minhash/LSH duplicate pairs —
-    reused by the pair oracle and the transitive-cluster oracle."""
+    reused by the pair oracle, the transitive-cluster oracle, and the
+    corpus-curation pipeline oracle (parameterized input table)."""
     sig_cols = ",\n       ".join(
         "MIN(md5('{i}:' || shingle)) AS sig_{i}".format(i=i) for i in range(16)
     )
@@ -765,7 +770,7 @@ def _minhash_cte_prefix():
        JOIN sizes sa ON sa.doc_id = c.doc_a
        JOIN sizes sb ON sb.doc_id = c.doc_b
        WHERE i.inter_sz >= 0.5 * (sa.sz + sb.sz - i.inter_sz))""".format(
-        shingles=_SHINGLES_SQL, sig_cols=sig_cols, band_rows=band_rows
+        shingles=_shingles_sql(table), sig_cols=sig_cols, band_rows=band_rows
     )
 
 
@@ -1085,6 +1090,109 @@ SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
 """
 
 
+def q_corpus_curate(spark, sf_dir):
+    """END-TO-END corpus curation — the flagship composition a training-
+    data pipeline actually runs: Gopher quality gates -> minhash/LSH
+    near-dup pairs -> transitive clusters -> keep one representative per
+    cluster -> leakage-safe hash split -> per-split corpus stats. The
+    oracle replays the WHOLE pipeline in one SQL statement (gates +
+    recursive-CTE components + split CASE), so the hash check certifies
+    the composition, not just the parts."""
+    from picogeojson_spark.operators.dedup import (
+        duplicate_clusters,
+        hash_split,
+        minhash_lsh_pairs,
+    )
+    from picogeojson_spark.operators.textstats import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = gopher_quality_flags(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(kept_ids, on="doc_id")
+    pairs = minhash_lsh_pairs(kept.select("doc_id", "text"), n=3,
+                              num_hashes=16, bands=4, threshold=0.5)
+    drop = duplicate_clusters(pairs).filter(
+        F.col("doc_id") != F.col("rep_id")
+    ).select("doc_id")
+    survivors = kept.join(drop, on="doc_id", how="left_anti")
+    split = hash_split(survivors,
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+def _corpus_curate_sql():
+    gate = r"""gw AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) END AS n_words,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents),
+gm AS (
+  SELECT doc_id, n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x)))
+              AS BIGINT) AS word_chars,
+         CAST(CASE WHEN n_words >= 2 THEN n_words - 1 ELSE 0 END
+              AS BIGINT) AS total_2grams,
+         CASE WHEN n_words >= 2
+              THEN CAST(len(list_distinct(list_transform(
+                       range(len(toks) - 1),
+                       i -> toks[i + 1] || ' ' || toks[i + 2])))
+                   AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS distinct_2grams
+  FROM gw),
+gx AS (
+  SELECT doc_id, n_words, total_2grams, distinct_2grams,
+         CAST(CASE WHEN n_words > 0
+                   THEN (word_chars * 1000000) // n_words
+                   ELSE 0 END AS BIGINT) AS mean_word_len_x1e6,
+         CAST(CASE WHEN total_2grams > 0
+                   THEN ((total_2grams - distinct_2grams) * 1000000)
+                        // total_2grams
+                   ELSE 0 END AS BIGINT) AS dup_2gram_frac_x1e6
+  FROM gm),
+kept_docs AS (
+  SELECT d.doc_id, d.text, d.n_chars
+  FROM documents d JOIN gx ON d.doc_id = gx.doc_id
+  WHERE gx.n_words >= 5 AND gx.n_words <= 100000
+    AND gx.mean_word_len_x1e6 >= 2000000
+    AND gx.mean_word_len_x1e6 <= 12000000
+    AND gx.dup_2gram_frac_x1e6 <= 400000)"""
+    return """
+WITH RECURSIVE {gate},
+{minhash},
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, t) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON r.t = e.a WHERE e.b <> r.s),
+dropped AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s),
+surv AS (
+  SELECT doc_id, n_chars FROM kept_docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+splitd AS (
+  SELECT n_chars,
+         CASE WHEN b < 800 THEN 'train'
+              WHEN b < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT n_chars,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000 AS b
+        FROM surv))
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM splitd GROUP BY split ORDER BY split
+""".format(gate=gate, minhash=_minhash_cte_prefix(table="kept_docs"))
+
+
 def q_doc_hash_split(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split by id-hash bucket
     (80/10/10) — split membership is a pure function of doc_id, so the
@@ -1114,6 +1222,7 @@ FROM b ORDER BY doc_id
 _EXTRA_QUERIES = {
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
+    "corpus_curate": q_corpus_curate,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "text_gopher": q_text_gopher,
@@ -1132,6 +1241,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "text_top_terms": Q_TEXT_TOP_TERMS_SQL,
     "doc_hash_split": Q_DOC_HASH_SPLIT_SQL,
+    "corpus_curate": _corpus_curate_sql(),
     "sample_hash": Q_SAMPLE_HASH_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "text_gopher": Q_TEXT_GOPHER_SQL,

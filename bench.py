@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_pairs",
+    "corpus_curate",
     "sample_hash",
     "sample_stratified",
     "text_tokens",
