@@ -2268,3 +2268,150 @@ ORDER BY a_id, b_id
 
 _EXTRA_QUERIES["geo_poly_intersect"] = q_geo_poly_intersect
 _EXTRA_ORACLES["geo_poly_intersect"] = Q_GEO_POLY_INTERSECT_SQL
+
+
+def _ngram_occ_sql(table, n):
+    """All word n-gram occurrences (duplicates kept) — oracle counterpart of
+    operators.dedup._raw_shingles at arbitrary n."""
+    return r"""
+SELECT doc_id, array_to_string(toks[i+1:i+{n}], ' ') AS shingle
+FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM {table}) t,
+     LATERAL (SELECT unnest(range(0, len(toks) - {nm1})) AS i) s
+WHERE len(toks) >= {n}
+""".format(table=table, n=n, nm1=n - 1)
+
+
+def q_dedup_ngram_spans(spark, sf_dir):
+    """Cross-document duplicated-span fractions (substring dedup at 8-gram
+    granularity, Lee et al. 2022 family): per doc, how many of its word
+    8-gram occurrences appear in any OTHER document. Explode -> gram-key
+    aggregate -> semi-join; never pairwise."""
+    from picogeojson_spark.operators.dedup import ngram_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_span_stats(docs, n=8).orderBy("doc_id")
+
+
+Q_DEDUP_NGRAM_SPANS_SQL = """
+WITH occ AS ({occ}),
+pd AS (SELECT doc_id, shingle, COUNT(*) AS occ FROM occ GROUP BY 1, 2),
+dup AS (SELECT shingle FROM pd GROUP BY shingle HAVING COUNT(*) >= 2),
+tot AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS total_ngrams
+        FROM pd GROUP BY doc_id),
+d AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS dup_ngrams
+      FROM pd WHERE shingle IN (SELECT shingle FROM dup) GROUP BY doc_id)
+SELECT t.doc_id, t.total_ngrams,
+       CAST(COALESCE(d.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       CAST((COALESCE(d.dup_ngrams, 0) * 1000000) // t.total_ngrams
+            AS BIGINT) AS dup_frac_x1e6
+FROM tot t LEFT JOIN d USING (doc_id) ORDER BY doc_id
+""".format(occ=_ngram_occ_sql("documents", 8))
+
+_EXTRA_QUERIES["dedup_ngram_spans"] = q_dedup_ngram_spans
+_EXTRA_ORACLES["dedup_ngram_spans"] = Q_DEDUP_NGRAM_SPANS_SQL
+
+
+def q_decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination: training docs (hash-split 'train') that
+    share any word 8-gram with the held-out 'test' slice — the GPT-3-style
+    n-gram overlap check as a broadcastable gram semi-join."""
+    from picogeojson_spark.operators.dedup import (
+        contamination_flags,
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = s.filter(F.col("split") == "train").drop("split")
+    bench = s.filter(F.col("split") == "test").drop("split")
+    return contamination_flags(train, bench, n=8).orderBy("doc_id")
+
+
+Q_DECONTAM_NGRAM_SQL = """
+WITH bkt AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bk
+  FROM documents),
+tr AS (SELECT doc_id, text FROM bkt WHERE bk < 800),
+ev AS (SELECT doc_id, text FROM bkt WHERE bk >= 900),
+tg AS (SELECT DISTINCT doc_id, shingle FROM ({tocc}) x),
+eg AS (SELECT DISTINCT shingle FROM ({eocc}) y),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tg WHERE shingle IN (SELECT shingle FROM eg) GROUP BY doc_id)
+SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM tg) t
+LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+""".format(tocc=_ngram_occ_sql("tr", 8), eocc=_ngram_occ_sql("ev", 8))
+
+_EXTRA_QUERIES["decontam_ngram"] = q_decontam_ngram
+_EXTRA_ORACLES["decontam_ngram"] = Q_DECONTAM_NGRAM_SQL
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition filter: per-doc most frequent word 2-gram and the
+    fraction of word characters its occurrences cover (x1e6 integer)."""
+    from picogeojson_spark.operators.textstats import repetition_top_ngram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_top_ngram(docs, n=2).orderBy("doc_id")
+
+
+Q_TEXT_REPETITION_SQL = """
+WITH occ AS ({occ}),
+counts AS (
+  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, shingle, cnt
+  FROM (SELECT doc_id, shingle, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, shingle ASC) AS rnk
+        FROM counts) r
+  WHERE rnk = 1),
+wc AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(
+              regexp_split_to_array(lower(trim(text)), '\\s+'),
+              x -> length(x))) AS BIGINT) AS word_chars
+  FROM documents)
+SELECT t.doc_id, t.shingle AS top_gram, t.cnt AS top_n,
+       CAST(CASE WHEN w.word_chars > 0
+                 THEN (t.cnt * length(replace(t.shingle, ' ', ''))
+                       * 1000000) // w.word_chars
+                 ELSE 0 END AS BIGINT) AS rep_frac_x1e6
+FROM top t JOIN wc w USING (doc_id) ORDER BY doc_id
+""".format(occ=_ngram_occ_sql("documents", 2))
+
+_EXTRA_QUERIES["text_repetition"] = q_text_repetition
+_EXTRA_ORACLES["text_repetition"] = Q_TEXT_REPETITION_SQL
+
+
+def q_pack_shards(spark, sf_dir):
+    """Training-shard packing: exclusive prefix sum of n_chars in doc_id
+    order, cut every 100k — two-level scan (bucketed windows + tiny bucket
+    prefix), never a single global window task."""
+    from picogeojson_spark.operators.packing import pack_token_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_token_shards(docs, budget=100000).orderBy("doc_id")
+
+
+Q_PACK_SHARDS_SQL = """
+WITH c AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(COALESCE(SUM(n_chars) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM documents)
+SELECT doc_id, weight, start_offset,
+       CAST(start_offset // 100000 AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["pack_shards"] = q_pack_shards
+_EXTRA_ORACLES["pack_shards"] = Q_PACK_SHARDS_SQL

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_pairs",
+    "dedup_ngram_spans",
+    "decontam_ngram",
     "corpus_curate",
     "sample_hash",
     "sample_stratified",
@@ -47,6 +49,8 @@ BENCH_QUERIES = [
     "text_langid",
     "text_simhash",
     "text_gopher",
+    "text_repetition",
+    "pack_shards",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

@@ -432,6 +432,98 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 16,
     )
 
 
+def ngram_span_stats(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span statistics — the n-gram-granular form
+    of substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many of
+    its word ``n``-gram occurrences also appear in at least one OTHER
+    document. Docs with a high ``dup_frac`` are boilerplate / templated /
+    copied content even when no whole-document near-dup pair exists.
+
+    Output: ``(doc_id, total_ngrams, dup_ngrams, dup_frac_x1e6)`` — one row
+    per document with at least one n-gram (>= n tokens). Fractions are
+    exact integers (x1e6 via integer division), so the SQL oracle matches
+    bit-for-bit.
+
+    Scale shape: this is the standard distributed formulation — explode
+    n-gram occurrences, aggregate by gram (map-side partial agg), semi-join
+    the duplicated-gram set back. No pairwise comparison ever happens: cost
+    is O(corpus tokens) rows through two hash shuffles, and the duplicated
+    gram set (usually a small fraction) broadcasts when small. The suffix
+    array the single-node reference approach builds is replaced by gram
+    hashing, the same trade the original paper's MapReduce variant makes.
+    """
+    occ = _raw_shingles(docs, n, id_col, text_col)
+    per_doc = occ.groupBy("doc_id", "shingle").agg(
+        F.count("*").alias("occ")
+    )
+    # a gram is "duplicated" when it appears in >= 2 distinct docs; per_doc
+    # already has one row per (doc, gram) so a plain count is the doc count
+    dup = per_doc.groupBy("shingle").agg(F.count("*").alias("ndocs")).filter(
+        F.col("ndocs") >= 2
+    ).select("shingle")
+    tot = per_doc.groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("total_ngrams")
+    )
+    dup_occ = (
+        per_doc.join(dup, on="shingle", how="semi")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").cast("long").alias("dup_ngrams"))
+    )
+    return (
+        tot.join(dup_occ, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "total_ngrams",
+            F.coalesce(F.col("dup_ngrams"), F.lit(0)).cast("long")
+            .alias("dup_ngrams"),
+            F.expr(
+                "CAST((COALESCE(dup_ngrams, 0) * 1000000) div total_ngrams "
+                "AS BIGINT)"
+            ).alias("dup_frac_x1e6"),
+        )
+    )
+
+
+def contamination_flags(train: DataFrame, benchmark: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with a held-out benchmark/eval set — the standard n-gram
+    overlap decontamination check (GPT-3 appendix C / PaLM-style) run as a
+    distributed semi-join instead of a bloom filter on one machine.
+
+    Output: ``(doc_id, n_hits, contaminated)`` for EVERY train doc with at
+    least one n-gram; ``n_hits`` counts the train doc's distinct n-grams
+    that occur anywhere in the benchmark set.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus (eval
+    suites are MBs, corpora are TBs) — Spark broadcasts it after the
+    distinct, so the training side streams through map-side with no
+    corpus-wide shuffle beyond the per-doc count aggregation.
+    """
+    t_grams = _raw_shingles(train, n, id_col, text_col).distinct()
+    b_grams = (
+        _raw_shingles(benchmark, n, id_col, text_col)
+        .select("shingle").distinct()
+    )
+    hits = (
+        t_grams.join(b_grams, on="shingle", how="semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = t_grams.groupBy("doc_id").agg(F.count("*").alias("_g")).select("doc_id")
+    return (
+        base.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def hash_split(docs: DataFrame, fractions, id_col: str = "doc_id",
                buckets: int = 1000):
     """Deterministic dataset split (train/val/test) by content-independent

@@ -175,6 +175,64 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
     return out.withColumn("keep", keep)
 
 
+def repetition_top_ngram(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Gopher repetition filter (Rae et al. 2021 §A1.1, "fraction of
+    characters in the most frequent n-gram"): per document, find the most
+    frequent word ``n``-gram and report how much of the document's word
+    characters its occurrences cover. High values mean looping / boilerplate
+    text that the duplicate-2-gram *count* gate misses (one gram repeated
+    many times keeps distinct-2-gram low but is exactly the pathology).
+
+    Output: ``(doc_id, top_gram, top_n, rep_frac_x1e6)`` for every doc with
+    at least ``n`` tokens. Tie-break: highest count, then lexicographically
+    smallest gram — deterministic, so the SQL oracle reproduces the pick.
+    ``rep_frac_x1e6`` = occurrences x gram chars (separators excluded) as a
+    millionths fraction of total word chars, exact integer arithmetic.
+
+    Scale shape: explode n-gram occurrences -> per-(doc, gram) count (one
+    hash shuffle with map-side partial agg) -> per-doc top-1 via a window
+    whose partial ranks prune map-side (WindowGroupLimit), same plan family
+    as ``top_terms``. No pairwise work, no driver collection.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _raw_shingles
+
+    occ = _raw_shingles(docs, n, id_col, text_col)
+    counts = occ.groupBy("doc_id", "shingle").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("shingle").asc()
+    )
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.split(t, r"\s+")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, wd: acc + F.length(wd)
+    )
+    wc = docs.select(F.col(id_col).alias("doc_id"),
+                     word_chars.alias("word_chars"))
+    return (
+        top.join(wc, on="doc_id")
+        .select(
+            "doc_id",
+            F.col("shingle").alias("top_gram"),
+            F.col("cnt").alias("top_n"),
+            F.expr(
+                "CAST(CASE WHEN word_chars > 0 THEN "
+                "(cnt * {gc} * 1000000) div word_chars ELSE 0 END AS BIGINT)"
+                .format(gc="length(replace(shingle, ' ', ''))")
+            ).alias("rep_frac_x1e6"),
+        )
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 10, by: str = "lang",
               text_col: str = "text") -> DataFrame:
     """Top-k whitespace terms per group (corpus frequency analysis):

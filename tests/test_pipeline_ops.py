@@ -1535,3 +1535,131 @@ def test_top_terms(spark, docs):
         top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         got = sorted(by_lang[lang])
         assert [(i + 1, w, n) for i, (w, n) in enumerate(top)] == got, lang
+
+
+def _py_gram_occurrences(text, n):
+    toks = text.lower().strip().split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_ngram_span_stats(spark, docs):
+    """Python-brute oracle: dup grams = grams occurring in >=2 distinct docs."""
+    import collections
+
+    from picogeojson_spark.operators.dedup import ngram_span_stats
+
+    n = 3
+    per_doc = {d: _py_gram_occurrences(t, n) for d, t, _ in DOCS}
+    doc_sets = collections.defaultdict(set)
+    for d, grams in per_doc.items():
+        for g in grams:
+            doc_sets[g].add(d)
+    dup = {g for g, ds in doc_sets.items() if len(ds) >= 2}
+    expected = {}
+    for d, grams in per_doc.items():
+        if not grams:
+            continue
+        tot = len(grams)
+        dn = sum(1 for g in grams if g in dup)
+        expected[d] = (tot, dn, dn * 1000000 // tot)
+
+    got = {
+        r.doc_id: (r.total_ngrams, r.dup_ngrams, r.dup_frac_x1e6)
+        for r in ngram_span_stats(docs, n=n).collect()
+    }
+    assert got == expected
+    # the exact-dup trio must be fully duplicated spans
+    assert got[1][2] == 1000000 and got[2][2] == 1000000 and got[7][2] == 1000000
+    # the unique doc has zero duplicated spans... unless it shares with near-dup
+    assert got[5][1] == 0
+
+
+def test_ngram_span_stats_repeated_gram_multiset(spark):
+    """Occurrences are a multiset: a gram repeated inside ONE doc but present
+    in another counts each occurrence as duplicated."""
+    from picogeojson_spark.operators.dedup import ngram_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.total_ngrams, r.dup_ngrams)
+           for r in ngram_span_stats(df, n=2).collect()}
+    # doc 1 grams: [a b, b a, a b, b a, a b] -> 'a b' x3 duplicated (doc 2 has it)
+    assert got[1] == (5, 3)
+    assert got[2] == (2, 1)
+
+
+def test_contamination_flags(spark):
+    from picogeojson_spark.operators.dedup import contamination_flags
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma suffix"), (101, "nothing shared here ok")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in contamination_flags(train, bench, n=3).collect()}
+    # train doc 1 shares exactly the distinct 3-gram 'alpha beta gamma'
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+
+
+def test_repetition_top_ngram(spark):
+    from picogeojson_spark.operators.textstats import repetition_top_ngram
+
+    df = spark.createDataFrame(
+        [
+            # 'spam ham' occurs 3x (chars 7 each occurrence, word_chars 26)
+            (1, "spam ham spam ham spam ham eggs"),
+            # tie between 'aa bb' and 'bb aa' (both 2x) -> lexicographic wins
+            (2, "aa bb aa bb aa"),
+            (3, "single"),  # < n tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_top_ngram(df, n=2).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1.top_gram == "spam ham" and r1.top_n == 3
+    word_chars = len("spamhamspamhamspamhameggs")
+    assert r1.rep_frac_x1e6 == 3 * len("spamham") * 1000000 // word_chars
+    r2 = rows[2]
+    assert r2.top_gram == "aa bb" and r2.top_n == 2
+
+
+def test_pack_token_shards_matches_serial_prefix_sum(spark):
+    import random
+
+    from picogeojson_spark.operators.packing import pack_token_shards
+
+    rng = random.Random(7)
+    data = [(i * 3 + 1, rng.randrange(0, 500)) for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id long, w long").repartition(7)
+    # tiny bucket_width forces many buckets -> exercises the two-level scan
+    got = {
+        r.doc_id: (r.weight, r.start_offset, r.shard_id)
+        for r in pack_token_shards(
+            df, budget=1000, weight_col="w", bucket_width=16
+        ).collect()
+    }
+    run = 0
+    for doc_id, w in sorted(data):
+        assert got[doc_id] == (w, run, run // 1000)
+        run += w
+    assert len(got) == len(data)
+
+
+def test_pack_token_shards_validates_budget(spark):
+    from picogeojson_spark.operators.packing import pack_token_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, w long")
+    with pytest.raises(ValueError):
+        pack_token_shards(df, budget=0, weight_col="w")
