@@ -2415,3 +2415,46 @@ FROM c ORDER BY doc_id
 
 _EXTRA_QUERIES["pack_shards"] = q_pack_shards
 _EXTRA_ORACLES["pack_shards"] = Q_PACK_SHARDS_SQL
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings (md5-sample
+    quantizer, nearest-centroid lists), drop within-cluster near-dups
+    (cosine >= 0.3) keeping the minimum-id representative. The oracle
+    replays the identical assignment + keep rule in SQL."""
+    from picogeojson_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.3, nlist=16).orderBy("vec_id")
+
+
+Q_SEMDEDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+              AS INTEGER) AS list_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+cassign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cassign a
+  JOIN cassign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v))
+           * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3)
+SELECT c.vec_id, c.list_id,
+       c.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM cassign c ORDER BY vec_id
+"""
+
+_EXTRA_QUERIES["semdedup"] = q_semdedup
+_EXTRA_ORACLES["semdedup"] = Q_SEMDEDUP_SQL

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "embed_cosine_pairs_lsh",
+    "semdedup",
     "embed_label_stats",
     "multimodal_meta",
     "geo_merge_burst",

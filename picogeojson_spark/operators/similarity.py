@@ -532,6 +532,65 @@ def ann_ivf_topk(
     return cosine_topk_tail(scored, k)
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then drop near-duplicates WITHIN each cluster — the
+    cluster assignment bounds the quadratic pair work to cluster-mates, the
+    trade that makes embedding-level dedup tractable at corpus scale
+    (``nlist`` grows with the corpus so expected cluster size stays flat).
+
+    Keep rule (deterministic, unlike the paper's random representative): a
+    vector is dropped iff some SMALLER-id cluster-mate has cosine >=
+    ``threshold`` to it — exactly one representative (the minimum id)
+    survives from every within-cluster duplicate chain, and the rule is a
+    pure function of (ids, vectors), reproducible by the SQL oracle.
+
+    Output: one ``(vec_id, list_id, kept)`` row per input vector.
+
+    Scale shape: centroid assignment is a narrow broadcast-matmul map (same
+    ``ivf_assign`` as the IVF family); the only exchanges are the list_id
+    self-equi-join and the drop-set anti-join. Hot clusters are AQE's skew
+    case; raising ``nlist`` is the structural lever.
+    """
+    if centroids is None:
+        _, cmat = ivf_centroids(embeddings, nlist, id_col, vec_col)
+    else:
+        cmat = centroids
+    bc = embeddings.sparkSession.sparkContext.broadcast(cmat)
+    assign = ivf_assign(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v")),
+        bc, "vec_id", 1,
+    )
+    a = assign.select("list_id", F.col("vec_id").alias("id_a"),
+                      F.col("v").alias("va"))
+    b = assign.select("list_id", F.col("vec_id").alias("id_b"),
+                      F.col("v").alias("vb"))
+    pairs = a.join(b, on="list_id").filter(F.col("id_a") < F.col("id_b"))
+    dropped = (
+        _exact_cos_for_pairs(pairs, "id_a", "id_b", "va", "vb")
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", "list_id")
+        .join(dropped, on="vec_id", how="left")
+        .select(
+            "vec_id", "list_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_assign(df: DataFrame, bc, id_name: str, probes: int) -> DataFrame:
     """(id, v) -> one (id, list_id, v) row per probed inverted list, via a
     vectorized matmul against the broadcast centroid matrix. Shared by the

@@ -1663,3 +1663,55 @@ def test_pack_token_shards_validates_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, w long")
     with pytest.raises(ValueError):
         pack_token_shards(df, budget=0, weight_col="w")
+
+
+def test_semdedup_keep_rule_and_cluster_gating(spark):
+    """Within-cluster near-dups drop all but the min id; an identical pair
+    split ACROSS clusters survives (the SemDeDup trade — cluster-bounded
+    pair work), and the keep rule is deterministic."""
+    import numpy as np
+
+    from picogeojson_spark.operators.similarity import semdedup
+
+    cents = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (1, [1.0, 0.02]),    # cluster 0
+        (2, [1.0, 0.021]),   # cluster 0, near-dup of 1 -> dropped
+        (3, [1.0, 0.5]),     # cluster 0 boundary-ish but still near 1? keep rule below
+        (4, [0.02, 1.0]),    # cluster 1
+        (5, [0.021, 1.0]),   # cluster 1, near-dup of 4 -> dropped
+        (6, [1.0, 1.0001]),  # cluster 1 (barely) — near-identical to 7
+        (7, [1.0001, 1.0]),  # cluster 0 (barely) — cross-cluster twin of 6
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.list_id, r.kept)
+           for r in semdedup(df, threshold=0.999, centroids=cents).collect()}
+    assert len(got) == 7
+    # min-id representative survives, its near-dup does not
+    assert got[1][1] is True and got[2][1] is False
+    assert got[4][1] is True and got[5][1] is False
+    # 3 is far from 1/2 at this threshold -> kept
+    assert got[3][1] is True
+    # cross-cluster twins both survive: the pair was never scored
+    assert got[6][0] != got[7][0]
+    assert got[6][1] is True and got[7][1] is True
+
+
+def test_semdedup_chain_keeps_exactly_min(spark):
+    """A duplicate chain a~b~c in one cluster keeps only the smallest id
+    (every non-min member has SOME smaller near-dup)."""
+    import numpy as np
+
+    from picogeojson_spark.operators.similarity import semdedup
+
+    cents = np.asarray([[1.0, 0.0]])
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.kept
+           for r in semdedup(df, threshold=0.99, centroids=cents).collect()}
+    assert got == {10: True, 11: False, 12: False}
