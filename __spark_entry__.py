@@ -2458,3 +2458,111 @@ FROM cassign c ORDER BY vec_id
 
 _EXTRA_QUERIES["semdedup"] = q_semdedup
 _EXTRA_ORACLES["semdedup"] = Q_SEMDEDUP_SQL
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-20 ranked retrieval for a fixed bag-of-words query over the
+    documents table (Lucene idf variant; per-term scores floor-scaled to
+    x1e6 integers pre-sum, so no cross-engine float accumulation)."""
+    from picogeojson_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["hash", "join", "vector", "stream"], k=20
+    ).orderBy("rank")
+
+
+def _bm25_sql(terms, k):
+    from picogeojson_spark.operators.retrieval import bm25_score_expr_sql
+
+    tlist = ", ".join("'%s'" % t for t in sorted(set(terms)))
+    return r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+wnz AS (SELECT doc_id, word FROM w WHERE word <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM wnz GROUP BY doc_id),
+sc AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wnz
+       WHERE word IN ({tlist}) GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM wnz
+        WHERE word IN ({tlist}) GROUP BY word),
+s AS (
+  SELECT t.doc_id, {score} AS term_score_x1e6
+  FROM tf t JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN sc),
+pd AS (SELECT doc_id, COUNT(*) AS n_hit,
+              CAST(SUM(term_score_x1e6) AS BIGINT) AS score_x1e6
+       FROM s GROUP BY doc_id),
+tk AS (SELECT doc_id, n_hit, score_x1e6,
+              ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+       FROM pd)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_hit, score_x1e6
+FROM tk WHERE rank <= {k} ORDER BY rank
+""".format(tlist=tlist, score=bm25_score_expr_sql(), k=k)
+
+
+_EXTRA_QUERIES["bm25_search"] = q_bm25_search
+_EXTRA_ORACLES["bm25_search"] = _bm25_sql(
+    ["hash", "join", "vector", "stream"], 20
+)
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (8 iterations, d=0.85) over the
+    customer->supplier purchase graph (distinct (o_custkey, l_suppkey)
+    pairs through orders' line items; supplier ids shifted +1e7). All
+    integer arithmetic -> bit-identical across engines and partitionings;
+    the oracle unrolls the same iterations in SQL."""
+    from picogeojson_spark.operators.graph import pagerank, purchase_graph
+
+    edges = purchase_graph(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return pagerank(edges, iterations=8).orderBy(
+        F.desc("rank"), F.asc("node")
+    )
+
+
+def _pagerank_sql(iterations=8, damping_pct=85, scale=10**12):
+    base_expr = "((({s}) // p.n) * {omd}) // 100".format(
+        s=scale, omd=100 - damping_pct
+    )
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(({s}) // p.n AS BIGINT) AS rank
+       FROM nodes CROSS JOIN p)""".format(s=scale)
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            """,
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + (COALESCE(c.contrib, 0) * {d}) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n CROSS JOIN p
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS contrib
+    FROM r{prev} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON n.node = c.node)""".format(
+                i=i, prev=i - 1, base=base_expr, d=damping_pct
+            )
+        )
+    parts.append(
+        "\nSELECT node, rank FROM r{n} ORDER BY rank DESC, node ASC".format(
+            n=iterations
+        )
+    )
+    return "".join(parts)
+
+
+_EXTRA_QUERIES["graph_pagerank"] = q_graph_pagerank
+_EXTRA_ORACLES["graph_pagerank"] = _pagerank_sql()

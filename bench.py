@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "ann_ivf",
     "embed_cosine_pairs_lsh",
     "semdedup",
+    "bm25_search",
+    "graph_pagerank",
     "embed_label_stats",
     "multimodal_meta",
     "geo_merge_burst",

@@ -1,0 +1,123 @@
+"""Iterative graph ranking: fixed-point PageRank over an edge DataFrame.
+
+Complements the connected-components operator (``dedup.duplicate_clusters``)
+with the other canonical web-scale graph primitive — link-based importance
+ranking (Page et al. 1999), e.g. over a customer→supplier purchase graph or a
+page link graph.
+
+Determinism contract: ranks are integers in units of ``scale`` (default
+1e12 = total initial mass), and every step is integer arithmetic —
+``rank div outdeg`` contributions, exact integer sums, ``(x * d_pct) div
+100`` damping. No float accumulation anywhere, so the result is a pure
+function of the edge set, bit-identical across engines / partitionings /
+iteration orders, and the DuckDB oracle replays it exactly by unrolling the
+same iterations in SQL.
+
+Dangling nodes (no out-edges) simply retain no forwarded mass (their
+contribution vanishes, the classic "simplified PageRank" variant) — total
+mass is therefore not conserved, which is fine for ranking and keeps both
+sides trivially identical.
+
+Scale shape: per iteration, one equi-join of the (small) rank vector with
+the (large, cached) out-degree-annotated edge table plus one map-side-combine
+aggregate back to nodes; lineage is truncated with ``localCheckpoint`` every
+iteration exactly like ``duplicate_clusters`` so the plan stays flat over
+many rounds. Hot dst nodes (the web's power law) are AQE skew-join territory;
+the integer semantics are unaffected by any re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Run ``iterations`` rounds of fixed-point PageRank over the distinct
+    directed edges of ``edges``. Returns one ``(node, rank)`` row per node
+    (every node appearing as src or dst), rank an integer in ``scale``
+    units.
+
+    Update rule (all integer ops)::
+
+        r0      = scale div n_nodes
+        base    = (r0 * (100 - damping_pct)) div 100
+        contrib = sum over in-edges of (r_src div outdeg_src)
+        r_next  = base + (contrib * damping_pct) div 100
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Cache the degree-annotated edge table — it is reused every iteration.
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    r0 = scale // n_nodes
+    base = (r0 * (100 - damping_pct)) // 100
+
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.withColumnRenamed("node", "src")
+            .join(e_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        "(coalesce(contrib, 0L) * {d}) div 100".format(
+                            d=damping_pct
+                        )
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def purchase_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The customer→supplier purchase graph: a distinct directed edge for
+    every (customer, supplier) pair connected through an order's line items.
+    Supplier ids are shifted into a disjoint node-id space (``+ 10**7``) so
+    the bipartite graph has globally unique node ids.
+    """
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 10**7).alias("dst"),
+        )
+        .distinct()
+    )

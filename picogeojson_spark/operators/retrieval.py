@@ -1,0 +1,133 @@
+"""Corpus retrieval ranking: BM25 top-k search over the documents table.
+
+The missing piece between the term-frequency analytics (``textstats.top_terms``)
+and the embedding ANN family (``similarity``): lexical ranked retrieval, the
+standard first stage of a data-curation search/inspection stack (and of
+retrieval-augmented pipelines).
+
+Scale shape: the query term list is tiny and becomes an ``isin`` filter pushed
+into the token explode, so the corpus-sized work is one narrow
+explode+filter+aggregate per doc; document frequencies (``<= |terms|`` rows)
+and the corpus-size scalar broadcast back onto the per-doc rows. No corpus
+self-join, no window wider than the final global top-k
+(``TakeOrderedAndProject``).
+
+Determinism contract (hash-exact vs the DuckDB oracle): per-term partial
+scores are floor-scaled to x1e6 integers BEFORE the per-doc sum, so the only
+cross-engine float sensitivity is a single identically-associated scalar
+expression over integer inputs (tf, df, dl, sum_dl, n_docs) — never a
+float accumulation whose order could differ between engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_score_expr_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """The per-term BM25 partial score as ONE SQL scalar expression over the
+    integer columns ``(tf, df, dl, n_docs, sum_dl)`` — shared VERBATIM
+    between the Spark operator and the DuckDB oracle so both engines
+    evaluate byte-identical arithmetic. Compound constants (``k1+1``,
+    ``1-b``) are pre-folded in Python: the engines' decimal-literal
+    promotion rules never get to combine two inexact literals differently.
+    """
+    return (
+        "CAST(floor("
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+        " * ((CAST(tf AS DOUBLE) * {k1p1})"
+        " / (CAST(tf AS DOUBLE) + {k1} * ({omb}"
+        " + ({b} * CAST(dl AS DOUBLE))"
+        " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        " * 1000000.0) AS BIGINT)"
+    ).format(
+        k1=repr(float(k1)),
+        k1p1=repr(float(k1) + 1.0),
+        b=repr(float(b)),
+        omb=repr(1.0 - float(b)),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson et al.; Lucene's non-negative ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf variant).
+
+    Tokenization matches ``textstats.top_terms`` exactly (lower, trim,
+    whitespace split, drop empties) so retrieval and frequency analytics
+    agree on what a term is.
+
+    Output: ``(rank, doc_id, n_hit, score_x1e6)`` — rank by score desc with
+    doc-id ascending tie-break; ``n_hit`` = how many query terms the doc
+    contains; score is the x1e6 floor-scaled integer BM25 sum.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    term_list = sorted(set(t.lower() for t in terms))
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+    # Per-doc length over ALL tokens (BM25's dl), plus the corpus scalars.
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    hits = words.filter(F.col("word").isin(term_list))
+    tf = hits.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = hits.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+
+    # One identically-associated scalar expression over integer inputs;
+    # floor-scale each per-term score to an integer BEFORE summing (see
+    # module docstring). Mirrored verbatim in the SQL oracle.
+    score_sql = (
+        "CAST(floor("
+        "ln(1.0d + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5d)"
+        " / (CAST(df AS DOUBLE) + 0.5d))"
+        " * ((CAST(tf AS DOUBLE) * ({k1} + 1.0d))"
+        " / (CAST(tf AS DOUBLE) + {k1} * (1.0d - {b}"
+        " + ({b} * CAST(dl AS DOUBLE))"
+        " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        " * 1000000.0d) AS BIGINT)"
+    ).format(k1=repr(float(k1)), b=repr(float(b)))
+
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(scalars))
+        .withColumn("term_score_x1e6", F.expr(score_sql))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit"),
+        F.sum("term_score_x1e6").alias("score_x1e6"),
+    )
+    from pyspark.sql import Window
+
+    # Global top-k FIRST (TakeOrderedAndProject — per-partition partial
+    # top-k, never a full-corpus single-task window), then rank the k
+    # surviving rows with a trivially small window.
+    topk = per_doc.orderBy(
+        F.col("score_x1e6").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_hit", "score_x1e6"
+    )

@@ -1715,3 +1715,83 @@ def test_semdedup_chain_keeps_exactly_min(spark):
     got = {r.vec_id: r.kept
            for r in semdedup(df, threshold=0.99, centroids=cents).collect()}
     assert got == {10: True, 11: False, 12: False}
+
+
+def test_bm25_ranking_semantics(spark):
+    """tf raises rank; length normalization favors the shorter doc at equal
+    tf; rarer terms outweigh common ones (idf); n_hit counts matched
+    query terms."""
+    from picogeojson_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common common filler filler filler filler filler filler"),
+            (4, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, ["rare", "common"], k=10)
+           .collect()}
+    assert 4 not in out  # no query term -> no row
+    assert out[1].n_hit == 2 and out[2].n_hit == 1 and out[3].n_hit == 1
+    # doc 1 holds the only 'rare' occurrence -> top rank
+    assert out[1].rank == 1
+    # doc 2 (tf=1, dl=4) beats doc 3 (tf=2 but dl=8): length norm + idf
+    assert out[2].score_x1e6 > 0 and out[3].score_x1e6 > 0
+    ranks = sorted((r.rank, r.doc_id) for r in out.values())
+    assert [d for _, d in ranks][0] == 1
+
+
+def test_bm25_empty_terms_raises(spark):
+    from picogeojson_spark.operators.retrieval import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(spark.range(1).withColumnRenamed("id", "doc_id")
+                  .withColumn("text", F.lit("x")), [])
+
+
+def _pagerank_replica(edges, iterations=8, damping_pct=85, scale=10**12):
+    """Pure-Python integer replica of operators.graph.pagerank."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r0 = scale // n
+    base = (r0 * (100 - damping_pct)) // 100
+    ranks = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {v: base + (contrib.get(v, 0) * damping_pct) // 100
+                 for v in nodes}
+    return ranks
+
+
+def test_pagerank_matches_integer_replica(spark):
+    """Spark fixed-point PageRank == the serial integer replica, exactly
+    (the determinism contract: no float accumulation anywhere)."""
+    from picogeojson_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (1, 3), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    assert got == _pagerank_replica(edges, iterations=6)
+
+
+def test_pagerank_hub_and_dangling(spark):
+    """A node every other node links to ranks highest; a dangling sink
+    (no out-edges) still appears with base + damped in-mass; source-only
+    nodes settle at the base rank."""
+    from picogeojson_spark.operators.graph import pagerank
+
+    edges = [(i, 100) for i in range(1, 6)] + [(1, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    assert len(got) == 7
+    assert got[100] == max(got.values())  # the hub
+    assert got[200] > got[2] == got[3] == got[4] == got[5]  # leaf sources
