@@ -2566,3 +2566,277 @@ r{i} AS (
 
 _EXTRA_QUERIES["graph_pagerank"] = q_graph_pagerank
 _EXTRA_ORACLES["graph_pagerank"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# round-3 late batch B: line-level cleaning, mixture balancing, hashed
+# linear quality, URL canonicalization
+# ---------------------------------------------------------------------------
+
+# boilerplate injected deterministically so the dedup_lines query has real
+# cross-document duplicate lines to remove (both engines build the SAME
+# augmented text; concat_ws skips NULL parts in Spark and DuckDB alike)
+_LINES_F1 = "JOIN OUR NEWSLETTER TODAY"
+_LINES_F2 = "COPYRIGHT 2025 EXAMPLE CORP"
+
+
+def q_dedup_lines(spark, sf_dir):
+    """CCNet-style duplicate-LINE removal: lines present in >= 2 distinct
+    documents (navigation bars, footers) are struck from every document
+    before document-level dedup. Counting keys on md5(line) so the
+    shuffle ships digests, not boilerplate strings; whitespace-only lines
+    never participate and are preserved verbatim; reassembly is a per-doc
+    in-row sort (no corpus-wide window). Input is documents with a
+    deterministic boilerplate footer injected into slices of the corpus."""
+    from picogeojson_spark.operators.lines import remove_duplicate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_LINES_F1)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LINES_F2)),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(aug, min_docs=2).orderBy("doc_id")
+
+
+Q_DEDUP_LINES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 2 = 0 THEN 'JOIN OUR NEWSLETTER TODAY' END,
+           CASE WHEN doc_id % 3 = 0 THEN ' ' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'COPYRIGHT 2025 EXAMPLE CORP' END)
+           AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, s.i AS pos, t.lines[s.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d) t,
+       LATERAL (SELECT unnest(range(1, len(t.lines) + 1)) AS i) s),
+hot AS (
+  SELECT md5(line) AS line_h FROM l WHERE trim(line) <> ''
+  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE md5(line) NOT IN (SELECT line_h FROM hot)),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["dedup_lines"] = q_dedup_lines
+_EXTRA_ORACLES["dedup_lines"] = Q_DEDUP_LINES_SQL
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Rate-based mixture balancing: every language downsampled to an
+    EXPECTED 100 documents (small languages kept whole) with membership a
+    pure hash function of doc_id — re-cuttable, growth-stable, and
+    exchange-free on the corpus path (only a #langs-row broadcast)."""
+    from picogeojson_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        docs, cap=100, source_col="lang"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+Q_SAMPLE_MIXTURE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang)
+WHERE CAST(('0x' || substring(md5('mix0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000
+      < LEAST(1000000, (1000000 * 100) // n)
+ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["sample_mixture"] = q_sample_mixture
+_EXTRA_ORACLES["sample_mixture"] = Q_SAMPLE_MIXTURE_SQL
+
+
+def q_text_quality_linear(spark, sf_dir):
+    """Hashed-feature linear quality classifier (fastText-style): tokens
+    hash into 64 feature buckets, the doc score is the integer sum of
+    bucket weights over occurrences, keep = score >= 0. Weights embedded
+    as a literal broadcast array (no join, no HOF re-evaluation trap);
+    the oracle recomputes the same md5-derived weights inline."""
+    from picogeojson_spark.operators.textstats import linear_quality
+
+    return linear_quality(
+        _t(spark, sf_dir, "documents"), n_buckets=64
+    ).orderBy("doc_id")
+
+
+Q_TEXT_QUALITY_LINEAR_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+nz AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('w0:' || tok), 1, 8)) AS BIGINT) % 64
+           AS bkt
+  FROM nz),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(('0x' || substring(md5('w0:' || CAST(bkt AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 2001 - 1000)
+              AS BIGINT) AS score,
+         COUNT(*) AS n_tokens
+  FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(s.score, 0) >= 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["text_quality_linear"] = q_text_quality_linear
+_EXTRA_ORACLES["text_quality_linear"] = Q_TEXT_QUALITY_LINEAR_SQL
+
+
+# deterministic messy-URL construction shared by the two web queries: five
+# real-world URL pathologies (default ports, WWW + case, fragments,
+# userinfo, portless hosts) cycled by doc_id so canonicalization has work
+# to do on every row. Both engines build byte-identical inputs.
+def _messy_url_col():
+    did = F.col("doc_id").cast("string")
+    # (doc_id div 3) % 5: decorrelated from source (= doc_id % 20), so
+    # every source hits every URL pathology and every TLD
+    _sel5 = F.expr("(doc_id div 3) % 5")
+    return (
+        F.when(_sel5 == 0, F.concat(
+            F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM:80/"),
+            F.col("lang"), F.lit("/p"), did, F.lit("#frag")))
+        .when(_sel5 == 1, F.concat(
+            F.lit("https://news."), F.col("source"), F.lit(".com:443/a/"),
+            did, F.lit("?q=1&x=2")))
+        .when(_sel5 == 2, F.concat(
+            F.lit("http://m."), F.col("source"), F.lit(".org:8080/"),
+            did))
+        .when(_sel5 == 3, F.concat(
+            F.lit("https://user:pw@"), F.col("source"),
+            F.lit(".NET/x/"), did, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("https://cdn."), F.col("source"), F.lit(".com")))
+    )
+
+
+_MESSY_URL_SQL = """
+  CASE (doc_id // 3) % 5
+    WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/' || lang
+                || '/p' || CAST(doc_id AS VARCHAR) || '#frag'
+    WHEN 1 THEN 'https://news.' || source || '.com:443/a/'
+                || CAST(doc_id AS VARCHAR) || '?q=1&x=2'
+    WHEN 2 THEN 'http://m.' || source || '.org:8080/'
+                || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://user:pw@' || source || '.NET/x/'
+                || CAST(doc_id AS VARCHAR) || '/'
+    ELSE 'https://cdn.' || source || '.com'
+  END
+"""
+
+# the oracle's replay of web.url_parts/normalize_url (every regex anchored
+# or matching to end-of-string, so DuckDB's replace-first == Spark's
+# replace-all)
+_WEB_NORM_CTES = r"""
+u AS (SELECT doc_id, {url} AS url FROM documents),
+p AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM u),
+q AS (
+  SELECT doc_id,
+         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM p),
+r AS (SELECT doc_id, scheme, rest,
+             regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM q),
+s AS (
+  SELECT doc_id, scheme,
+         CASE WHEN length(rest) > length(hostport)
+              THEN substring(rest, length(hostport) + 1) ELSE '' END AS pathq,
+         regexp_replace(hostport, '^[^@]*@', '') AS hp
+  FROM r),
+t AS (
+  SELECT doc_id, scheme, pathq,
+         regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+         lower(regexp_replace(hp, ':[0-9]+$', '')) AS host0
+  FROM s),
+v AS (
+  SELECT doc_id, scheme, pathq, port,
+         regexp_replace(host0, '^www\.', '') AS host,
+         CASE WHEN regexp_extract(regexp_replace(host0, '^www\.', ''),
+                                  '([^.]+\.[^.]+)$', 1) = ''
+              THEN regexp_replace(host0, '^www\.', '')
+              ELSE regexp_extract(regexp_replace(host0, '^www\.', ''),
+                                  '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM t),
+n AS (
+  SELECT doc_id, host, domain,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                   OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END ||
+         CASE WHEN pathq = '' THEN '/' ELSE pathq END AS url_norm
+  FROM v)
+""".format(url=_MESSY_URL_SQL)
+
+
+def q_web_canonical(spark, sf_dir):
+    """URL canonicalization over a messy-URL corpus: fragment/userinfo/
+    default-port stripping, case folding, www removal, naive eTLD+1 —
+    all scan-stage codegen expressions (zero shuffles, zero UDFs)."""
+    from picogeojson_spark.operators.web import canonicalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    return canonicalize(d).select(
+        "doc_id", "url_norm", "host", "domain"
+    ).orderBy("doc_id")
+
+
+Q_WEB_CANONICAL_SQL = (
+    "WITH " + _WEB_NORM_CTES
+    + "\nSELECT doc_id, url_norm, host, domain FROM n ORDER BY doc_id"
+)
+
+_EXTRA_QUERIES["web_canonical"] = q_web_canonical
+_EXTRA_ORACLES["web_canonical"] = Q_WEB_CANONICAL_SQL
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-registrable-domain rollup (page count + distinct hosts) over
+    canonicalized URLs: the politeness/quota aggregation — one hash agg
+    keyed by domain, canonicalization free in the scan stage."""
+    from picogeojson_spark.operators.web import domain_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    return domain_stats(d).orderBy("domain")
+
+
+Q_WEB_DOMAIN_STATS_SQL = (
+    "WITH " + _WEB_NORM_CTES
+    + """
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM n GROUP BY domain ORDER BY domain"""
+)
+
+_EXTRA_QUERIES["web_domain_stats"] = q_web_domain_stats
+_EXTRA_ORACLES["web_domain_stats"] = Q_WEB_DOMAIN_STATS_SQL

@@ -85,3 +85,48 @@ def stratified_sample(df: DataFrame, n_per_key: int, key_col: str = "lang",
         .filter(F.col("_rk") <= n_per_key)
         .drop("_rk")
     )
+
+
+def mixture_sample(df: DataFrame, cap: int, source_col: str = "source",
+                   id_col: str = "doc_id", salt: str = "mix0",
+                   buckets: int = BUCKETS) -> DataFrame:
+    """Rate-based source balancing: downsample every source to an
+    EXPECTED ``cap`` documents, keeping small sources whole.
+
+    The mixture-rebalancing step of a multi-source training pipeline
+    (web + wiki + books + code): oversized sources are thinned by a
+    per-source keep rate ``min(1, cap / n_source)`` so no single crawl
+    dominates the token budget, while membership stays a pure function of
+    (salt, id) -- the same document survives every re-cut, at any
+    parallelism, and appending MORE documents to a source only thins that
+    source further without churning other sources' members.
+
+    The keep threshold is integer-exact (``floor(buckets * cap / n)``) so
+    the DuckDB oracle replays it with ``//`` -- no float rates anywhere.
+
+    Scale shape: one partial-agg count per source (tiny result, broadcast
+    back), then a narrow hash filter -- the corpus itself never shuffles.
+    Unlike ``stratified_sample`` (exact n, one window exchange) this is
+    approximate-size but exchange-free on the data path; at 100 TB the
+    broadcast side is #sources rows.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_src"))
+    # `div` (integral division) rather than floor(a / b): the double
+    # round-trip can misfloor near-integer quotients at large magnitudes,
+    # and the oracle's `//` is exact.
+    thresholds = counts.select(
+        source_col,
+        F.least(
+            F.lit(int(buckets)).cast("long"),
+            F.expr(
+                "cast({b} as bigint) * {c} div _n_src".format(
+                    b=int(buckets), c=int(cap)
+                )
+            ),
+        ).cast("long").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(hash_bucket(id_col, salt, buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -251,3 +251,78 @@ def top_terms(docs: DataFrame, k: int = 10, by: str = "lang",
         .filter(F.col("rnk") <= k)
         .select(by, "rnk", "word", "n")
     )
+
+
+def hashed_linear_weights(n_buckets: int = 64, salt: str = "w0",
+                          span: int = 2001) -> list:
+    """Deterministic weight vector for ``linear_quality``: bucket ``b``
+    gets ``md5int(salt ':' b) % span - span // 2`` (md5int = first 8 hex
+    chars as an integer, the repo-wide hash convention). Centered so the
+    expected token score is ~0. Computed driver-side with hashlib and
+    embedded as a LITERAL array — never as md5 *expressions*, which
+    Catalyst will not constant-fold inside downstream operators (see
+    CLAUDE.md). The DuckDB oracle recomputes the same formula inline.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(("%s:%d" % (salt, b)).encode()).hexdigest()[:8], 16)
+        % span - span // 2
+        for b in range(n_buckets)
+    ]
+
+
+def linear_quality(docs: DataFrame, n_buckets: int = 64, salt: str = "w0",
+                   span: int = 2001, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText-style scorer
+    every production curation stack runs between heuristic gates and
+    expensive model scoring): each lowercased token hashes into one of
+    ``n_buckets`` feature buckets; the document score is the sum of the
+    buckets' weights over token OCCURRENCES; ``keep`` is score >= 0.
+
+    The weights here are hash-derived stand-ins (the sandbox has no
+    trained model) — the *engine contract* is what matters: given any
+    integer weight table, scoring is exact, deterministic, and identical
+    in the oracle. Swapping in real exported fastText weights is a
+    one-list change.
+
+    Scale shape: explode tokens (narrow) -> bucket via md5 (codegen) ->
+    weight via ``element_at`` on a broadcast literal array (no join!) ->
+    one groupBy(doc) sum with map-side partial agg. Token-less documents
+    are restored by a left join against the doc spine with score 0.
+    All-integer arithmetic end to end.
+    """
+    weights = hashed_linear_weights(n_buckets, salt, span)
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("tok"))), 1, 8
+        ), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    scored = (
+        toks.select("doc_id", F.element_at(warr, (bucket + 1).cast("int"))
+                    .alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        spine.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(0).cast("long")).alias("score"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            (F.coalesce("score", F.lit(0).cast("long")) >= 0).alias("keep"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Web-corpus URL operators: canonicalization and per-domain rollups.
+
+Every Common-Crawl-style pipeline needs a canonical URL before it can do
+per-domain statistics, per-domain caps, or URL-level dedup: the same page
+arrives as ``HTTP://WWW.Example.COM:80/a#frag`` and
+``http://example.com/a``. Canonicalization here is pure string/regex
+expressions (whole-stage codegen, zero UDFs, zero shuffles) and is
+replayed verbatim by the DuckDB oracle — every regex is anchored or
+matches-to-end, so Spark's replace-all vs DuckDB's replace-first
+difference can never bite.
+
+Normalization rules (deliberately the conservative, loss-free subset):
+  - strip the fragment (``#...``);
+  - lowercase scheme and host;
+  - strip userinfo (``user:pass@``);
+  - drop the default port (``:80`` for http, ``:443`` for https) but keep
+    explicit non-default ports;
+  - strip one leading ``www.`` label;
+  - empty path becomes ``/`` (query strings are preserved as-is).
+
+``registrable_domain`` is the naive last-two-labels rule ("example.com"
+from "a.b.example.com") — a stand-in for the public-suffix list, which is
+a data file, not an algorithm; swapping it in changes one expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_parts(url: Column):
+    """Decompose a URL column into (scheme, host, port, pathq) columns.
+
+    host is lowercased with userinfo and port stripped; pathq is the raw
+    path+query ('' when absent); port is the explicit port digits or ''.
+    """
+    u = F.regexp_replace(url, r"#.*", "")          # fragment off
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    hp = F.regexp_replace(hostport, r"^[^@]*@", "")  # userinfo off
+    port = F.regexp_extract(hp, r":([0-9]+)$", 1)
+    host = F.lower(F.regexp_replace(hp, r":[0-9]+$", ""))
+    return scheme, host, port, pathq
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL string per the module rules."""
+    scheme, host, port, pathq = url_parts(url)
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path_part = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    return F.concat(scheme, F.lit("://"), host_n, port_part, path_part)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Naive eTLD+1: the last two dot-labels of the normalized host
+    (the bare host when it has no dot)."""
+    _, host, _, _ = url_parts(url)
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    dom = F.regexp_extract(host_n, r"([^.]+\.[^.]+)$", 1)
+    return F.when(dom == "", host_n).otherwise(dom)
+
+
+def canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add url_norm / host / domain columns to a pages DataFrame.
+
+    Pure projection — runs inside the scan stage at any scale.
+    """
+    u = F.col(url_col)
+    _, host, _, _ = url_parts(u)
+    return pages.withColumns({
+        "url_norm": normalize_url(u),
+        "host": F.regexp_replace(host, r"^www\.", ""),
+        "domain": registrable_domain(u),
+    })
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url",
+                 size_col: str = None) -> DataFrame:
+    """Per-registrable-domain rollup: page count, distinct hosts, and
+    (optionally) total content size. One hash shuffle with map-side
+    partial aggregation; the canonicalization itself is free (scan-stage
+    expressions), so at 100 TB this costs exactly one agg exchange keyed
+    by domain — the natural key for crawl politeness / quota decisions.
+    """
+    c = canonicalize(pages, url_col)
+    aggs = [
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col)).cast("long").alias("total_size"))
+    return c.groupBy("domain").agg(*aggs)

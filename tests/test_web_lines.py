@@ -1,0 +1,197 @@
+"""Round-3 batch B operators: duplicate-line removal, mixture balancing,
+hashed linear quality, URL canonicalization."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from picogeojson_spark.operators.lines import hot_lines, remove_duplicate_lines
+from picogeojson_spark.operators.sampling import BUCKETS, mixture_sample
+from picogeojson_spark.operators.textstats import (
+    hashed_linear_weights,
+    linear_quality,
+)
+from picogeojson_spark.operators.web import canonicalize, domain_stats
+
+
+# ---------------------------------------------------------------- lines ----
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (1, "unique alpha\nSHARED FOOTER\n \nbody one"),
+        (2, "unique beta\nSHARED FOOTER\nbody two"),
+        (3, "solo gamma\nrepeat me\nrepeat me\nbody three"),
+        (4, "SHARED FOOTER"),          # becomes empty after removal
+        (5, ""),                        # empty doc: 1 empty line, kept
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_lines_counts_distinct_docs(spark, line_docs):
+    hot = {r.line_h: r.n_docs for r in hot_lines(line_docs, 2).collect()}
+    footer = hashlib.md5(b"SHARED FOOTER").hexdigest()
+    repeat = hashlib.md5(b"repeat me").hexdigest()
+    assert hot == {footer: 3}
+    # 'repeat me' occurs twice but only in ONE doc -> not boilerplate
+    assert repeat not in hot
+
+
+def test_remove_duplicate_lines_semantics(spark, line_docs):
+    got = {r.doc_id: r for r in
+           remove_duplicate_lines(line_docs, 2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # footer struck, whitespace-only line preserved verbatim, order kept
+    assert got[1].text_clean == "unique alpha\n \nbody one"
+    assert (got[1].n_lines, got[1].n_kept) == (4, 3)
+    assert got[2].text_clean == "unique beta\nbody two"
+    # within-doc repetition survives
+    assert got[3].text_clean == "solo gamma\nrepeat me\nrepeat me\nbody three"
+    # fully-boilerplate doc still present, emptied
+    assert (got[4].n_kept, got[4].text_clean) == (0, "")
+    # empty doc: its single empty line never participates and is kept
+    assert (got[5].n_lines, got[5].n_kept, got[5].text_clean) == (1, 1, "")
+
+
+def test_remove_duplicate_lines_matches_serial_replica(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["nav bar", "cookie notice", "footer", "x", "y", "z"]
+    docs = []
+    for i in range(60):
+        lines = [
+            rng.choice(vocab) + ("" if rng.random() < 0.5 else " %d" % i)
+            for _ in range(rng.randrange(1, 6))
+        ]
+        docs.append((i, "\n".join(lines)))
+    # serial replica
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, text in docs:
+        for ln in text.split("\n"):
+            if ln.strip():
+                seen[ln].add(i)
+    hot = {ln for ln, d in seen.items() if len(d) >= 2}
+    want = {}
+    for i, text in docs:
+        kept = [ln for ln in text.split("\n") if ln not in hot]
+        want[i] = (len(text.split("\n")), len(kept), "\n".join(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean)
+           for r in remove_duplicate_lines(df, 2).collect()}
+    assert got == want
+
+
+# -------------------------------------------------------------- mixture ----
+
+def _bucket(value, salt):
+    h = hashlib.md5("{}:{}".format(salt, value).encode()).hexdigest()
+    return int(h[:8], 16) % BUCKETS
+
+
+@pytest.fixture(scope="module")
+def mixed_corpus(spark):
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_sample_keeps_small_sources_whole(spark, mixed_corpus):
+    got = mixture_sample(mixed_corpus, cap=200).groupBy("source").count()
+    counts = {r.source: r["count"] for r in got.collect()}
+    assert counts["small"] == 100          # n=100 <= cap: kept entirely
+    assert 140 <= counts["big"] <= 260     # expected 200 of 800
+
+
+def test_mixture_sample_matches_replica_and_is_growth_stable(spark,
+                                                            mixed_corpus):
+    thr_big = min(BUCKETS, BUCKETS * 200 // 800)
+    want_big = {i for i in range(800) if _bucket(i, "mix0") < thr_big}
+    got = {r.doc_id for r in
+           mixture_sample(mixed_corpus, cap=200)
+           .filter(F.col("source") == "big").collect()}
+    assert got == want_big
+    # growing ANOTHER source never churns this source's membership
+    grown = mixed_corpus.union(
+        mixed_corpus.sparkSession.createDataFrame(
+            [(10000 + i, "small") for i in range(900)],
+            "doc_id long, source string",
+        )
+    )
+    got2 = {r.doc_id for r in
+            mixture_sample(grown, cap=200)
+            .filter(F.col("source") == "big").collect()}
+    assert got2 == want_big
+
+
+# ------------------------------------------------------- linear quality ----
+
+def test_linear_quality_matches_serial_replica(spark):
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "THE QUICK  brown\tfox"),   # case/whitespace folding
+        (3, ""),                          # token-less doc
+        (4, "solo"),
+    ]
+    w = hashed_linear_weights(64)
+    assert len(w) == 64 and all(-1000 <= x <= 1000 for x in w)
+
+    def score(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        return sum(
+            w[int(hashlib.md5(("w0:" + t).encode()).hexdigest()[:8], 16) % 64]
+            for t in toks
+        ), len(toks)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.score, r.n_tokens, r.keep)
+           for r in linear_quality(df, 64).collect()}
+    for i, text in docs:
+        s, n = score(text)
+        assert got[i] == (s, n, s >= 0), (i, text)
+    # docs 1 and 2 tokenize identically -> identical scores
+    assert got[1] == got[2]
+
+
+# ------------------------------------------------------------------ web ----
+
+def test_canonicalize_pathologies(spark):
+    cases = [
+        # (raw, url_norm, host, domain)
+        ("HTTP://WWW.Foo.COM:80/A/b#frag",
+         "http://foo.com/A/b", "foo.com", "foo.com"),
+        ("https://news.foo.com:443/a?q=1", "https://news.foo.com/a?q=1",
+         "news.foo.com", "foo.com"),
+        ("http://m.foo.org:8080/x", "http://m.foo.org:8080/x",
+         "m.foo.org", "foo.org"),
+        ("https://user:pw@foo.NET/x/", "https://foo.net/x/",
+         "foo.net", "foo.net"),
+        ("https://cdn.foo.com", "https://cdn.foo.com/",
+         "cdn.foo.com", "foo.com"),
+        ("http://localhost:9999/z", "http://localhost:9999/z",
+         "localhost", "localhost"),
+        # path case preserved; query preserved; only ONE www label strips
+        ("https://www.www.foo.com/", "https://www.foo.com/",
+         "www.foo.com", "foo.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.url_norm, r.host, r.domain)
+           for r in canonicalize(df).collect()}
+    for i, (_, n, h, d) in enumerate(cases):
+        assert got[i] == (n, h, d), cases[i]
+
+
+def test_domain_stats_counts_hosts(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.foo.com/1", 10), (2, "https://b.foo.com/2", 20),
+         (3, "https://a.foo.com/3", 5), (4, "http://bar.org/", 7)],
+        "doc_id long, url string, n_chars long",
+    )
+    got = {r.domain: (r.n_pages, r.n_hosts, r.total_size)
+           for r in domain_stats(df, size_col="n_chars").collect()}
+    assert got == {"foo.com": (3, 2, 35), "bar.org": (1, 1, 7)}
