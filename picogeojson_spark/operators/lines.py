@@ -88,8 +88,12 @@ def remove_duplicate_lines(docs: DataFrame, min_docs: int = 2,
             ),
         ).alias("text_clean"),
     )
-    totals = lines.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_lines")
+    # total line count is a narrow expression on the doc row itself — no
+    # explode, no shuffle (split arrays are never materialized corpus-wide)
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long")
+        .alias("n_lines"),
     )
     return (
         totals.join(rebuilt, "doc_id", "left")
