@@ -2840,3 +2840,81 @@ FROM n GROUP BY domain ORDER BY domain"""
 
 _EXTRA_QUERIES["web_domain_stats"] = q_web_domain_stats
 _EXTRA_ORACLES["web_domain_stats"] = Q_WEB_DOMAIN_STATS_SQL
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4 / phone numbers): counts on the original
+    text + sequentially redacted text_clean, all whole-stage-codegen
+    regex expressions riding the scan (zero shuffles, zero UDFs). The
+    regexes stay in the Java/RE2-agreeing dialect subset; DuckDB replays
+    them with the 'g' flag. PII strings are injected deterministically
+    (both engines build the same augmented text)."""
+    from picogeojson_spark.operators.pii import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(i % 3 == 0, F.concat(
+                F.lit("reach user"), i.cast("string"),
+                F.lit("@mail-example.com today"))),
+            F.when(i % 4 == 0, F.concat(
+                F.lit("from 10."), (i % 200).cast("string"),
+                F.lit(".0."), (i % 100).cast("string"),
+                F.lit(" port 8080"))),
+            F.when(i % 5 == 0, F.concat(
+                F.lit("call +49"),
+                (F.lit(1500000000) + i % 1000000).cast("string"),
+                F.lit(" now"))),
+        ).alias("text"),
+    )
+    return redact_pii(aug).orderBy("doc_id")
+
+
+def _pii_aug_sql():
+    return """
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 3 = 0 THEN 'reach user' || CAST(doc_id AS VARCHAR)
+                || '@mail-example.com today' END,
+           CASE WHEN doc_id % 4 = 0 THEN 'from 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 100 AS VARCHAR) || ' port 8080' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'call +49'
+                || CAST(1500000000 + doc_id % 1000000 AS VARCHAR)
+                || ' now' END) AS text
+  FROM documents"""
+
+
+def _q_pii_oracle():
+    from picogeojson_spark.operators.pii import pii_oracle_sql
+    return pii_oracle_sql(_pii_aug_sql())
+
+
+_EXTRA_QUERIES["pii_redact"] = q_pii_redact
+_EXTRA_ORACLES["pii_redact"] = _q_pii_oracle()
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: cut every document's whitespace token
+    stream into 32-token chunks. One posexplode of the in-row FILTERED
+    token array (compact positions without any rank window — the filter
+    lambda touches only its own variable, the safe side of the
+    interpreted-HOF line) + one hash shuffle whose doc_id clustering
+    already covers the (doc_id, chunk_id) groupBy."""
+    from picogeojson_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, 32).orderBy("doc_id", "chunk_id")
+
+
+def _q_chunk_oracle():
+    from picogeojson_spark.operators.chunking import chunking_oracle_sql
+    return chunking_oracle_sql("SELECT doc_id, text FROM documents", 32)
+
+
+_EXTRA_QUERIES["chunk_documents"] = q_chunk_documents
+_EXTRA_ORACLES["chunk_documents"] = _q_chunk_oracle()

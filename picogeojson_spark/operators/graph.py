@@ -60,14 +60,19 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Cache the degree-annotated edge table — it is reused every iteration.
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    # Cache the degree-annotated edge table partitioned on the join key and
+    # keep it as a PERSIST, not a localCheckpoint: a checkpoint is an opaque
+    # RDD scan whose outputPartitioning Catalyst no longer knows, so every
+    # iteration would re-Exchange the full edge table; the cached plan keeps
+    # hashpartitioning(src) visible and each iteration shuffles only the
+    # node-sized rank vector onto it (measured 11.9s -> see git log).
+    e_deg = e.join(deg, "src").repartition("src").persist()
 
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
