@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "events_range_join",
     "pricing_rollup",
     "geo_poly_intersect",
+    "dedup_lines",
+    "sample_mixture",
+    "text_quality_linear",
+    "web_canonical",
+    "web_domain_stats",
+    "pii_redact",
+    "chunk_documents",
 ]
 
 
