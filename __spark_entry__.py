@@ -2918,3 +2918,51 @@ def _q_chunk_oracle():
 
 _EXTRA_QUERIES["chunk_documents"] = q_chunk_documents
 _EXTRA_ORACLES["chunk_documents"] = _q_chunk_oracle()
+
+
+_CMS_TERMS = ["agg", "hash", "join", "spark", "window", "zebra-absent"]
+_CMS_DEPTH, _CMS_WIDTH = 4, 16
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch frequency estimates vs exact counts: the sketch is
+    built in one linear pass (token explode -> depth-way fan-out -> hash
+    agg bounded at depth*width counters, map-side combined), then point-
+    queried for a fixed term list with the sketch broadcast. width=16 is
+    deliberately tiny so bucket collisions are REAL and the min-over-rows
+    estimate (and its est >= exact one-sided guarantee) is exercised, not
+    vacuous. All md5 arithmetic replayed bit-for-bit by the oracle."""
+    from picogeojson_spark.operators.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    sketch = cms_build(d, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    terms = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    est = cms_estimate(sketch, terms, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+", -1),
+                     lambda x: F.length(x) > 0)
+        ).alias("term")
+    )
+    exact = (
+        toks.filter(F.col("term").isin(_CMS_TERMS))
+        .groupBy("term").agg(F.count("*").cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select("term", "est",
+                F.coalesce("exact", F.lit(0).cast("long")).alias("exact"))
+        .orderBy("term")
+    )
+
+
+def _q_cms_oracle():
+    from picogeojson_spark.operators.sketches import cms_oracle_sql
+    terms_sql = "SELECT unnest([{}]) AS term".format(
+        ", ".join("'{}'".format(t) for t in _CMS_TERMS))
+    return cms_oracle_sql("SELECT text FROM documents", terms_sql,
+                          _CMS_DEPTH, _CMS_WIDTH)
+
+
+_EXTRA_QUERIES["sketch_cms"] = q_sketch_cms
+_EXTRA_ORACLES["sketch_cms"] = _q_cms_oracle()

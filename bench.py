@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "web_domain_stats",
     "pii_redact",
     "chunk_documents",
+    "sketch_cms",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Unit tests: count-min sketch build/estimate."""
+
+from collections import Counter
+
+import pytest
+
+from picogeojson_spark.operators.sketches import cms_build, cms_estimate
+
+
+@pytest.fixture(scope="module")
+def cms_docs(spark):
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "apple  banana\tbanana"),
+        (3, "date"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact(rows):
+    c = Counter()
+    for _, t in rows:
+        c.update(w for w in t.split() if w)
+    return c
+
+
+def test_cms_never_undercounts(spark, cms_docs):
+    exact = _exact([(r["doc_id"], r["text"]) for r in cms_docs.collect()])
+    sketch = cms_build(cms_docs, depth=3, width=4)  # tiny: force collisions
+    terms = spark.createDataFrame(
+        [(t,) for t in list(exact) + ["missing"]], "term string")
+    est = {r["term"]: r["est"]
+           for r in cms_estimate(sketch, terms, depth=3, width=4).collect()}
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+    # absent term may still collide, but never exceeds the total mass
+    assert 0 <= est["missing"] <= sum(exact.values())
+
+
+def test_cms_exact_at_wide_width(spark, cms_docs):
+    """With width >> vocabulary, collisions vanish and est == exact."""
+    exact = _exact([(r["doc_id"], r["text"]) for r in cms_docs.collect()])
+    sketch = cms_build(cms_docs, depth=4, width=4096)
+    terms = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {r["term"]: r["est"]
+           for r in cms_estimate(sketch, terms, depth=4, width=4096).collect()}
+    assert est == dict(exact)
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark, cms_docs):
+    depth, width = 3, 4
+    whole = cms_build(cms_docs, depth=depth, width=width)
+    assert whole.count() <= depth * width
+    # linearity: sketch(A union B) == re-agg of sketch(A) + sketch(B)
+    a = cms_build(cms_docs.filter("doc_id <= 2"), depth=depth, width=width)
+    b = cms_build(cms_docs.filter("doc_id > 2"), depth=depth, width=width)
+    from pyspark.sql import functions as F
+    merged = (a.unionByName(b).groupBy("row_j", "bucket")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_cms_matches_duckdb_replay(spark, cms_docs):
+    import duckdb
+    from picogeojson_spark.operators.sketches import cms_oracle_sql
+    from pyspark.sql import functions as F
+
+    pdf = cms_docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(cms_oracle_sql(
+        "SELECT text FROM docs",
+        "SELECT unnest(['apple','banana','date','missing']) AS term",
+        3, 4)).df()
+    sketch = cms_build(cms_docs, depth=3, width=4)
+    terms = spark.createDataFrame(
+        [("apple",), ("banana",), ("date",), ("missing",)], "term string")
+    got = (cms_estimate(sketch, terms, depth=3, width=4)
+           .orderBy("term").toPandas())
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["est"]) == list(want["est"])
+
+
+def test_cms_invalid_params(cms_docs):
+    with pytest.raises(ValueError):
+        cms_build(cms_docs, depth=0, width=8)
+    with pytest.raises(ValueError):
+        cms_build(cms_docs, depth=2, width=0)
