@@ -2966,3 +2966,25 @@ def _q_cms_oracle():
 
 _EXTRA_QUERIES["sketch_cms"] = q_sketch_cms
 _EXTRA_ORACLES["sketch_cms"] = _q_cms_oracle()
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 document length per source — percentile_disc
+    implemented from first principles in integer arithmetic (the engines'
+    native percentile functions disagree on interpolation): one shuffle on
+    the group key reused by the rank window, the count window, and the
+    final conditional aggregation."""
+    from picogeojson_spark.operators.stats import group_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return group_quantiles(d, "n_chars", "source").orderBy("source")
+
+
+def _q_quantiles_oracle():
+    from picogeojson_spark.operators.stats import quantiles_oracle_sql
+    return quantiles_oracle_sql(
+        "SELECT source, n_chars FROM documents", "n_chars", "source")
+
+
+_EXTRA_QUERIES["length_quantiles"] = q_length_quantiles
+_EXTRA_ORACLES["length_quantiles"] = _q_quantiles_oracle()

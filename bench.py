@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "chunk_documents",
     "sketch_cms",
+    "length_quantiles",
 ]
 
 

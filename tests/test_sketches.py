@@ -88,3 +88,48 @@ def test_cms_invalid_params(cms_docs):
         cms_build(cms_docs, depth=0, width=8)
     with pytest.raises(ValueError):
         cms_build(cms_docs, depth=2, width=0)
+
+
+# ------------------------------------------------------------ quantiles
+
+def test_group_quantiles_exact(spark):
+    import numpy as np
+    from picogeojson_spark.operators.stats import group_quantiles
+
+    rows = ([("a", v) for v in [5, 1, 9, 3, 7, 7, 2, 8, 6, 4]]
+            + [("b", v) for v in [10, 20, 30]]
+            + [("c", 42)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           group_quantiles(df, "v", "g", (50, 90, 99, 100)).collect()}
+    # percentile_disc ground truth: value at 1-based ceil(p*n/100)
+    def disc(vals, p):
+        s = sorted(vals)
+        return s[-(-p * len(s) // 100) - 1]
+    a = [5, 1, 9, 3, 7, 7, 2, 8, 6, 4]
+    for p in (50, 90, 99, 100):
+        assert out["a"]["p{}".format(p)] == disc(a, p), p
+    assert out["b"]["p50"] == 20 and out["b"]["p100"] == 30
+    assert out["c"]["p50"] == out["c"]["p99"] == 42
+    assert out["a"]["n"] == 10
+
+
+def test_group_quantiles_single_shuffle(spark):
+    from picogeojson_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v long")
+    plan = group_quantiles(df, "v", "g")._jdf.queryExecution() \
+        .executedPlan().toString()
+    half = plan.split("== Initial Plan ==")[0]
+    assert half.count("Exchange") <= 1, half
+
+
+def test_group_quantiles_validation(spark):
+    import pytest as _pt
+    from picogeojson_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with _pt.raises(ValueError):
+        group_quantiles(df, "v", "g", (0,))
+    with _pt.raises(ValueError):
+        group_quantiles(df, "v", "g", ())
