@@ -133,3 +133,36 @@ def test_group_quantiles_validation(spark):
         group_quantiles(df, "v", "g", (0,))
     with _pt.raises(ValueError):
         group_quantiles(df, "v", "g", ())
+
+
+def test_cms_stream_equals_batch(spark, tmp_path):
+    """cms_build is a plain explode+groupBy, so it runs UNCHANGED on a
+    streaming DataFrame (the sketch is a linear projection — streaming
+    partial aggregation merges counters exactly like the batch map-side
+    combine). availableNow + complete-mode memory sink; stateless-shaped
+    aggregation, terminates cleanly."""
+    from picogeojson_spark.operators.sketches import cms_build
+
+    d = str(tmp_path / "cms_docs")
+    rows = [(i, "alpha beta " * (i % 5 + 1)) for i in range(200)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.mode("overwrite").parquet(d)
+
+    stream_docs = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (
+        cms_build(stream_docs, depth=3, width=8)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("cms_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql(
+        "select row_j, bucket, cnt from cms_stream_t").collect()))
+    want = sorted(map(tuple,
+                      cms_build(spark.read.parquet(d), depth=3, width=8)
+                      .collect()))
+    assert got == want and got
