@@ -2988,3 +2988,87 @@ def _q_quantiles_oracle():
 
 _EXTRA_QUERIES["length_quantiles"] = q_length_quantiles
 _EXTRA_ORACLES["length_quantiles"] = _q_quantiles_oracle()
+
+
+def _domain_sql(u: str) -> str:
+    """DuckDB expression: registrable domain of URL expression ``u`` —
+    replays web.url_parts + registrable_domain (fragment off, scheme off,
+    hostport, userinfo off, port off, lowercase, www off, last two
+    labels)."""
+    host = (
+        "regexp_replace(lower(regexp_replace(regexp_extract(regexp_replace("
+        "regexp_replace({u}, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),"
+        " '^([^/?]*)', 1), '^[^@]*@', '')), ':[0-9]+$', '')"
+    ).format(u=u)
+    host_n = "regexp_replace({h}, '^www\\.', '')".format(h=host)
+    return (
+        "CASE WHEN regexp_extract({hn}, '([^.]+\\.[^.]+)$', 1) = '' "
+        "THEN {hn} ELSE regexp_extract({hn}, '([^.]+\\.[^.]+)$', 1) END"
+    ).format(hn=host_n)
+
+
+def q_web_link_graph(spark, sf_dir):
+    """Common-Crawl-style inter-domain link graph: href extraction
+    (regexp_extract_all, scan stage) -> canonical registrable domains ->
+    weighted (src_domain, dst_domain) edges, intra-domain links dropped.
+    Page markup is synthesized deterministically with three link shapes:
+    a cross-TLD target, a same-domain target (exercises the intra-domain
+    filter), and a single-quoted href the conservative extractor must
+    ignore."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://WWW.'), F.col("lang"),
+        F.lit('-hub.ORG/'), i.cast("string"), F.lit('">t</a>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(' <a href="http://cdn.'), F.col("source"),
+            F.lit('.com:80/self">s</a>'))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" <a href='https://single."), F.col("lang"),
+            F.lit(".net/skip'>q</a>"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit(' <a href="https://news.'), F.col("source"),
+            F.lit('.io/x">n</a>'))).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", "source", "lang").withColumns(
+        {"url": _messy_url_col(), "html": html})
+    from picogeojson_spark.operators.web import domain_link_graph
+    return domain_link_graph(pages).orderBy("src_domain", "dst_domain")
+
+
+def _q_web_link_graph_oracle():
+    html = """
+    '<p><a href="https://WWW.' || lang || '-hub.ORG/'
+      || CAST(doc_id AS VARCHAR) || '">t</a>'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' <a href="http://cdn.' || source || '.com:80/self">s</a>'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' <a href=''https://single.' || lang || '.net/skip''>q</a>'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' <a href="https://news.' || source || '.io/x">n</a>'
+            ELSE '' END
+    """
+    return """
+WITH pages AS (
+  SELECT doc_id, source, lang, {url} AS url, {html} AS html
+  FROM documents),
+links AS (
+  SELECT url AS src_url, unnest(regexp_extract_all(html, '{href}', 1)) AS dst_url
+  FROM pages),
+abs_links AS (
+  SELECT * FROM links
+  WHERE regexp_matches(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+doms AS (
+  SELECT {src_dom} AS src_domain, {dst_dom} AS dst_domain FROM abs_links)
+SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM doms WHERE src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+ORDER BY src_domain, dst_domain
+""".format(url=_MESSY_URL_SQL, html=html, href='href="([^"]*)"',
+           src_dom=_domain_sql("src_url"), dst_dom=_domain_sql("dst_url"))
+
+
+_EXTRA_QUERIES["web_link_graph"] = q_web_link_graph
+_EXTRA_ORACLES["web_link_graph"] = _q_web_link_graph_oracle()

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "sketch_cms",
     "length_quantiles",
+    "web_link_graph",
 ]
 
 

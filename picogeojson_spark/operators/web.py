@@ -101,3 +101,53 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col)).cast("long").alias("total_size"))
     return c.groupBy("domain").agg(*aggs)
+
+
+#: double-quoted href attributes; single-quoted/bare attrs deliberately
+#: excluded (conservative extraction — recall tuning is a data decision)
+HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(pages: DataFrame, src_url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """One row per href occurrence: (src_url, dst_url).
+
+    ``regexp_extract_all`` + explode — scan-stage work, no shuffle; the
+    Common-Crawl link-extraction step. Duplicate links are preserved
+    (multiplicities matter for weighted graphs).
+    """
+    return pages.select(
+        F.col(src_url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+        ).alias("dst_url"),
+    )
+
+
+def domain_link_graph(pages: DataFrame, src_url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """The weighted inter-domain link graph:
+    (src_domain, dst_domain, n_links), intra-domain links dropped.
+
+    This is the input to web-scale PageRank (`graph.pagerank`) and to
+    domain-authority curation signals. Canonicalization is scan-stage
+    expressions; the single exchange is the (src_domain, dst_domain)
+    count aggregation with map-side combine. Domains fan sub-linearly
+    (the web's host power law), so the agg output is tiny relative to
+    the link stream.
+    """
+    links = extract_links(pages, src_url_col, html_col)
+    # only absolute URLs carry a resolvable domain: relative links would
+    # need the base URL, and malformed hrefs ('', 'not a url', 'javascript:'
+    # without //) would otherwise mint garbage domain nodes (found by an
+    # end-to-end drive — an empty-href '' domain out-ranked the real hub)
+    absolute = links.filter(
+        F.col("dst_url").rlike(_SCHEME_RE)
+    )
+    g = absolute.select(
+        registrable_domain(F.col("src_url")).alias("src_domain"),
+        registrable_domain(F.col("dst_url")).alias("dst_domain"),
+    ).filter(F.col("src_domain") != F.col("dst_domain"))
+    return g.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").cast("long").alias("n_links")
+    )

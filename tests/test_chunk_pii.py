@@ -117,3 +117,36 @@ def test_pii_plan_no_shuffle_no_python(spark, pii_docs):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ------------------------------------------------------------ link graph
+
+def test_extract_links_and_domain_graph(spark):
+    from picogeojson_spark.operators.web import (domain_link_graph,
+                                                 extract_links)
+
+    rows = [
+        # two double-quoted links (one duplicated), one single-quoted (ignored)
+        (1, "https://a.com/x",
+         '<a href="https://b.com/1">x</a> <a href="https://b.com/1">y</a>'
+         " <a href='https://c.com/skip'>z</a>"),
+        # intra-domain link (www + port variations of the same domain)
+        (2, "https://www.a.com/y", '<a href="http://a.com:8080/z">s</a>'),
+        # no links at all
+        (3, "https://d.org/", "plain text"),
+        # link to a bare host (no dot -> domain is the host itself)
+        (4, "https://e.io/", '<a href="http://localhost/admin">l</a>'),
+        # relative / empty / malformed hrefs: extracted but excluded from
+        # the domain graph (no resolvable absolute domain)
+        (5, "https://f.com/",
+         '<a href="/about">r</a> <a href="">e</a> <a href="not a url">j</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+    links = extract_links(pages).collect()
+    assert len(links) == 7  # +3 malformed/relative (extracted, graph-excluded)
+    assert sum(r["dst_url"] == "https://b.com/1" for r in links) == 2
+
+    g = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+         for r in domain_link_graph(pages).collect()}
+    assert g == {("a.com", "b.com"): 2, ("e.io", "localhost"): 1}
