@@ -65,7 +65,10 @@ def pagerank(
     # RDD scan whose outputPartitioning Catalyst no longer knows, so every
     # iteration would re-Exchange the full edge table; the cached plan keeps
     # hashpartitioning(src) visible and each iteration shuffles only the
-    # node-sized rank vector onto it (measured 11.9s -> see git log).
+    # node-sized rank vector onto it. Locally the per-iteration exchange of
+    # a small edge table is cheap (~5-10%% measured at sf0.1), but at scale
+    # the edge table is the corpus-sized side — 8 avoided exchanges of it
+    # is the difference that matters at 100 TB.
     e_deg = e.join(deg, "src").repartition("src").persist()
 
     nodes = (
@@ -76,7 +79,11 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
+        out = nodes.withColumn("rank", F.lit(0).cast("long")) \
+            .localCheckpoint(eager=True)
+        e_deg.unpersist()
+        nodes.unpersist()
+        return out
     r0 = scale // n_nodes
     base = (r0 * (100 - damping_pct)) // 100
 
@@ -107,7 +114,14 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    # materialize once, then release the cached inputs: the persists above
+    # exist to serve the iterations, not the caller — nothing stays pinned
+    # in the SQL CacheManager after the operator returns (same lifecycle as
+    # duplicate_clusters' eager per-round checkpoints)
+    out = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def purchase_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
