@@ -161,6 +161,19 @@ def main():
             spark_cols = df.columns
             if name in KEEP_FOR_SPECIAL:
                 kept[name] = (spark_cols, spark_rows)
+            # plan invariant: no unbounded pair blowup may sneak into any
+            # contract query — CartesianProduct / BroadcastNestedLoopJoin
+            # are allowed only where the operator is BY DEFINITION all-pairs
+            # and demoted to small-scale oracle duty.
+            if name not in PLAN_ALLOW_CROSS:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                bad = [op for op in ("CartesianProduct",
+                                     "BroadcastNestedLoopJoin")
+                       if op in plan]
+                if bad:
+                    print("FAIL {:24s} plan contains {}".format(name, bad))
+                    failures.append(name)
+                    continue
         except Exception as e:  # noqa: BLE001
             print("FAIL {:24s} spark error: {}".format(name, e))
             failures.append(name)
@@ -244,6 +257,19 @@ def main():
 
 
 KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
+
+#: queries allowed to carry CartesianProduct / BroadcastNestedLoopJoin;
+#: every other contract plan must be free of both. Each entry's build side
+#: is bounded by construction:
+#:   embed_cosine_pairs — by-definition-exact all-pairs oracle, documented
+#:       small-scale-only (the LSH variant is the scale path);
+#:   geo_knn — the adaptive tail's brute remnant: unsettled queries only,
+#:       admitted under an explicit pair budget (knn.py), otherwise the
+#:       ring-doubling path runs instead;
+#:   bm25_search — corpus scalars (N, avgdl: ONE row) attached by broadcast
+#:       nested-loop; the alternative is a driver collect the operator
+#:       deliberately avoids.
+PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):

@@ -150,3 +150,36 @@ def test_extract_links_and_domain_graph(spark):
     g = {(r["src_domain"], r["dst_domain"]): r["n_links"]
          for r in domain_link_graph(pages).collect()}
     assert g == {("a.com", "b.com"): 2, ("e.io", "localhost"): 1}
+
+
+def test_extract_links_stream_equals_batch(spark, tmp_path):
+    """extract_links is stateless scan-stage work — it runs unchanged on a
+    streaming DataFrame in append mode (the Common-Crawl shape: link
+    extraction riding the crawl ingest stream)."""
+    from picogeojson_spark.operators.web import extract_links
+
+    d = str(tmp_path / "link_pages")
+    rows = [(f"https://s{i % 9}.com/p{i}",
+             f'<a href="https://t{i % 4}.org/x{i}">x</a>'
+             + ('<a href="https://u.net/y">y</a>' if i % 3 == 0 else ""))
+            for i in range(120)]
+    batch = spark.createDataFrame(rows, "url string, html string")
+    batch.write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema("url string, html string").parquet(d)
+    q = (
+        extract_links(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("links_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql(
+        "select src_url, dst_url from links_stream_t").collect()))
+    want = sorted(map(tuple,
+                      extract_links(spark.read.parquet(d)).collect()))
+    assert got == want and len(got) == 160
