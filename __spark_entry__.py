@@ -3072,3 +3072,45 @@ ORDER BY src_domain, dst_domain
 
 _EXTRA_QUERIES["web_link_graph"] = q_web_link_graph
 _EXTRA_ORACLES["web_link_graph"] = _q_web_link_graph_oracle()
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Wide per-user activity matrix via the DataFrame `pivot` operator
+    (explicit value list — fixed output schema, no distinct-values driver
+    job): one hash aggregation producing n_<type> count columns plus an
+    integer-cents value total. The oracle replays it as conditional
+    aggregation (what pivot compiles to)."""
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cnts = [F.coalesce(F.col(t), F.lit(0)).cast("long").alias("n_" + t)
+            for t in _EVENT_TYPES]
+    totals = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("cents_total"))
+    return (
+        p.select("user_id", *cnts)
+        .join(totals, "user_id")
+        .orderBy("user_id")
+    )
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       {cnts},
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""".format(cnts=",\n       ".join(
+    "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_{t}".format(t=t) for t in _EVENT_TYPES))
+
+_EXTRA_QUERIES["events_pivot"] = q_events_pivot
+_EXTRA_ORACLES["events_pivot"] = Q_EVENTS_PIVOT_SQL

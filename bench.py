@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sketch_cms",
     "length_quantiles",
     "web_link_graph",
+    "events_pivot",
 ]
 
 
