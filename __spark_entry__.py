@@ -2968,6 +2968,45 @@ _EXTRA_QUERIES["sketch_cms"] = q_sketch_cms
 _EXTRA_ORACLES["sketch_cms"] = _q_cms_oracle()
 
 
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-user count per event type vs the exact count.
+    The sketch is one narrow projection + one hash aggregate bounded at
+    2^p registers per group (map-side combined — shuffle volume is
+    independent of row count, the property that makes distinct counting
+    feasible when the exact distinct table is TB-sized). Every step is
+    integer arithmetic on a 60-bit md5 hash — bucket = top p bits, rho via
+    length(bin(rem)) string arithmetic, harmonic sum over a 2^45 common
+    denominator, and the small-range linear-counting branch looked up from
+    a Python-precomputed integer table — so the DuckDB oracle replays the
+    estimate bit-for-bit. p=6 (64 registers) keeps the register table
+    printable and the estimator error regime (~13%) honest."""
+    from picogeojson_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id", p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "v_zero", "est", "exact")
+        .orderBy("event_type")
+    )
+
+
+def _q_hll_oracle():
+    from picogeojson_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id",
+        p=6,
+    )
+
+
+_EXTRA_QUERIES["sketch_hll"] = q_sketch_hll
+_EXTRA_ORACLES["sketch_hll"] = _q_hll_oracle()
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact p50/p90/p99 document length per source — percentile_disc
     implemented from first principles in integer arithmetic (the engines'

@@ -98,6 +98,218 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame, depth: int = 4,
     )
 
 
+def _hll_alpha(m: int):
+    """HyperLogLog bias constant as an exact rational (num, den) — Flajolet
+    et al. 2007 §4: 0.673 / 0.697 / 0.709 for m = 16/32/64, and
+    0.7213/(1 + 1.079/m) = 7213*m / (10000*m + 10790) above."""
+    if m == 16:
+        return 673, 1000
+    if m == 32:
+        return 697, 1000
+    if m == 64:
+        return 709, 1000
+    return 7213 * m, 10000 * m + 10790
+
+
+_HLL_HASH_BITS = 60   # 15 md5 hex chars -> fits signed 64-bit exactly
+_HLL_SHIFT = 45       # 2^(SHIFT - rho) harmonic terms; rho > SHIFT -> 0
+_HLL_PRE = 20         # alpha*m*m pre-scaled by 2^PRE before the final shift
+
+
+def _hll_consts(p: int):
+    if not 4 <= p <= 8:
+        # the integer estimator needs alpha*m^2*2^SHIFT < 2^63; p <= 8
+        # keeps every intermediate in bigint. Production HLL at p=14 would
+        # use the float estimator; this operator trades register count for
+        # a bit-exact cross-engine contract.
+        raise ValueError("p must be in [4, 8]")
+    m = 1 << p
+    rem_bits = _HLL_HASH_BITS - p
+    a_num, a_den = _hll_alpha(m)
+    # alpha * m^2 * 2^PRE, integer-floored once in Python (exact bigint)
+    pre = (a_num * m * m * (1 << _HLL_PRE)) // a_den
+    return m, rem_bits, pre
+
+
+def _hll_lc_table(m: int):
+    """Linear-counting estimates ``round(m * ln(m / V))`` for every possible
+    zero-register count V in 1..m, precomputed in Python as exact integers
+    and embedded as a literal array on BOTH engines — the float ln never
+    runs inside either engine, so the small-range correction is as
+    deterministic as the raw estimator."""
+    import math
+
+    return [int(m * math.log(m / v) + 0.5) for v in range(1, m + 1)]
+
+
+def hll_build(df: DataFrame, group_cols, value_col: str, p: int = 6,
+              salt: str = "hll") -> DataFrame:
+    """HyperLogLog registers per group: ``(groups..., bucket, max_rho)``.
+
+    The sketch of a group is its <= 2^p register rows — constant-size per
+    group regardless of how many values stream through, mergeable across
+    corpus shards by ``max`` (union the rows, re-aggregate), and a pure
+    function of the value set: the hash is 60 bits of md5 (15 hex chars,
+    the repo-standard ``conv`` construction), the bucket is the top ``p``
+    bits, and ``rho`` = 1 + leading zeros of the remaining bits, computed
+    as string-length integer arithmetic (``length(bin(rem))``) so DuckDB
+    replays it bit-for-bit — no float, no engine-specific clz.
+
+    Spark shape: one narrow projection then one hash aggregate; map-side
+    partial combine bounds every task's shuffle contribution at
+    ``groups x 2^p`` rows — the classic sketch property that makes distinct
+    counting feasible when the exact distinct table is itself TB-sized.
+    """
+    m, rem_bits, _ = _hll_consts(p)
+    group_cols = list(group_cols)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"),
+                           F.col(value_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = df.select(
+        *group_cols,
+        h.alias("_h"),
+    ).select(
+        *group_cols,
+        F.expr("_h div {d}".format(d=1 << rem_bits)).alias("bucket"),
+        F.pmod(F.col("_h"), F.lit(1 << rem_bits)).alias("_rem"),
+    ).select(
+        *group_cols,
+        "bucket",
+        F.when(F.col("_rem") == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits + 1) - F.length(F.bin(F.col("_rem"))))
+        .cast("int")
+        .alias("_rho"),
+    )
+    return (
+        keyed.groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols, p: int = 6) -> DataFrame:
+    """Raw HLL cardinality estimate per group from a ``hll_build`` table:
+    ``(groups..., v_zero, est)``.
+
+    All integer arithmetic: the harmonic sum uses terms ``2^(45 - rho)``
+    over a common denominator 2^45 (terms with rho > 45 floor to zero —
+    a < 2^-45 relative truncation, deterministic on both engines), absent
+    registers contribute the full ``2^45`` each, and the final estimate is
+    ``(alpha*m^2*2^20 div 1) * 2^25 div S`` with every constant
+    pre-folded in Python. ``v_zero`` (empty-register count) is emitted so
+    consumers can apply linear-counting bias correction; the raw estimator
+    is the deterministic contract.
+    """
+    m, _, pre = _hll_consts(p)
+    group_cols = list(group_cols)
+    term = F.when(
+        F.col("max_rho") <= _HLL_SHIFT,
+        F.expr("shiftleft(1L, {s} - max_rho)".format(s=_HLL_SHIFT)),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("_n_reg"),
+        F.sum(term).cast("long").alias("_s_present"),
+    )
+    s_total = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("_n_reg")) * F.lit(1 << _HLL_SHIFT).cast("long")
+    )
+    lc = _hll_lc_table(m)
+    lc_arr = "array({})".format(",".join("{}L".format(x) for x in lc))
+    return agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("_n_reg")).cast("long").alias("v_zero"),
+        (
+            F.lit(pre).cast("long")
+            * F.lit(1 << (_HLL_SHIFT - _HLL_PRE)).cast("long")
+        ).alias("_num"),
+        F.greatest(s_total.cast("long"), F.lit(1).cast("long")).alias("_den"),
+    ).select(
+        *group_cols,
+        "v_zero",
+        F.expr("_num div _den").cast("long").alias("_raw"),
+    ).select(
+        *group_cols,
+        "v_zero",
+        # small-range correction (Flajolet et al. 2007 §4): when the raw
+        # estimate is below 5m/2 and empty registers remain, linear
+        # counting m*ln(m/V) is the better estimator — looked up from the
+        # precomputed integer table (V has only m possible values).
+        F.expr(
+            "CASE WHEN v_zero > 0 AND _raw <= {thresh}L "
+            "THEN element_at({arr}, CAST(v_zero AS INT)) "
+            "ELSE _raw END".format(thresh=(5 * m) // 2, arr=lc_arr)
+        ).cast("long").alias("est"),
+    )
+
+
+def hll_distinct(df: DataFrame, group_cols, value_col: str, p: int = 6,
+                 salt: str = "hll") -> DataFrame:
+    """``hll_build`` + ``hll_estimate`` in one call:
+    ``(groups..., v_zero, est)`` — one shuffle for the registers, one
+    (tiny, <= groups x 2^p rows) for the per-group fold."""
+    return hll_estimate(
+        hll_build(df, group_cols, value_col, p=p, salt=salt),
+        group_cols, p=p,
+    )
+
+
+def hll_oracle_sql(source_sql: str, group_col: str, value_col: str,
+                   p: int = 6, salt: str = "hll") -> str:
+    """DuckDB replay of ``hll_distinct`` plus the exact distinct count:
+    ``(group, v_zero, est, exact)`` ordered by group."""
+    m, rem_bits, pre = _hll_consts(p)
+    lc_list = "[{}]".format(",".join(str(x) for x in _hll_lc_table(m)))
+    return f"""
+WITH src AS ({source_sql}),
+hashed AS (
+  SELECT {group_col} AS grp,
+         CAST(('0x' || substring(md5('{salt}:' || CAST({value_col} AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM src),
+keyed AS (
+  SELECT grp, h // {1 << rem_bits} AS bucket, h % {1 << rem_bits} AS rem
+  FROM hashed),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits + 1} - length(bin(rem)) END) AS max_rho
+  FROM keyed GROUP BY grp, bucket),
+folded AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_reg,
+         CAST(SUM(CASE WHEN max_rho <= {_HLL_SHIFT}
+                       THEN (CAST(1 AS BIGINT) << ({_HLL_SHIFT} - max_rho))
+                       ELSE 0 END) AS BIGINT) AS s_present
+  FROM regs GROUP BY grp),
+raw AS (
+  SELECT grp,
+         CAST({m} - n_reg AS BIGINT) AS v_zero,
+         CAST(({pre} * {1 << (_HLL_SHIFT - _HLL_PRE)}) //
+              GREATEST(s_present + ({m} - n_reg) *
+                       (CAST(1 AS BIGINT) << {_HLL_SHIFT}), 1)
+              AS BIGINT) AS est_raw
+  FROM folded),
+est AS (
+  SELECT grp, v_zero,
+         CAST(CASE WHEN v_zero > 0 AND est_raw <= {(5 * m) // 2}
+                   THEN ({lc_list})[CAST(v_zero AS INT)]
+                   ELSE est_raw END AS BIGINT) AS est
+  FROM raw),
+exact AS (
+  SELECT {group_col} AS grp,
+         CAST(COUNT(DISTINCT {value_col}) AS BIGINT) AS exact
+  FROM src GROUP BY {group_col})
+SELECT e.grp AS {group_col}, e.v_zero, e.est, x.exact
+FROM est e JOIN exact x USING (grp)
+ORDER BY {group_col}
+"""
+
+
 def cms_oracle_sql(source_sql: str, terms_sql: str, depth: int, width: int,
                    salt: str = "cms") -> str:
     """DuckDB replay of build + estimate + the exact count comparison the

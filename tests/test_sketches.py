@@ -166,3 +166,99 @@ def test_cms_stream_equals_batch(spark, tmp_path):
                       cms_build(spark.read.parquet(d), depth=3, width=8)
                       .collect()))
     assert got == want and got
+
+
+# ------------------------------------------------------------ hyperloglog
+
+def test_hll_registers_match_python_replay(spark):
+    """The register table is a pure function of the value set: replicate
+    bucket/rho in plain Python (hashlib md5, integer bit ops) and compare."""
+    import hashlib
+
+    from picogeojson_spark.operators.sketches import hll_build
+
+    vals = ["u{}".format(i) for i in range(200)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    got = {
+        (r["bucket"], ): r["max_rho"]
+        for r in hll_build(df, ["grp"], "v", p=6).collect()
+    }
+
+    p, rem_bits = 6, 54
+    want = {}
+    for v in vals:
+        h = int(hashlib.md5(("hll:" + v).encode()).hexdigest()[:15], 16)
+        bucket, rem = h >> rem_bits, h % (1 << rem_bits)
+        rho = (rem_bits + 1) if rem == 0 \
+            else rem_bits + 1 - rem.bit_length()
+        want[(bucket,)] = max(want.get((bucket,), 0), rho)
+    assert got == want
+
+
+def test_hll_mergeable_and_bounded(spark):
+    """Registers merge by max (union shards, re-aggregate) and the sketch
+    is bounded at 2^p rows per group regardless of input size."""
+    from pyspark.sql import functions as F
+
+    from picogeojson_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.createDataFrame(
+        [("g", "u{}".format(i)) for i in range(500)], "grp string, v string")
+    whole = hll_build(df, ["grp"], "v", p=5)
+    assert whole.count() <= 32
+    a = hll_build(df.filter("substring(v, 2, 9) % 2 = 0"), ["grp"], "v", p=5)
+    b = hll_build(df.filter("substring(v, 2, 9) % 2 = 1"), ["grp"], "v", p=5)
+    merged = (a.unionByName(b).groupBy("grp", "bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    est_w = hll_estimate(whole, ["grp"], p=5).collect()[0]["est"]
+    est_m = hll_estimate(merged, ["grp"], p=5).collect()[0]["est"]
+    assert est_w == est_m
+
+
+def test_hll_estimate_accuracy(spark):
+    """p=6 (m=64) raw estimator sigma ~= 1.04/sqrt(64) = 13%; assert a
+    generous 3-sigma band at three cardinalities spanning the linear-
+    counting and raw regimes."""
+    from picogeojson_spark.operators.sketches import hll_distinct
+
+    for n in (20, 300, 3000):
+        df = spark.createDataFrame(
+            [("g", "user-{}".format(i)) for i in range(n)],
+            "grp string, v string")
+        est = hll_distinct(df, ["grp"], "v", p=6).collect()[0]["est"]
+        assert abs(est - n) <= max(0.4 * n, 8), (n, est)
+
+
+def test_hll_matches_duckdb_replay(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.sketches import (
+        hll_distinct,
+        hll_oracle_sql,
+    )
+
+    rows = [("a", "u{}".format(i)) for i in range(137)] + \
+           [("b", "u{}".format(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    con = duckdb.connect()
+    con.register("vals", df.toPandas())
+    want = con.execute(
+        hll_oracle_sql("SELECT grp, v FROM vals", "grp", "v", p=6)).df()
+    got = (hll_distinct(df, ["grp"], "v", p=6).orderBy("grp").toPandas())
+    assert list(got["grp"]) == list(want["grp"])
+    assert list(got["v_zero"]) == list(want["v_zero"])
+    assert list(got["est"]) == list(want["est"])
+
+
+def test_hll_invalid_p(spark):
+    import pytest as _pytest
+
+    from picogeojson_spark.operators.sketches import hll_build
+
+    df = spark.createDataFrame([("g", "x")], "grp string, v string")
+    with _pytest.raises(ValueError):
+        hll_build(df, ["grp"], "v", p=3)
+    with _pytest.raises(ValueError):
+        hll_build(df, ["grp"], "v", p=9)
