@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "chunk_documents",
     "sketch_cms",
+    "sketch_hll",
     "length_quantiles",
     "web_link_graph",
     "events_pivot",

@@ -18,12 +18,12 @@ contribution vanishes, the classic "simplified PageRank" variant) — total
 mass is therefore not conserved, which is fine for ranking and keeps both
 sides trivially identical.
 
-Scale shape: per iteration, one equi-join of the (small) rank vector with
-the (large, cached) out-degree-annotated edge table plus one map-side-combine
-aggregate back to nodes; lineage is truncated with ``localCheckpoint`` every
-iteration exactly like ``duplicate_clusters`` so the plan stays flat over
-many rounds. Hot dst nodes (the web's power law) are AQE skew-join territory;
-the integer semantics are unaffected by any re-plan.
+Scale shape: per iteration, one equi-join of the rank vector with the
+(large, cached) out-degree-annotated edge table plus one map-side-combine
+aggregate back to nodes; iteration results are persisted (partitioning-
+preserving — see the loop comment) and every cached intermediate is
+released before returning. Hot dst nodes (the web's power law) are AQE
+skew-join territory; the integer semantics are unaffected by any re-plan.
 """
 
 from __future__ import annotations
@@ -71,6 +71,10 @@ def pagerank(
     # is the difference that matters at 100 TB.
     e_deg = e.join(deg, "src").repartition("src").persist()
 
+    # distinct() leaves nodes hash-partitioned by node and persist keeps
+    # that partitioning visible to Catalyst — the per-iteration left join
+    # against the (node-keyed) contribution aggregate then needs no
+    # exchange on either side.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -88,6 +92,20 @@ def pagerank(
     base = (r0 * (100 - damping_pct)) // 100
 
     ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    # Iteration results are PERSISTED, not localCheckpointed: a checkpoint
+    # is an opaque RDD scan whose outputPartitioning Catalyst forgets, so
+    # the next iteration's rank-vector join would re-exchange it by src.
+    # The cached plan keeps hashpartitioning(node) (alias-rewritten to src
+    # through the rename) visible, and with nodes and e_deg also cached
+    # partitioned, each iteration's ONLY exchange is the map-side-combined
+    # contribution aggregate. At sf0.001-0.1 AQE broadcasts the tiny rank
+    # vector and the two shapes execute identically (measured: 2 stages,
+    # 1 shuffle write per iteration either way); at 1e9-node scale the rank
+    # vector is not broadcastable and the preserved partitioning is the
+    # difference. All intermediates are released before returning; like the
+    # lazy-checkpoint chain they replace, they materialize inside the one
+    # final job, spilling to disk under pressure (MEMORY_AND_DISK).
+    cached = []
     for _ in range(iterations):
         contrib = (
             ranks.withColumnRenamed("node", "src")
@@ -112,13 +130,16 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .persist()
         )
+        cached.append(ranks)
     # materialize once, then release the cached inputs: the persists above
     # exist to serve the iterations, not the caller — nothing stays pinned
     # in the SQL CacheManager after the operator returns (same lifecycle as
     # duplicate_clusters' eager per-round checkpoints)
     out = ranks.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     e_deg.unpersist()
     nodes.unpersist()
     return out
