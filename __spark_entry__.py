@@ -2709,6 +2709,33 @@ _EXTRA_QUERIES["text_quality_linear"] = q_text_quality_linear
 _EXTRA_ORACLES["text_quality_linear"] = Q_TEXT_QUALITY_LINEAR_SQL
 
 
+def q_text_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal vs the corpus's own unigram
+    model (the integer-exact cousin of CCNet's LM-perplexity filter):
+    surprisal per occurrence = bitlen(total) - bitlen(count(tok)), pure
+    length(bin(x)) integer arithmetic replayed bit-for-bit by the oracle.
+    Tokens pre-aggregate to (doc, tok) multiplicities so the vocab join's
+    skew is bounded; the corpus total is a 1-row broadcast attached to the
+    vocab (the allow-listed scalar pattern, same as bm25_search)."""
+    from picogeojson_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _q_text_surprisal_oracle():
+    from picogeojson_spark.operators.textstats import (
+        unigram_surprisal_oracle_sql,
+    )
+
+    return unigram_surprisal_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+_EXTRA_QUERIES["text_surprisal"] = q_text_surprisal
+_EXTRA_ORACLES["text_surprisal"] = _q_text_surprisal_oracle()
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work

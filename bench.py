@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "sample_mixture",
     "text_quality_linear",
+    "text_surprisal",
     "web_canonical",
     "web_domain_stats",
     "pii_redact",

@@ -326,3 +326,104 @@ def linear_quality(docs: DataFrame, n_buckets: int = 64, salt: str = "w0",
             (F.coalesce("score", F.lit(0).cast("long")) >= 0).alias("keep"),
         )
     )
+
+
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram surprisal against the corpus's own
+    unigram model — the integer-exact cousin of the n-gram-LM perplexity
+    filters used in corpus curation (e.g. CCNet): rare-token-heavy
+    documents score high, boilerplate scores low.
+
+    Surprisal of one token occurrence is approximated in whole bits as
+    ``bitlen(total_tokens) - bitlen(count(token))`` (= ``floor(log2)``
+    difference, within 1 bit of -log2 p per term) — computed as
+    ``length(bin(x))`` string arithmetic, so the score is pure integer and
+    the DuckDB oracle replays it bit-for-bit; no float ln ever runs.
+
+    Returns ``(doc_id, n_tokens, surprisal_sum, mean_surprisal_x1000)``
+    for every input document (tokenless docs score 0).
+
+    Scale shape: tokens are pre-aggregated to per-(doc, token)
+    multiplicities before touching the vocabulary, so the vocab join's
+    skew is bounded at one row per document per hot token and the join
+    never explodes; the corpus-total scalar is a 1-row broadcast attached
+    to the vocab (vocab-sized, not corpus-sized). Two aggregates + one
+    equi-join — no UDFs, no collect.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+", -1),
+                     lambda x: F.length(x) > 0)
+        ).alias("tok"),
+    )
+    mult = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("m"))
+    vocab = mult.groupBy("tok").agg(F.sum("m").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    vocab_s = vocab.join(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.bin(F.col("total")))
+         - F.length(F.bin(F.col("cnt")))).cast("long").alias("surp"),
+    )
+    scored = (
+        mult.join(vocab_s, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.sum(F.col("m") * F.col("surp")).cast("long")
+            .alias("surprisal_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("surprisal_sum", F.lit(0).cast("long"))
+            .alias("surprisal_sum"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.expr("surprisal_sum * 1000 div n_tokens"),
+            ).otherwise(F.lit(0)).cast("long").alias("mean_surprisal_x1000"),
+        )
+    )
+
+
+def unigram_surprisal_oracle_sql(source_sql: str) -> str:
+    """DuckDB replay of ``unigram_surprisal`` (same integer bit
+    arithmetic), ordered by doc_id."""
+    return f"""
+WITH src AS ({source_sql}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM src),
+mult AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+  FROM toks GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok, CAST(SUM(m) AS BIGINT) AS cnt FROM mult GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+vs AS (
+  SELECT tok,
+         CAST(length(bin(tot.total)) - length(bin(cnt)) AS BIGINT) AS surp
+  FROM vocab CROSS JOIN tot),
+scored AS (
+  SELECT mult.doc_id,
+         CAST(SUM(m) AS BIGINT) AS n_tokens,
+         CAST(SUM(m * surp) AS BIGINT) AS surprisal_sum
+  FROM mult JOIN vs USING (tok) GROUP BY mult.doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sc.surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
+       CAST(CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+                 THEN (sc.surprisal_sum * 1000) // sc.n_tokens
+                 ELSE 0 END AS BIGINT) AS mean_surprisal_x1000
+FROM (SELECT doc_id FROM src) s
+LEFT JOIN scored sc USING (doc_id)
+ORDER BY doc_id
+"""

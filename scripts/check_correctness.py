@@ -269,7 +269,10 @@ KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
 #:   bm25_search — corpus scalars (N, avgdl: ONE row) attached by broadcast
 #:       nested-loop; the alternative is a driver collect the operator
 #:       deliberately avoids.
-PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search"}
+PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
+                    # 1-row corpus-total scalar broadcast onto the vocab
+                    # (same shape as bm25's scalar attach)
+                    "text_surprisal"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):

@@ -1795,3 +1795,51 @@ def test_pagerank_hub_and_dangling(spark):
     assert len(got) == 7
     assert got[100] == max(got.values())  # the hub
     assert got[200] > got[2] == got[3] == got[4] == got[5]  # leaf sources
+
+
+# ------------------------------------------------------- unigram surprisal
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Hand-check: corpus 'a a a b' (total=4, bitlen=3): cnt(a)=3
+    (bitlen 2, surp 1), cnt(b)=1 (bitlen 1, surp 2)."""
+    from picogeojson_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, "   ")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_sum"],
+                         r["mean_surprisal_x1000"])
+           for r in unigram_surprisal(docs).collect()}
+    assert got[1] == (3, 3, 1000)      # 3 occurrences of 'a', 1 bit each
+    assert got[2] == (1, 2, 2000)      # 1 occurrence of 'b', 2 bits
+    assert got[3] == (0, 0, 0)         # tokenless doc scores zero
+
+
+def test_unigram_surprisal_rare_scores_higher(spark):
+    """A rare-token doc must outscore a common-token doc."""
+    from picogeojson_spark.operators.textstats import unigram_surprisal
+
+    rows = [(i, "the the the the") for i in range(20)] + [(99, "zyzzyva")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_surprisal_x1000"]
+           for r in unigram_surprisal(docs).collect()}
+    assert got[99] > got[0]
+
+
+def test_unigram_surprisal_matches_duckdb(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.textstats import (
+        unigram_surprisal,
+        unigram_surprisal_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "beta beta"), (3, ""),
+         (4, "alpha zeta")], "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    want = con.execute(
+        unigram_surprisal_oracle_sql("SELECT doc_id, text FROM d")).df()
+    got = unigram_surprisal(docs).orderBy("doc_id").toPandas()
+    for c in ("doc_id", "n_tokens", "surprisal_sum", "mean_surprisal_x1000"):
+        assert list(got[c]) == list(want[c]), c
