@@ -2736,6 +2736,29 @@ _EXTRA_QUERIES["text_surprisal"] = q_text_surprisal
 _EXTRA_ORACLES["text_surprisal"] = _q_text_surprisal_oracle()
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer trainer (Sennrich 2016): the 8 most
+    frequent symbol-pair merges learned over the corpus vocabulary. One
+    corpus-sized shuffle builds the word-frequency table; every round
+    after that is a vocab-sized pair aggregate + a 1-row argmax collect
+    (the k-means-quantizer precedent) + a codegen replace. Deterministic
+    tie-break (count desc, pair asc); the oracle unrolls the 8 rounds as
+    a CTE chain, so the hash match certifies the whole induction."""
+    from picogeojson_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _q_bpe_oracle():
+    from picogeojson_spark.operators.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql("SELECT text FROM documents", n_merges=8)
+
+
+_EXTRA_QUERIES["bpe_merges"] = q_bpe_merges
+_EXTRA_ORACLES["bpe_merges"] = _q_bpe_oracle()
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work

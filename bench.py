@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "sample_mixture",
     "text_quality_linear",
     "text_surprisal",
+    "bpe_merges",
     "web_canonical",
     "web_domain_stats",
     "pii_redact",
