@@ -120,11 +120,14 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
     iterative lineage otherwise grows unboundedly and re-executes from the
     source on every convergence probe.
     """
+    # lazy checkpoints throughout: the count() that every round needs for
+    # the convergence probe doubles as the materializer, so each round is
+    # ONE job instead of an eager-checkpoint job plus a count job.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e):
@@ -161,7 +164,7 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
 
     n_edges = edges.count()
     for _ in range(max_iters):
-        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=False)
         # converged when the (distinct) edge sets are identical — at that
         # point the edges ARE the component stars (child -> component min).
         # One count job per round (the previous round's count is carried);
