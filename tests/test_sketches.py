@@ -262,3 +262,35 @@ def test_hll_invalid_p(spark):
         hll_build(df, ["grp"], "v", p=3)
     with _pytest.raises(ValueError):
         hll_build(df, ["grp"], "v", p=9)
+
+
+def test_hll_stream_equals_batch(spark, tmp_path):
+    """hll_build is a narrow projection + max-aggregate, so it runs
+    UNCHANGED on a streaming DataFrame (registers merge by max exactly
+    like the batch map-side combine). availableNow + complete-mode
+    memory sink."""
+    from picogeojson_spark.operators.sketches import hll_build
+
+    d = str(tmp_path / "hll_vals")
+    rows = [("g{}".format(i % 3), "user-{}".format(i)) for i in range(300)]
+    batch = spark.createDataFrame(rows, "grp string, v string")
+    batch.write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema("grp string, v string").parquet(d)
+    q = (
+        hll_build(stream, ["grp"], "v", p=5)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("hll_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql(
+        "select grp, bucket, max_rho from hll_stream_t").collect()))
+    want = sorted(map(tuple,
+                      hll_build(spark.read.parquet(d), ["grp"], "v", p=5)
+                      .collect()))
+    assert got == want and got
