@@ -2759,6 +2759,38 @@ _EXTRA_QUERIES["bpe_merges"] = q_bpe_merges
 _EXTRA_ORACLES["bpe_merges"] = _q_bpe_oracle()
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered 3-step conversion funnel (view -> click -> purchase, each
+    within 1 hour of the previous) with earliest-completion greedy
+    semantics. Step k is one equi-join of the type-filtered step events
+    against the shrinking user frontier + a map-side-combined min — never
+    a per-user collect_list, so power users stream like any key.
+    Timestamps are pure-NTZ epoch micros (no session-tz involvement)."""
+    from picogeojson_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return funnel_counts(ev, _FUNNEL_STEPS, _FUNNEL_GAP_US)
+
+
+def _q_funnel_oracle():
+    from picogeojson_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        "SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events",
+        _FUNNEL_STEPS, _FUNNEL_GAP_US,
+    )
+
+
+_EXTRA_QUERIES["events_funnel"] = q_events_funnel
+_EXTRA_ORACLES["events_funnel"] = _q_funnel_oracle()
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "web_link_graph",
     "events_pivot",
+    "events_funnel",
 ]
 
 

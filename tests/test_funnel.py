@@ -1,0 +1,79 @@
+"""Unit tests: event funnel (ordered conversion within a gap)."""
+
+import pytest
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long")
+
+
+def test_funnel_hand_computed(spark):
+    """u1 completes all 3; u2 stalls at click (purchase too late); u3 has
+    the purchase BEFORE the click (order matters); u4 never clicks."""
+    from picogeojson_spark.operators.funnel import funnel_counts
+
+    gap = 100
+    rows = [
+        (1, "view", 0), (1, "click", 50), (1, "purchase", 120),
+        (2, "view", 0), (2, "click", 50), (2, "purchase", 500),
+        (3, "purchase", 10), (3, "view", 20), (3, "click", 60),
+        (4, "view", 0),
+    ]
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(_ev(spark, rows),
+                                  ["view", "click", "purchase"],
+                                  gap).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_funnel_earliest_completion_greedy(spark):
+    """Greedy takes the EARLIEST step-2 match even when a later one would
+    let step 3 succeed — the documented deterministic semantics."""
+    from picogeojson_spark.operators.funnel import funnel_counts
+
+    gap = 100
+    rows = [
+        # earliest click at 10 -> purchase window (10, 110]; purchase at
+        # 200 misses it, though the click at 150 would have caught it
+        (1, "view", 0), (1, "click", 10), (1, "click", 150),
+        (1, "purchase", 200),
+    ]
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(_ev(spark, rows),
+                                  ["view", "click", "purchase"],
+                                  gap).collect()}
+    assert got == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_funnel_matches_duckdb(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.funnel import (
+        funnel_counts,
+        funnel_oracle_sql,
+    )
+
+    rows = [(u, t, (u * 37 + i * 13) % 500)
+            for u in range(30)
+            for i, t in enumerate(
+                ["view", "click", "view", "purchase", "click"])]
+    df = _ev(spark, rows)
+    con = duckdb.connect()
+    con.register("evs", df.toPandas())
+    want = [tuple(r) for r in con.execute(funnel_oracle_sql(
+        "SELECT user_id, event_type, ts_us FROM evs",
+        ["view", "click", "purchase"], 120)).fetchall()]
+    got = [tuple(r) for r in funnel_counts(
+        df, ["view", "click", "purchase"], 120).collect()]
+    assert got == want
+
+
+def test_funnel_validation(spark):
+    from picogeojson_spark.operators.funnel import funnel_counts
+
+    df = _ev(spark, [(1, "view", 0)])
+    with pytest.raises(ValueError):
+        funnel_counts(df, [], 100)
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view"], 0)
