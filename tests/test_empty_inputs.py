@@ -121,3 +121,35 @@ def test_asof_and_textstats_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert gopher_quality_flags(docs).count() == 0
+
+
+def test_hll_empty_input(spark):
+    from picogeojson_spark.operators.sketches import hll_distinct
+
+    empty = spark.createDataFrame([], "grp string, v string")
+    assert hll_distinct(empty, ["grp"], "v", p=6).count() == 0
+
+
+def test_surprisal_empty_input(spark):
+    from picogeojson_spark.operators.textstats import unigram_surprisal
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_surprisal(empty).count() == 0
+
+
+def test_bpe_empty_corpus(spark):
+    from picogeojson_spark.operators.bpe import bpe_apply, bpe_train
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, n_merges=4).count() == 0
+    assert bpe_apply(empty, [("a", "b")]).count() == 0
+
+
+def test_funnel_empty_input(spark):
+    from picogeojson_spark.operators.funnel import funnel_counts
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts_us long")
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(empty, ["view", "click"], 100).collect()}
+    assert got == {"view": 0, "click": 0}
