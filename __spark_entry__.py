@@ -2791,6 +2791,75 @@ _EXTRA_QUERIES["events_funnel"] = q_events_funnel
 _EXTRA_ORACLES["events_funnel"] = _q_funnel_oracle()
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup flagging — the nightly-crawl flow: the odd-id
+    half of `documents` (the increment) probes the even-id half (the
+    corpus) through LSH band keys; band collisions are exact-verified by
+    3-gram Jaccard >= 0.5 and each flagged doc reports its smallest
+    matching corpus id. The corpus is never self-joined."""
+    from picogeojson_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_against(existing, incoming, n=3, num_hashes=16, bands=4,
+                         threshold=0.5).orderBy("doc_id")
+
+
+def _q_dedup_incremental_oracle():
+    sig_cols = ",\n       ".join(
+        "MIN(md5('{i}:' || shingle)) AS sig_{i}".format(i=i)
+        for i in range(16))
+
+    def bands_sql(sigs):
+        return "\nUNION ALL\n".join(
+            "SELECT doc_id, {b} AS band, sig_{a0} || sig_{a1} || sig_{a2} "
+            "|| sig_{a3} AS key FROM {s}".format(
+                b=b, a0=4 * b, a1=4 * b + 1, a2=4 * b + 2, a3=4 * b + 3,
+                s=sigs)
+            for b in range(4))
+
+    return """
+WITH exd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+incd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+she AS ({sh_ex}),
+shi AS ({sh_inc}),
+sige AS (SELECT doc_id, {sig_cols} FROM she GROUP BY doc_id),
+sigi AS (SELECT doc_id, {sig_cols} FROM shi GROUP BY doc_id),
+bande AS ({bands_ex}),
+bandi AS ({bands_inc}),
+cand AS (
+  SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+  FROM bandi i JOIN bande e ON i.band = e.band AND i.key = e.key),
+size_e AS (SELECT doc_id, COUNT(*) AS sz FROM she GROUP BY doc_id),
+size_i AS (SELECT doc_id, COUNT(*) AS sz FROM shi GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS inc_id, b.doc_id AS ex_id, COUNT(*) AS inter_sz
+  FROM shi a JOIN she b ON a.shingle = b.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.inc_id, c.ex_id,
+         CAST(i.inter_sz AS BIGINT) AS inter_sz,
+         CAST(si.sz + se.sz - i.inter_sz AS BIGINT) AS union_sz
+  FROM cand c
+  JOIN inter i ON i.inc_id = c.inc_id AND i.ex_id = c.ex_id
+  JOIN size_i si ON si.doc_id = c.inc_id
+  JOIN size_e se ON se.doc_id = c.ex_id
+  WHERE i.inter_sz >= 0.5 * (si.sz + se.sz - i.inter_sz))
+SELECT inc_id AS doc_id, ex_id AS dup_of, inter_sz, union_sz
+FROM verified
+QUALIFY ROW_NUMBER() OVER (PARTITION BY inc_id ORDER BY ex_id ASC) = 1
+ORDER BY doc_id
+""".format(sh_ex=_shingles_sql("exd").strip(),
+           sh_inc=_shingles_sql("incd").strip(),
+           sig_cols=sig_cols,
+           bands_ex=bands_sql("sige"), bands_inc=bands_sql("sigi"))
+
+
+_EXTRA_QUERIES["dedup_incremental"] = q_dedup_incremental
+_EXTRA_ORACLES["dedup_incremental"] = _q_dedup_incremental_oracle()
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work

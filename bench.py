@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pricing_rollup",
     "geo_poly_intersect",
     "dedup_lines",
+    "dedup_incremental",
     "sample_mixture",
     "text_quality_linear",
     "text_surprisal",

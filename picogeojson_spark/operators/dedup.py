@@ -278,19 +278,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
     materialization is cheap at any scale; "none" keeps the plan fully lazy
     (lineage-preserving, for resume-from-checkpoint pipelines that manage
     their own persistence)."""
-    rows = num_hashes // bands
     sigs = minhash_signatures(docs, n, num_hashes)
     if cache == "checkpoint":
         sigs = sigs.localCheckpoint(eager=True)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col("sig_{}".format(b * rows + r)) for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
-        )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_band_keys(sigs, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "key"])
@@ -552,3 +543,87 @@ def hash_split(docs: DataFrame, fractions, id_col: str = "doc_id",
         lo, hi = hi, hi + int(round(frac * buckets))
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+def minhash_band_keys(sigs: DataFrame, num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """(doc_id, band, key) LSH band table from a ``minhash_signatures``
+    output — the banding step of ``minhash_lsh_pairs``, exposed so
+    cross-corpus consumers (incremental dedup, streaming candidates) share
+    one construction."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig_{}".format(b * rows + r)) for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
+def dedup_against(existing: DataFrame, incoming: DataFrame, n: int = 3,
+                  num_hashes: int = 16, bands: int = 4,
+                  threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup flagging: which INCOMING documents duplicate
+    the EXISTING corpus — the nightly-crawl production flow, where the
+    corpus is never re-self-joined; only the (small) increment probes it.
+
+    Returns one row per flagged incoming doc:
+    ``(doc_id, dup_of, inter_sz, union_sz)`` with ``dup_of`` the SMALLEST
+    matching existing id (deterministic representative) and the sizes of
+    that verified pair. Match = LSH band collision AND exact n-gram
+    Jaccard >= threshold, the same candidates->verify contract as
+    ``minhash_lsh_pairs`` (the sketch only gates work, never decides).
+
+    Scale shape: the existing side's band keys are num_hashes hex digests
+    per doc (build once, persist as a table in production — see
+    ``build_ivf_index`` for the persistent-index pattern); the join is
+    increment x corpus on (band, key) — an equi-join AQE can broadcast
+    when the increment is small. Shingle arrays are built only for docs
+    on either side of a surviving candidate (semi-join), so the exact
+    verify never touches the non-candidate majority of the corpus.
+    """
+    ex_sigs = minhash_signatures(existing, n, num_hashes)
+    in_sigs = minhash_signatures(incoming, n, num_hashes)
+    ex_band = minhash_band_keys(ex_sigs, num_hashes, bands)
+    in_band = minhash_band_keys(in_sigs, num_hashes, bands)
+    cand = (
+        in_band.select(F.col("doc_id").alias("inc_id"), "band", "key")
+        .join(ex_band.select(F.col("doc_id").alias("ex_id"), "band", "key"),
+              ["band", "key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    inc_ids = cand.select(F.col("inc_id").alias("doc_id")).distinct()
+    ex_ids = cand.select(F.col("ex_id").alias("doc_id")).distinct()
+    a = shingle_arrays(incoming.join(inc_ids, "doc_id", "semi"), n).select(
+        F.col("doc_id").alias("inc_id"),
+        F.col("shingles").alias("sh_i"), F.col("sz").alias("sz_i"))
+    b = shingle_arrays(existing.join(ex_ids, "doc_id", "semi"), n).select(
+        F.col("doc_id").alias("ex_id"),
+        F.col("shingles").alias("sh_e"), F.col("sz").alias("sz_e"))
+    scored = (
+        cand.join(a, "inc_id").join(b, "ex_id")
+        .withColumn("inter_sz",
+                    F.size(F.array_intersect(F.col("sh_i"), F.col("sh_e")))
+                    .cast("long"))
+        .withColumn("union_sz", F.col("sz_i").cast("long")
+                    + F.col("sz_e").cast("long") - F.col("inter_sz"))
+        .filter(F.col("inter_sz") >= F.lit(threshold) * F.col("union_sz"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("inc_id").orderBy(F.asc("ex_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("inc_id").alias("doc_id"),
+            F.col("ex_id").alias("dup_of"),
+            "inter_sz", "union_sz",
+        )
+    )
