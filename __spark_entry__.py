@@ -2860,6 +2860,32 @@ _EXTRA_QUERIES["dedup_incremental"] = q_dedup_incremental
 _EXTRA_ORACLES["dedup_incremental"] = _q_dedup_incremental_oracle()
 
 
+def q_text_quality_adaptive(spark, sf_dir):
+    """Adaptive per-language quality thresholding (CCNet-style): keep the
+    top 30% of docs per lang by stopword density, cutoff learned from each
+    group's own distribution. The bounded-integer score turns the exact
+    percentile into a histogram problem — prefix scan over <= 1e6 rows per
+    group, the corpus itself is never sorted; cutoffs broadcast back."""
+    from picogeojson_spark.operators.textstats import quality_percentile_flags
+
+    return quality_percentile_flags(
+        _t(spark, sf_dir, "documents"), keep_pct=30
+    ).orderBy("doc_id")
+
+
+def _q_quality_adaptive_oracle():
+    from picogeojson_spark.operators.textstats import (
+        quality_percentile_oracle_sql,
+    )
+
+    return quality_percentile_oracle_sql(
+        "SELECT doc_id, lang, text FROM documents", keep_pct=30)
+
+
+_EXTRA_QUERIES["text_quality_adaptive"] = q_text_quality_adaptive
+_EXTRA_ORACLES["text_quality_adaptive"] = _q_quality_adaptive_oracle()
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work

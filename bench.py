@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "sample_mixture",
     "text_quality_linear",
     "text_surprisal",
+    "text_quality_adaptive",
     "bpe_merges",
     "web_canonical",
     "web_domain_stats",

@@ -427,3 +427,111 @@ FROM (SELECT doc_id FROM src) s
 LEFT JOIN scored sc USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def quality_percentile_flags(docs: DataFrame, keep_pct: int = 30,
+                             group_col: str = "lang",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Adaptive quality thresholding: keep the top ``keep_pct`` percent of
+    documents per group by stopword-density score, with the cutoff LEARNED
+    from each group's own score distribution (CCNet-style per-language
+    quantile filtering) instead of a global constant.
+
+    Exact semantics: cutoff(group) = the discrete (100-keep_pct)-th
+    percentile of the group's scores (same ``(p*n+99) div 100`` rank
+    arithmetic as ``group_quantiles``); keep = score >= cutoff, cutoff
+    ties all kept — a pure integer function of the corpus.
+
+    Scale shape: the score is a BOUNDED integer (density x1e6, so at most
+    1e6+1 distinct values), which turns the exact percentile into a
+    score-HISTOGRAM problem: one map-side-combined count per (group,
+    score) and a prefix scan over <= 1e6 rows per group. The corpus is
+    never sorted — the window partitions are histogram-sized, not
+    group-sized, so a group holding 80%% of a 100 TB corpus costs the
+    same as any other. Cutoffs broadcast back onto the docs (no second
+    corpus shuffle).
+    """
+    if not 1 <= int(keep_pct) <= 100:
+        raise ValueError("keep_pct must be in 1..100")
+    from pyspark.sql import Window
+
+    col = F.col(text_col)
+    n_stop = (_count_sub(col, " the ") + _count_sub(col, " and ")
+              + _count_sub(col, " of "))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        n_stop.alias("__stop"),
+        F.length(col).alias("__len"),
+    ).select(
+        "doc_id", "grp",
+        F.expr("(__stop * 1000000) div greatest(__len, 1)")
+        .cast("long").alias("score"),
+    )
+    hist = scored.groupBy("grp", "score").agg(
+        F.count("*").cast("long").alias("cnt"))
+    w_cum = (Window.partitionBy("grp").orderBy("score")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("grp")
+    p = 100 - int(keep_pct)
+    cum = hist.select(
+        "grp", "score",
+        F.sum("cnt").over(w_cum).alias("cume"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cutoffs = (
+        cum.filter(F.col("cume") >= F.expr("({p} * n + 99) div 100"
+                                           .format(p=p)))
+        .groupBy("grp")
+        .agg(F.min("score").alias("cutoff"))
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "grp")
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            "score", "cutoff",
+            (F.col("score") >= F.col("cutoff")).alias("keep"),
+        )
+    )
+
+
+def quality_percentile_oracle_sql(source_sql: str, keep_pct: int = 30,
+                                  group_col: str = "lang") -> str:
+    """DuckDB replay of ``quality_percentile_flags`` — same histogram +
+    rank arithmetic; source must yield (doc_id, {group_col}, text)."""
+    p = 100 - int(keep_pct)
+    return f"""
+WITH src AS ({source_sql}),
+scored AS (
+  -- the stopword sum must become BIGINT BEFORE the // so the division is
+  -- true integer floor: on DOUBLE operands DuckDB's // does not floor and
+  -- the final BIGINT cast ROUNDS (the documented Spark-truncates /
+  -- DuckDB-rounds trap)
+  SELECT doc_id, {group_col} AS grp,
+         CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+              + (length(text) - length(replace(text, ' and ', ''))) / 5
+              + (length(text) - length(replace(text, ' of ', ''))) / 4
+              AS BIGINT)
+           * 1000000 // GREATEST(length(text), 1) AS score
+  FROM src),
+hist AS (
+  SELECT grp, score, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY grp, score),
+cum AS (
+  SELECT grp, score,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY score
+                        ROWS UNBOUNDED PRECEDING) AS cume,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM hist),
+cutoffs AS (
+  SELECT grp, MIN(score) AS cutoff
+  FROM cum WHERE cume >= ({p} * n + 99) // 100
+  GROUP BY grp)
+SELECT s.doc_id, s.grp AS {group_col}, s.score,
+       CAST(c.cutoff AS BIGINT) AS cutoff,
+       s.score >= c.cutoff AS keep
+FROM scored s JOIN cutoffs c USING (grp)
+ORDER BY doc_id
+"""

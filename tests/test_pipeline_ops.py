@@ -1843,3 +1843,80 @@ def test_unigram_surprisal_matches_duckdb(spark):
     got = unigram_surprisal(docs).orderBy("doc_id").toPandas()
     for c in ("doc_id", "n_tokens", "surprisal_sum", "mean_surprisal_x1000"):
         assert list(got[c]) == list(want[c]), c
+
+
+# ------------------------------------------------- adaptive quality threshold
+
+def test_quality_adaptive_keeps_top_fraction(spark):
+    """20 docs, distinct scores -> keep_pct=30 keeps exactly the top 6
+    (pos = (70*20+99) div 100 = 14, cutoff = 14th score ascending...
+    assert via brute-force python replay rather than hand arithmetic."""
+    from picogeojson_spark.operators.textstats import (
+        quality_percentile_flags,
+    )
+
+    rows = [(i, "en", ("word " * i) + ("x" * 40) + " the and of ")
+            for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = quality_percentile_flags(docs, keep_pct=30).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    n = len(scores)
+    pos = (70 * n + 99) // 100
+    cutoff = sorted(scores.values())[pos - 1]
+    for r in out:
+        assert r["cutoff"] == cutoff
+        assert r["keep"] == (r["score"] >= cutoff), r
+
+
+def test_quality_adaptive_per_group_cutoffs_differ(spark):
+    """Two langs with different score distributions get different cutoffs
+    — the point of adaptive (per-group) thresholding."""
+    from picogeojson_spark.operators.textstats import (
+        quality_percentile_flags,
+    )
+
+    rows = [(i, "en", "the and of " * (i % 5 + 1) + "pad " * 20)
+            for i in range(1, 30)]
+    rows += [(100 + i, "de", "nothing stoppy here at all " * (i % 3 + 1))
+             for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cut = {r["lang"]: r["cutoff"]
+           for r in quality_percentile_flags(docs, keep_pct=50).collect()}
+    assert cut["en"] != cut["de"]
+
+
+def test_quality_adaptive_matches_duckdb(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.textstats import (
+        quality_percentile_flags,
+        quality_percentile_oracle_sql,
+    )
+
+    rows = [(i, ["en", "de"][i % 2],
+             "the and of words " * (i % 7 + 1) + "tail" * (i % 3))
+            for i in range(1, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    con = duckdb.connect()
+    con.register("docs_v", docs.toPandas())
+    want = con.execute(quality_percentile_oracle_sql(
+        "SELECT doc_id, lang, text FROM docs_v", keep_pct=30)).df()
+    got = (quality_percentile_flags(docs, keep_pct=30)
+           .orderBy("doc_id").toPandas())
+    for c in ("doc_id", "lang", "score", "cutoff", "keep"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_quality_adaptive_validation(spark):
+    import pytest as _pytest
+
+    from picogeojson_spark.operators.textstats import (
+        quality_percentile_flags,
+    )
+
+    docs = spark.createDataFrame([(1, "en", "x")],
+                                 "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError):
+        quality_percentile_flags(docs, keep_pct=0)
+    with _pytest.raises(ValueError):
+        quality_percentile_flags(docs, keep_pct=101)
