@@ -2886,6 +2886,48 @@ _EXTRA_QUERIES["text_quality_adaptive"] = q_text_quality_adaptive
 _EXTRA_ORACLES["text_quality_adaptive"] = _q_quality_adaptive_oracle()
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming distinct-count sketching with a FULL oracle: the HLL
+    register build (one max-aggregate — registers merge by max, so
+    streaming partial aggregation is exactly the batch map-side combine)
+    runs as a structured-streaming query over the events parquet
+    (availableNow, complete mode); the estimate fold + exact comparison
+    then run in batch on the materialized register table. Output is
+    identical to `sketch_hll`, so the oracle hash-checks the streaming
+    build path end to end."""
+    from picogeojson_spark.operators.sketches import hll_build, hll_estimate
+
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    q = (
+        hll_build(src, ["event_type"], "user_id", p=6)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_hll_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    regs = spark.table("stream_hll_q")
+    est = hll_estimate(regs, ["event_type"], p=6)
+    exact = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "v_zero", "est", "exact")
+        .orderBy("event_type")
+    )
+
+
+_EXTRA_QUERIES["stream_hll"] = q_stream_hll
+# oracle identical to sketch_hll's (the streaming build is the same pure
+# function); _q_hll_oracle is defined further down with the sketch queries,
+# so registration happens there too (see after _EXTRA_ORACLES["sketch_hll"])
+
+
 # deterministic messy-URL construction shared by the two web queries: five
 # real-world URL pathologies (default ports, WWW + case, fragments,
 # userinfo, portless hosts) cycled by doc_id so canonicalization has work
@@ -3182,6 +3224,7 @@ def _q_hll_oracle():
 
 _EXTRA_QUERIES["sketch_hll"] = q_sketch_hll
 _EXTRA_ORACLES["sketch_hll"] = _q_hll_oracle()
+_EXTRA_ORACLES["stream_hll"] = _q_hll_oracle()
 
 
 def q_length_quantiles(spark, sf_dir):
