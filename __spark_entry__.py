@@ -2791,6 +2791,31 @@ _EXTRA_QUERIES["events_funnel"] = q_events_funnel
 _EXTRA_ORACLES["events_funnel"] = _q_funnel_oracle()
 
 
+def q_events_cohort(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted when active again k weeks later (k = 0..8). One min-aggregate
+    for cohorts, one distinct for (user, week) activity, a user-keyed
+    join, and a bounded (cohorts x offsets) count-distinct rollup — no
+    per-user windows. Integer weeks from pure-NTZ epoch micros."""
+    from picogeojson_spark.operators.cohort import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return cohort_retention(ev, max_offset=8)
+
+
+def _q_cohort_oracle():
+    from picogeojson_spark.operators.cohort import cohort_oracle_sql
+
+    return cohort_oracle_sql(
+        "SELECT user_id, epoch_us(ts) AS ts_us FROM events", max_offset=8)
+
+
+_EXTRA_QUERIES["events_cohort"] = q_events_cohort
+_EXTRA_ORACLES["events_cohort"] = _q_cohort_oracle()
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup flagging — the nightly-crawl flow: the odd-id
     half of `documents` (the increment) probes the even-id half (the

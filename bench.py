@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "web_link_graph",
     "events_pivot",
     "events_funnel",
+    "events_cohort",
 ]
 
 

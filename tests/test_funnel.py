@@ -77,3 +77,52 @@ def test_funnel_validation(spark):
         funnel_counts(df, [], 100)
     with pytest.raises(ValueError):
         funnel_counts(df, ["view"], 0)
+
+
+# ------------------------------------------------------- cohort retention
+
+def test_cohort_hand_computed(spark):
+    """Week length = 7*86400*1e6 us. u1 first week 0, active weeks 0,1,3;
+    u2 first week 1, active weeks 1,2; u3 only week 0."""
+    from picogeojson_spark.operators.cohort import _WEEK_US, cohort_retention
+
+    rows = [
+        (1, 0), (1, _WEEK_US + 5), (1, 3 * _WEEK_US),
+        (2, _WEEK_US), (2, 2 * _WEEK_US + 7),
+        (3, 10),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev, max_offset=8).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
+
+
+def test_cohort_offset_window_clips(spark):
+    from picogeojson_spark.operators.cohort import _WEEK_US, cohort_retention
+
+    rows = [(1, 0), (1, 5 * _WEEK_US)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev, max_offset=2).collect()}
+    assert got == {(0, 0): 1}  # week-5 activity clipped by max_offset=2
+
+
+def test_cohort_matches_duckdb(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.cohort import (
+        _WEEK_US,
+        cohort_oracle_sql,
+        cohort_retention,
+    )
+
+    rows = [(u, ((u * 13 + i * 5) % 11) * _WEEK_US + u * 1000)
+            for u in range(25) for i in range(4)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    con = duckdb.connect()
+    con.register("evts", ev.toPandas())
+    want = [tuple(r) for r in con.execute(cohort_oracle_sql(
+        "SELECT user_id, ts_us FROM evts", max_offset=8)).fetchall()]
+    got = [tuple(r) for r in cohort_retention(ev, max_offset=8).collect()]
+    assert got == want and got
