@@ -91,9 +91,19 @@ def bm25_topk(
 
     hits = words.filter(F.col("word").isin(term_list))
     tf = hits.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = hits.groupBy("word").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    return _bm25_rank_from_parts(tf, dl, scalars, k=k, k1=k1, b=b)
+
+
+def _bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, scalars: DataFrame,
+                          k: int = 20, k1: float = 1.2,
+                          b: float = 0.75) -> DataFrame:
+    """Score + rank from the decomposed inputs — shared by the ad-hoc
+    operator above and the persisted-index query path
+    (``text_index.bm25_query_indexed``): ``tf`` = (doc_id, word, tf) for
+    the query terms only, ``dl`` = (doc_id, dl), ``scalars`` = the 1-row
+    (n_docs, sum_dl). Document frequencies derive from ``tf`` (one row
+    per matching doc per term, so a plain count is the df)."""
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
 
     # One identically-associated scalar expression over integer inputs;
     # floor-scale each per-term score to an integer BEFORE summing (see
