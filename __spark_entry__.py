@@ -3062,6 +3062,44 @@ _EXTRA_QUERIES["web_canonical"] = q_web_canonical
 _EXTRA_ORACLES["web_canonical"] = Q_WEB_CANONICAL_SQL
 
 
+def q_web_keep_latest(spark, sf_dir):
+    """Recrawl dedup: latest fetch per canonical URL (max crawl ts,
+    doc-id-desc tie-break). The cdn pathology maps every ~15th doc of a
+    source onto ONE canonical URL, so real collisions are exercised.
+    Per-key top-1 window — partitions are recrawl-sized, WindowGroupLimit
+    cuts rank<=1 map-side. Crawl ts is a deterministic integer derived
+    from doc_id (same arithmetic in the oracle)."""
+    from picogeojson_spark.operators.web import canonicalize, keep_latest
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    c = canonicalize(d).withColumn(
+        "crawl_ts", F.expr("(doc_id * 7919) % 100000").cast("long"))
+    return keep_latest(c).select(
+        "doc_id", "url_norm", "crawl_ts"
+    ).orderBy("doc_id")
+
+
+Q_WEB_KEEP_LATEST_SQL = (
+    "WITH " + _WEB_NORM_CTES
+    + """,
+w AS (
+  SELECT doc_id, url_norm,
+         CAST((doc_id * 7919) % 100000 AS BIGINT) AS crawl_ts
+  FROM n)
+SELECT doc_id, url_norm, crawl_ts
+FROM w
+QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm
+                           ORDER BY crawl_ts DESC, doc_id DESC) = 1
+ORDER BY doc_id
+"""
+)
+
+_EXTRA_QUERIES["web_keep_latest"] = q_web_keep_latest
+_EXTRA_ORACLES["web_keep_latest"] = Q_WEB_KEEP_LATEST_SQL
+
+
 def q_web_domain_stats(spark, sf_dir):
     """Per-registrable-domain rollup (page count + distinct hosts) over
     canonicalized URLs: the politeness/quota aggregation — one hash agg

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_quality_adaptive",
     "bpe_merges",
     "web_canonical",
+    "web_keep_latest",
     "web_domain_stats",
     "pii_redact",
     "chunk_documents",

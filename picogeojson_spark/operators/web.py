@@ -151,3 +151,26 @@ def domain_link_graph(pages: DataFrame, src_url_col: str = "url",
     return g.groupBy("src_domain", "dst_domain").agg(
         F.count("*").cast("long").alias("n_links")
     )
+
+
+def keep_latest(pages: DataFrame, key_col: str = "url_norm",
+                ts_col: str = "crawl_ts",
+                id_col: str = "doc_id") -> DataFrame:
+    """Recrawl dedup: one row per key — the LATEST crawl (max ``ts_col``,
+    ``id_col`` descending tie-break). The standard first reduction over a
+    raw crawl table, where the same canonical URL appears once per fetch.
+
+    Scale shape: a per-key top-1 window — partitions are recrawl-count
+    sized (not corpus-sized), and Spark's WindowGroupLimit pushes the
+    rank<=1 cut map-side before the shuffle, so the exchange carries at
+    most one row per (task, key) rather than every fetch.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.desc(id_col))
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

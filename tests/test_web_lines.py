@@ -195,3 +195,20 @@ def test_domain_stats_counts_hosts(spark):
     got = {r.domain: (r.n_pages, r.n_hosts, r.total_size)
            for r in domain_stats(df, size_col="n_chars").collect()}
     assert got == {"foo.com": (3, 2, 35), "bar.org": (1, 1, 7)}
+
+
+def test_keep_latest_per_key(spark):
+    """Latest crawl per key survives; max-ts then id-desc tie-break."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from picogeojson_spark.operators.web import keep_latest
+
+    rows = [
+        (1, "u1", 10), (2, "u1", 30), (3, "u1", 20),   # u1 -> id 2
+        (4, "u2", 5), (5, "u2", 5),                    # tie -> id 5
+        (6, "u3", 1),                                  # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url_norm string, crawl_ts long")
+    got = {r["url_norm"]: r["doc_id"] for r in keep_latest(df).collect()}
+    assert got == {"u1": 2, "u2": 5, "u3": 6}
