@@ -2911,6 +2911,33 @@ _EXTRA_QUERIES["text_quality_adaptive"] = q_text_quality_adaptive
 _EXTRA_ORACLES["text_quality_adaptive"] = _q_quality_adaptive_oracle()
 
 
+def q_text_drift(spark, sf_dir):
+    """Corpus drift monitor: top-50 tokens by frequency shift between two
+    snapshots (the even-id and odd-id halves of `documents`). Integer
+    chi-square-flavored score on parts-per-million rates — scale-free and
+    a pure function of the two token multisets. Vocab-sized full-outer
+    join + two 1-row scalar broadcasts + global top-k; the corpus itself
+    is touched once per side."""
+    from picogeojson_spark.operators.textstats import token_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return token_drift(a, b, k=50)
+
+
+def _q_text_drift_oracle():
+    from picogeojson_spark.operators.textstats import token_drift_oracle_sql
+
+    return token_drift_oracle_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1", k=50)
+
+
+_EXTRA_QUERIES["text_drift"] = q_text_drift
+_EXTRA_ORACLES["text_drift"] = _q_text_drift_oracle()
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming distinct-count sketching with a FULL oracle: the HLL
     register build (one max-aggregate — registers merge by max, so

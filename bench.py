@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_quality_linear",
     "text_surprisal",
     "text_quality_adaptive",
+    "text_drift",
     "bpe_merges",
     "web_canonical",
     "web_keep_latest",

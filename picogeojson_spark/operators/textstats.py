@@ -535,3 +535,107 @@ SELECT s.doc_id, s.grp AS {group_col}, s.score,
 FROM scored s JOIN cutoffs c USING (grp)
 ORDER BY doc_id
 """
+
+
+def token_drift(corpus_a: DataFrame, corpus_b: DataFrame, k: int = 50,
+                text_col: str = "text") -> DataFrame:
+    """Corpus drift monitor: the ``k`` tokens whose frequency shifted most
+    between two corpus snapshots — the distribution check a production
+    crawl pipeline runs between ingests before retraining on new data.
+
+    Integer-exact statistic: each token's rate in parts-per-million per
+    snapshot (``cnt * 1e6 div total``), then a chi-square-flavored score
+    ``(rate_a - rate_b)^2 div (rate_a + rate_b + 1)`` — scale-free (a
+    10x-bigger snapshot B does not drown A) and a pure function of the
+    two token multisets, replayed bit-for-bit by the oracle. Ranked score
+    desc / token asc (total order).
+
+    Scale shape: one map-side-combined count aggregate per snapshot, a
+    full-outer token join (vocab-sized, not corpus-sized), two 1-row
+    total scalars broadcast on, and a global top-k
+    (``TakeOrderedAndProject``). Missing tokens count as rate 0.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def counts(df, side):
+        toks = df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+", -1),
+                         lambda x: F.length(x) > 0)
+            ).alias("tok")
+        )
+        return toks.groupBy("tok").agg(
+            F.count("*").cast("long").alias("cnt_" + side))
+
+    ca = counts(corpus_a, "a")
+    cb = counts(corpus_b, "b")
+    tot_a = ca.agg(F.sum("cnt_a").alias("tot_a"))
+    tot_b = cb.agg(F.sum("cnt_b").alias("tot_b"))
+    joined = (
+        ca.join(cb, "tok", "full_outer")
+        .join(F.broadcast(tot_a))
+        .join(F.broadcast(tot_b))
+        .select(
+            "tok",
+            F.coalesce("cnt_a", F.lit(0).cast("long")).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0).cast("long")).alias("cnt_b"),
+            F.expr("coalesce(cnt_a, 0L) * 1000000 div greatest(tot_a, 1L)")
+            .cast("long").alias("rate_a_ppm"),
+            F.expr("coalesce(cnt_b, 0L) * 1000000 div greatest(tot_b, 1L)")
+            .cast("long").alias("rate_b_ppm"),
+        )
+        .withColumn(
+            "drift_score",
+            F.expr("(rate_a_ppm - rate_b_ppm) * (rate_a_ppm - rate_b_ppm)"
+                   " div (rate_a_ppm + rate_b_ppm + 1)").cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topk = joined.orderBy(
+        F.desc("drift_score"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("drift_score"), F.asc("tok"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "cnt_a", "cnt_b", "rate_a_ppm", "rate_b_ppm",
+        "drift_score",
+    )
+
+
+def token_drift_oracle_sql(a_sql: str, b_sql: str, k: int = 50) -> str:
+    """DuckDB replay of ``token_drift``; each side must yield (text)."""
+    return f"""
+WITH ta AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM ({a_sql})),
+tb AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM ({b_sql})),
+ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM ta GROUP BY tok),
+cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM tb GROUP BY tok),
+tots AS (
+  SELECT (SELECT COALESCE(SUM(cnt_a), 0) FROM ca) AS tot_a,
+         (SELECT COALESCE(SUM(cnt_b), 0) FROM cb) AS tot_b),
+j AS (
+  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+         CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+         CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b,
+         CAST(COALESCE(cnt_a, 0) * 1000000 // GREATEST(tot_a, 1)
+              AS BIGINT) AS rate_a_ppm,
+         CAST(COALESCE(cnt_b, 0) * 1000000 // GREATEST(tot_b, 1)
+              AS BIGINT) AS rate_b_ppm
+  FROM ca FULL OUTER JOIN cb USING (tok) CROSS JOIN tots),
+s AS (
+  SELECT tok, cnt_a, cnt_b, rate_a_ppm, rate_b_ppm,
+         CAST((rate_a_ppm - rate_b_ppm) * (rate_a_ppm - rate_b_ppm)
+              // (rate_a_ppm + rate_b_ppm + 1) AS BIGINT) AS drift_score
+  FROM j)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY drift_score DESC, tok ASC) AS INT)
+         AS rank,
+       tok, cnt_a, cnt_b, rate_a_ppm, rate_b_ppm, drift_score
+FROM s
+ORDER BY drift_score DESC, tok ASC
+LIMIT {int(k)}
+"""

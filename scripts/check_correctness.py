@@ -272,7 +272,9 @@ KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
 PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     # 1-row corpus-total scalar broadcast onto the vocab
                     # (same shape as bm25's scalar attach)
-                    "text_surprisal"}
+                    "text_surprisal",
+                    # two 1-row snapshot-total scalars onto the vocab join
+                    "text_drift"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):

@@ -1920,3 +1920,58 @@ def test_quality_adaptive_validation(spark):
         quality_percentile_flags(docs, keep_pct=0)
     with _pytest.raises(ValueError):
         quality_percentile_flags(docs, keep_pct=101)
+
+
+# ---------------------------------------------------------- token drift
+
+def test_token_drift_flags_shifted_token(spark):
+    """A token present only in snapshot B must outrank stable tokens."""
+    from picogeojson_spark.operators.textstats import token_drift
+
+    a = spark.createDataFrame(
+        [(1, "stable words here " * 5)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(2, "stable words here " * 5 + "newterm " * 10)],
+        "doc_id long, text string")
+    rows = token_drift(a, b, k=3).collect()
+    assert rows[0]["tok"] == "newterm" and rows[0]["rank"] == 1
+    assert rows[0]["cnt_a"] == 0 and rows[0]["cnt_b"] == 10
+
+
+def test_token_drift_scale_free(spark):
+    """Duplicating snapshot B's rows must not change any ppm rate or
+    score (rates are per-million, not raw counts)."""
+    from picogeojson_spark.operators.textstats import token_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, "alpha beta beta delta")], "doc_id long, text string")
+    b2 = b1.union(b1).union(b1)
+    r1 = [(r["tok"], r["rate_a_ppm"], r["rate_b_ppm"], r["drift_score"])
+          for r in token_drift(a, b1, k=10).collect()]
+    r2 = [(r["tok"], r["rate_a_ppm"], r["rate_b_ppm"], r["drift_score"])
+          for r in token_drift(a, b2, k=10).collect()]
+    assert r1 == r2
+
+
+def test_token_drift_matches_duckdb(spark):
+    import duckdb
+
+    from picogeojson_spark.operators.textstats import (
+        token_drift,
+        token_drift_oracle_sql,
+    )
+
+    rows = [(i, "tok{} tok{} common filler words".format(i % 7, i % 3))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    con = duckdb.connect()
+    con.register("dv", docs.toPandas())
+    want = [tuple(r) for r in con.execute(token_drift_oracle_sql(
+        "SELECT text FROM dv WHERE doc_id % 2 = 0",
+        "SELECT text FROM dv WHERE doc_id % 2 = 1", k=20)).fetchall()]
+    got = [tuple(r) for r in token_drift(a, b, k=20).collect()]
+    assert got == want and got
