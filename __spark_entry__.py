@@ -3127,6 +3127,60 @@ _EXTRA_QUERIES["web_keep_latest"] = q_web_keep_latest
 _EXTRA_ORACLES["web_keep_latest"] = Q_WEB_KEEP_LATEST_SQL
 
 
+def q_web_frontier(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling over the canonicalized,
+    recrawl-deduped URL set: rank within domain by (priority desc, url
+    asc), fetch_window = (rank-1) div 2 -> no domain exceeds 2 fetches
+    per window. Priority is a deterministic integer from doc_id. One
+    per-domain ranking window; domains are independent."""
+    from picogeojson_spark.operators.web import (
+        canonicalize,
+        keep_latest,
+        schedule_frontier,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    c = canonicalize(d).withColumn(
+        "crawl_ts", F.expr("(doc_id * 7919) % 100000").cast("long"))
+    latest = keep_latest(c).withColumn(
+        "priority", F.expr("(doc_id * 31) % 1000").cast("long"))
+    return schedule_frontier(latest, per_domain=2).select(
+        "doc_id", "url_norm", "domain", "priority",
+        "rank_in_domain", "fetch_window",
+    ).orderBy("doc_id")
+
+
+Q_WEB_FRONTIER_SQL = (
+    "WITH " + _WEB_NORM_CTES
+    + """,
+w AS (
+  SELECT doc_id, url_norm, domain,
+         CAST((doc_id * 7919) % 100000 AS BIGINT) AS crawl_ts
+  FROM n),
+latest AS (
+  SELECT doc_id, url_norm, domain,
+         CAST((doc_id * 31) % 1000 AS BIGINT) AS priority
+  FROM w
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm
+                             ORDER BY crawl_ts DESC, doc_id DESC) = 1),
+sched AS (
+  SELECT doc_id, url_norm, domain, priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                                 ORDER BY priority DESC, url_norm ASC)
+              AS BIGINT) AS rank_in_domain
+  FROM latest)
+SELECT doc_id, url_norm, domain, priority, rank_in_domain,
+       CAST((rank_in_domain - 1) // 2 AS BIGINT) AS fetch_window
+FROM sched ORDER BY doc_id
+"""
+)
+
+_EXTRA_QUERIES["web_frontier"] = q_web_frontier
+_EXTRA_ORACLES["web_frontier"] = Q_WEB_FRONTIER_SQL
+
+
 def q_web_domain_stats(spark, sf_dir):
     """Per-registrable-domain rollup (page count + distinct hosts) over
     canonicalized URLs: the politeness/quota aggregation — one hash agg

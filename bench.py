@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "web_canonical",
     "web_keep_latest",
+    "web_frontier",
     "web_domain_stats",
     "pii_redact",
     "chunk_documents",

@@ -174,3 +174,42 @@ def keep_latest(pages: DataFrame, key_col: str = "url_norm",
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def schedule_frontier(urls: DataFrame, per_domain: int = 2,
+                      url_col: str = "url_norm",
+                      domain_col: str = "domain",
+                      priority_col: str = "priority") -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: assign every URL a
+    fetch window such that no domain gets more than ``per_domain``
+    fetches per window — the standard crawl-rate constraint, expressed
+    declaratively.
+
+    Semantics (pure function of the input): URLs rank within their domain
+    by priority desc / url asc; ``fetch_window = (rank-1) div per_domain``.
+    High-priority URLs of every domain land in window 0, and a huge domain
+    simply stretches across many windows instead of starving others.
+
+    Scale shape: ONE per-domain ranking window — partitions are
+    domain-sized. The web's domain sizes are power-law, so the biggest
+    partition is the biggest domain's URL count; that is inherent to an
+    exact per-domain sequence (a global interleave would serialize
+    worse), and domains are independent so AQE's skew handling and the
+    surrounding shuffle stay balanced. Output adds
+    ``(rank_in_domain, fetch_window)``.
+    """
+    if per_domain <= 0:
+        raise ValueError("per_domain must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(priority_col), F.asc(url_col))
+    return (
+        urls.withColumn("rank_in_domain",
+                        F.row_number().over(w).cast("long"))
+        .withColumn(
+            "fetch_window",
+            F.expr("(rank_in_domain - 1L) div {p}".format(
+                p=int(per_domain))).cast("long"),
+        )
+    )

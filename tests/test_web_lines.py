@@ -212,3 +212,29 @@ def test_keep_latest_per_key(spark):
         rows, "doc_id long, url_norm string, crawl_ts long")
     got = {r["url_norm"]: r["doc_id"] for r in keep_latest(df).collect()}
     assert got == {"u1": 2, "u2": 5, "u3": 6}
+
+
+def test_schedule_frontier_politeness(spark):
+    """No domain exceeds per_domain fetches in any window; high priority
+    lands in window 0; huge domains stretch instead of starving others."""
+    import pytest as _pytest
+
+    from picogeojson_spark.operators.web import schedule_frontier
+
+    rows = ([("u{}".format(i), "big.com", i) for i in range(7)]
+            + [("v1", "small.org", 100), ("v2", "small.org", 50)])
+    df = spark.createDataFrame(
+        rows, "url_norm string, domain string, priority long")
+    out = schedule_frontier(df, per_domain=2).collect()
+    from collections import Counter
+
+    per_win = Counter((r["domain"], r["fetch_window"]) for r in out)
+    assert max(per_win.values()) <= 2
+    # both domains have their best URL in window 0
+    w0 = {(r["domain"]) for r in out if r["fetch_window"] == 0}
+    assert w0 == {"big.com", "small.org"}
+    # 7 urls at 2/window -> windows 0..3
+    assert max(r["fetch_window"] for r in out
+               if r["domain"] == "big.com") == 3
+    with _pytest.raises(ValueError):
+        schedule_frontier(df, per_domain=0)
