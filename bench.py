@@ -207,6 +207,15 @@ def main():
         "pages_gen_sec": round(gen_sec, 3),
         "pages_per_sec": round(n_pages / spine_sec, 1),
         "joined_rows_per_sec": round(joined / spine_sec, 1),
+        # boot-quality self-label (see BENCH/BASELINE.md appendix): warm
+        # text_langid is pure whole-stage codegen with no UDF, so its
+        # best-of-two is a clean probe of this boot's JVM throughput.
+        # ~0.32 s on a good boot, ~0.75-1.0 s on a degraded one — divide
+        # other entries' times by (litmus / 0.32) before cross-boot reads.
+        "boot_litmus": {
+            "text_langid_best_sec": timings.get("text_langid"),
+            "good_boot_ref_sec": 0.32,
+        },
     }
     out["regressions"] = record_history(out)
     spark.stop()
