@@ -253,10 +253,13 @@ def record_history(out, path=None):
             regressions[q] = {"best": was, "now": now}
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "a") as f:
-        f.write(json.dumps({
+        rec = {
             "ts": time.time(), "sf": out["sf"], "cpus": out["cpus"],
             "value": out["value"], "queries": out["queries"],
-        }) + "\n")
+        }
+        if "boot_litmus" in out:
+            rec["boot_litmus"] = out["boot_litmus"]
+        f.write(json.dumps(rec) + "\n")
     return regressions
 
 
