@@ -1697,8 +1697,20 @@ def q_stream_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, "stream_counts")
     return spark.table("stream_counts_q").orderBy("geom_type")
+
+
+def _await_stream(q, name, secs=120):
+    """awaitTermination(secs) returns False on timeout WITHOUT stopping the
+    query — a degraded boot would then leave a live stream churning and a
+    partially-filled memory sink feeding a nondeterministic hash mismatch.
+    Fail loudly instead."""
+    if not q.awaitTermination(secs):
+        q.stop()
+        raise RuntimeError(
+            "%s stream did not terminate within %ds" % (name, secs)
+        )
 
 
 _EXTRA_QUERIES["stream_counts"] = q_stream_counts
@@ -1755,7 +1767,7 @@ def q_stream_doc_stats(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, "stream_doc_stats")
     return spark.table("stream_doc_stats_q").orderBy("lang")
 
 
@@ -1805,7 +1817,7 @@ def q_stream_events_windows(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, "stream_events_windows")
     return (
         spark.table("stream_events_windows_q")
         .select(
@@ -2961,7 +2973,7 @@ def q_stream_hll(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, "stream_hll")
     regs = spark.table("stream_hll_q")
     est = hll_estimate(regs, ["event_type"], p=6)
     exact = _t(spark, sf_dir, "events").groupBy("event_type").agg(

@@ -32,6 +32,11 @@ def cohort_retention(events: DataFrame, max_offset: int = 8,
     by construction (every user is active in their first week)."""
     if max_offset < 0:
         raise ValueError("max_offset must be >= 0")
+    # Week bucketing uses integer division, which TRUNCATES toward zero in
+    # BOTH engines: Spark `div` and DuckDB's integer `//` agree on negative
+    # inputs (measured: -7//2 = -3 in DuckDB, same as Spark) — so pre-1970
+    # (negative) ts_us buckets identically on both sides of the oracle;
+    # test_cohort_negative_ts_matches_oracle pins this parity.
     ev = events.select(
         F.col(user_col).alias("u"),
         F.expr("CAST({t} AS BIGINT) div {w}".format(

@@ -72,7 +72,11 @@ def funnel_counts(events: DataFrame, steps, max_gap_us: int,
                 .agg(F.min("t_ev").alias("t"))
                 .persist()
             )
-            counts.append(nxt.count())
+            try:
+                counts.append(nxt.count())
+            except Exception:
+                nxt.unpersist()
+                raise
             frontier.unpersist()
             frontier = nxt
     finally:

@@ -102,10 +102,13 @@ def pagerank(
     # vector and the two shapes execute identically (measured: 2 stages,
     # 1 shuffle write per iteration either way); at 1e9-node scale the rank
     # vector is not broadcastable and the preserved partitioning is the
-    # difference. All intermediates are released before returning; like the
-    # lazy-checkpoint chain they replace, they materialize inside the one
-    # final job, spilling to disk under pressure (MEMORY_AND_DISK).
-    cached = []
+    # difference. Each iteration is materialized eagerly (count) so the
+    # PREVIOUS iteration's cache can be released immediately — the
+    # one-round-late handoff bounds pinned memory at two rank vectors
+    # regardless of iteration count (a 1e9-node run pins ~2x16 GB, not
+    # iterations x 16 GB), at the cost of one count-job per round, the
+    # standard shape for iterative graph algorithms.
+    prev = None
     for _ in range(iterations):
         contrib = (
             ranks.withColumnRenamed("node", "src")
@@ -132,14 +135,24 @@ def pagerank(
             )
             .persist()
         )
-        cached.append(ranks)
-    # materialize once, then release the cached inputs: the persists above
-    # exist to serve the iterations, not the caller — nothing stays pinned
-    # in the SQL CacheManager after the operator returns (same lifecycle as
-    # duplicate_clusters' eager per-round checkpoints)
+        try:
+            ranks.count()
+        except Exception:
+            ranks.unpersist()
+            if prev is not None:
+                prev.unpersist()
+            e_deg.unpersist()
+            nodes.unpersist()
+            raise
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    # detach the result from the cached lineage, then release everything:
+    # nothing stays pinned in the SQL CacheManager after the operator
+    # returns (same lifecycle as duplicate_clusters' eager checkpoints)
     out = ranks.localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
+    if prev is not None:
+        prev.unpersist()
     e_deg.unpersist()
     nodes.unpersist()
     return out

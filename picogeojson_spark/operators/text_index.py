@@ -52,12 +52,14 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
     try:
         dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
         dl = dl.persist()
-        dl.write.mode("overwrite").parquet(path + "/doclen")
-        dl.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        ).write.mode("overwrite").parquet(path + "/scalars")
-        dl.unpersist()
+        try:
+            dl.write.mode("overwrite").parquet(path + "/doclen")
+            dl.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            ).write.mode("overwrite").parquet(path + "/scalars")
+        finally:
+            dl.unpersist()
         (
             words.groupBy("doc_id", "word")
             .agg(F.count("*").alias("tf"))

@@ -108,6 +108,36 @@ def test_cohort_offset_window_clips(spark):
     assert got == {(0, 0): 1}  # week-5 activity clipped by max_offset=2
 
 
+def test_cohort_negative_ts_matches_oracle(spark):
+    """Pre-1970 (negative) timestamps: Spark `div` and DuckDB's integer `//`
+    BOTH truncate toward zero (measured: -7//2 = -3 in DuckDB), so the
+    operator and its oracle agree on negative ts_us with plain div — this
+    pins the parity so neither side silently switches to floor semantics."""
+    import duckdb
+
+    from picogeojson_spark.operators.cohort import (
+        _WEEK_US,
+        cohort_oracle_sql,
+        cohort_retention,
+    )
+
+    rows = [
+        (1, -_WEEK_US // 2),           # week 0 truncated (-1 if floored)
+        (1, _WEEK_US // 2),            # week 0
+        (2, -3 * _WEEK_US - 1),        # week -3 truncated (-4 if floored)
+        (2, -2 * _WEEK_US),            # week -2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = [tuple(r) for r in cohort_retention(ev, max_offset=8).collect()]
+    con = duckdb.connect()
+    con.register("evts", ev.toPandas())
+    want = [tuple(r) for r in con.execute(cohort_oracle_sql(
+        "SELECT user_id, ts_us FROM evts", max_offset=8)).fetchall()]
+    assert got == want
+    # truncation semantics, identical on both sides:
+    assert (0, 0, 1) in got and (-3, 0, 1) in got and (-3, 1, 1) in got
+
+
 def test_cohort_matches_duckdb(spark):
     import duckdb
 
