@@ -102,6 +102,27 @@ def typed_schema_mismatches(spark_schema, arrow_schema):
     return bad
 
 
+def boot_litmus(spark):
+    """JVM boot-quality probe for gate wall times (VERDICT r3 #6).
+
+    Fixed pure-codegen work — no IO, no UDF, no shuffle — so the number is
+    independent of sf_dir and isolates the documented boot pathology (some
+    boots run ALL JVM work 2-4x slower while the pure-Python CPU probe reads
+    normal; see BENCH/BASELINE.md boot-quality appendix). Warm best-of-3.
+    Reference points on this VM: ~0.15 s on a good boot at local[8]
+    (scale other masters by their probe); a bad boot reads 2-4x that.
+    Printed once per gate run so recorded per-query wall times can be
+    normalized before cross-round comparisons.
+    """
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr(
+            "count(if(pmod(id, 97) = 3, id, null)) as c").collect()
+        best = min(best or 9e9, time.time() - t0)
+    return best
+
+
 def main():
     import duckdb
 
@@ -140,6 +161,9 @@ def main():
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    print("boot_litmus: {:.3f}s (codegen range-count, master={}; "
+          "good boot ~0.15s at local[8])".format(boot_litmus(spark), master))
 
     con = duckdb.connect()
     for t in TABLES:
