@@ -116,36 +116,65 @@ def point_ancestors_df(points: DataFrame, level: int = DEFAULT_LEVEL,
     )
 
 
-def _refine(candidates: DataFrame) -> DataFrame:
-    """(point_id, lon, lat, poly_id, geometry_json) -> exact PIP pairs."""
+#: geometry-cache capacity for the refine stage. A worker holding the
+#: full candidate stream for > cap distinct polygons evicts least-recently
+#: -used geometries instead of silently stopping to cache (the pre-round-4
+#: behavior re-parsed every polygon past #4096 on EVERY batch — a per-batch
+#: O(distinct polys) JSON parse at country-scale polygon tables).
+REFINE_GEOM_CACHE_CAP = 4096
+
+
+def _refine_batches(batches, cache_cap=REFINE_GEOM_CACHE_CAP, stats=None):
+    """Core of the refine stage, Spark-free for unit testing: a generator
+    over pandas batches of (point_id, lon, lat, poly_id, geometry_json)
+    yielding exact (point_id, poly_id) PIP pairs.
+
+    Geometries are parsed at most once while they stay inside the LRU cache
+    (``cache_cap`` entries per worker); ``stats`` (a dict) receives a
+    ``parses`` counter so tests can assert the re-parse bound directly.
+    """
+    import collections
+
     import numpy as np
     import pandas as pd
 
     from ..geo.pip import points_in_geometry
 
-    def refine(batches):
-        geom_cache = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keep_pid, keep_poly = [], []
-            # group on the int key only; parse each polygon once per worker
-            for poly_id, grp in pdf.groupby("poly_id", sort=False):
-                geom = geom_cache.get(poly_id)
-                if geom is None:
-                    geom = json.loads(grp["geometry_json"].iloc[0])
-                    if len(geom_cache) < 4096:
-                        geom_cache[poly_id] = geom
-                xs = grp["lon"].to_numpy(dtype=np.float64)
-                ys = grp["lat"].to_numpy(dtype=np.float64)
-                mask = points_in_geometry(xs, ys, geom)
-                if mask.any():
-                    pids = grp["point_id"].to_numpy()[mask]
-                    keep_pid.extend(int(p) for p in pids)
-                    keep_poly.extend([int(poly_id)] * int(mask.sum()))
-            yield pd.DataFrame({"point_id": keep_pid, "poly_id": keep_poly})
+    geom_cache = collections.OrderedDict()
+    if stats is not None:
+        stats.setdefault("parses", 0)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        keep_pid, keep_poly = [], []
+        # group on the int key only; parse each polygon once per worker
+        for poly_id, grp in pdf.groupby("poly_id", sort=False):
+            geom = geom_cache.get(poly_id)
+            if geom is None:
+                geom = json.loads(grp["geometry_json"].iloc[0])
+                if stats is not None:
+                    stats["parses"] += 1
+                geom_cache[poly_id] = geom
+                if len(geom_cache) > cache_cap:
+                    geom_cache.popitem(last=False)
+            else:
+                geom_cache.move_to_end(poly_id)
+            xs = grp["lon"].to_numpy(dtype=np.float64)
+            ys = grp["lat"].to_numpy(dtype=np.float64)
+            mask = points_in_geometry(xs, ys, geom)
+            if mask.any():
+                pids = grp["point_id"].to_numpy()[mask]
+                keep_pid.extend(int(p) for p in pids)
+                keep_poly.extend([int(poly_id)] * int(mask.sum()))
+        yield pd.DataFrame({"point_id": keep_pid, "poly_id": keep_poly})
 
-    return candidates.mapInPandas(refine, schema="point_id long, poly_id long")
+
+def _refine(candidates: DataFrame) -> DataFrame:
+    """(point_id, lon, lat, poly_id, geometry_json) -> exact PIP pairs."""
+
+    return candidates.mapInPandas(
+        _refine_batches, schema="point_id long, poly_id long"
+    )
 
 
 def pip_join(
