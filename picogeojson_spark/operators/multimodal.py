@@ -31,6 +31,46 @@ def decode_image(payload: bytes):
     )
 
 
+def decode_media(media: DataFrame, decoder=None,
+                 decoded_ddl: str = "decoded binary") -> DataFrame:
+    """media -> (media_id, kind, decoded, n_bytes): the decode seam.
+
+    ``decoder(payload: bytes, kind: str) -> value-matching-decoded_ddl`` is
+    injectable through the public API, so a production environment that has
+    codec libraries (PIL/libvips/ffmpeg) activates the real path with zero
+    code change — e.g. ``decode_media(df, decoder=lambda p, k:
+    bytes(PIL.Image.open(io.BytesIO(p)).tobytes()))``. With no decoder
+    injected it routes to :func:`decode_image`, which raises the honest
+    environment stub. All Spark-side plumbing (schema, Arrow batch shape,
+    partition preservation) is real and tested either way.
+    """
+    import pandas as pd
+
+    if decoder is None:
+        def decoder(payload, kind):  # pragma: no cover - env stub
+            return decode_image(payload)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "decoded": [
+                        decoder(bytes(p), str(k))
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run,
+        schema="media_id long, kind string, {}, n_bytes long".format(
+            decoded_ddl),
+    )
+
+
 def fake_features(payload: bytes, dim: int = 8):
     """Deterministic stand-in feature vector: md5-derived floats in [0, 1)."""
     h = hashlib.md5(payload).digest()
@@ -40,23 +80,33 @@ def fake_features(payload: bytes, dim: int = 8):
 
 
 def extract_media_features(media: DataFrame, dim: int = 8,
-                           feature_fn=fake_features) -> DataFrame:
+                           feature_fn=fake_features,
+                           decoder=None) -> DataFrame:
     """media -> (media_id, kind, features array<double>, n_bytes).
 
     One mapInPandas, batch-shaped like a real model-inference stage (payload
-    bytes in, fixed-width vectors out), partitioning preserved.
+    bytes in, fixed-width vectors out), partitioning preserved. When a
+    ``decoder(payload, kind) -> bytes`` is injected (see
+    :func:`decode_media`), features are computed over the DECODED bytes —
+    the decode+featurize fusion a real pipeline runs in one Python stage
+    (two chained mapInPandas stages would oversubscribe python workers).
     """
     import pandas as pd
 
     def run(batches):
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if decoder is not None:
+                payloads = [
+                    decoder(p, str(k)) for p, k in zip(payloads, pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": [
-                        feature_fn(bytes(p), dim) for p in pdf["payload"]
-                    ],
+                    "features": [feature_fn(p, dim) for p in payloads],
+                    # n_bytes reports the RAW payload size (ingest metric),
+                    # independent of whether a decoder ran
                     "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 }
             )
