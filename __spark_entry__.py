@@ -467,6 +467,40 @@ FROM d WHERE rank <= 3 ORDER BY query_id, rank
 """.format(points=_POINTS_SQL, cands=_CANDS_SQL)
 
 
+def q_geo_knn_haversine(spark, sf_dir):
+    """Great-circle kNN (ring join + per-query guard + exact brute tail);
+    dist as integer micro-degrees of central angle — see
+    ``operators/knn.py:knn_join_haversine``. Same lattice tables as
+    ``geo_knn``; the planar-degrees contract stays its own query."""
+    from picogeojson_spark.operators.knn import knn_join_haversine
+
+    q = _points_from_customer(spark, sf_dir).withColumnRenamed(
+        "point_id", "query_id")
+    cand = _cand_points_from_supplier(spark, sf_dir)
+    out = knn_join_haversine(q, cand, k=3, level=4, radius=2)
+    return out.select(
+        "query_id", "rank", "neighbor_id", "dist_udeg"
+    ).orderBy("query_id", "rank")
+
+
+def _q_geo_knn_haversine_sql():
+    from picogeojson_spark.operators.knn import hav_udeg_sql
+
+    dist = hav_udeg_sql("q.lon", "q.lat", "c.lon", "c.lat")
+    return """
+WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})),
+     c AS ({cands}),
+     d AS (
+       SELECT q.query_id, c.neighbor_id, {dist} AS dist_udeg,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY {dist} ASC,
+                                          c.neighbor_id ASC) AS rank
+       FROM q CROSS JOIN c)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, dist_udeg
+FROM d WHERE rank <= 3 ORDER BY query_id, rank
+""".format(points=_POINTS_SQL, cands=_CANDS_SQL, dist=dist)
+
+
 def q_geo_tile_assign(spark, sf_dir):
     """Web-Mercator tile assignment at z=8, JVM-side arithmetic."""
     from picogeojson_spark.operators import assign_tiles_points
@@ -3529,6 +3563,12 @@ ORDER BY user_id
 
 _EXTRA_QUERIES["events_pivot"] = q_events_pivot
 _EXTRA_ORACLES["events_pivot"] = Q_EVENTS_PIVOT_SQL
+
+
+# ---- round-4 additions ----
+
+_EXTRA_QUERIES["geo_knn_haversine"] = q_geo_knn_haversine
+_EXTRA_ORACLES["geo_knn_haversine"] = _q_geo_knn_haversine_sql()
 
 
 # --------------------------------------------------------------------------

@@ -301,6 +301,152 @@ def knn_join(
     return out
 
 
+def _hav_udeg(qlon, qlat, clon, clat):
+    """Great-circle central angle as INTEGER micro-degrees:
+    ``floor(degrees(2*asin(least(1, sqrt(h)))) * 1e6 + 0.5)`` with the
+    classic haversine ``h``. The scaled-integer contract (repo-wide
+    practice: distances as scaled ints) makes ranking, tie-breaks and the
+    oracle hash robust to last-ulp libm differences between Spark's
+    java.lang.Math and DuckDB's C libm — a flip would need the true value
+    within ~1 ulp of a rounding boundary. The ``least(1, ...)`` clamp keeps
+    rounding from pushing asin's argument past 1 (NaN)."""
+    s_lat = F.sin(F.radians(clat - qlat) / 2)
+    s_lon = F.sin(F.radians(clon - qlon) / 2)
+    h = s_lat * s_lat + F.cos(F.radians(qlat)) * F.cos(F.radians(clat)) * s_lon * s_lon
+    deg = F.degrees(F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h))))
+    return F.floor(deg * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def hav_udeg_sql(qlon, qlat, clon, clat):
+    """The DuckDB spelling of :func:`_hav_udeg` — same operations in the
+    same order (squares written as products, not pow, so both engines run
+    the identical multiply)."""
+    return (
+        "CAST(floor(degrees(2 * asin(least(1.0, sqrt("
+        "sin(radians({clat} - {qlat}) / 2) * sin(radians({clat} - {qlat}) / 2)"
+        " + cos(radians({qlat})) * cos(radians({clat}))"
+        " * sin(radians({clon} - {qlon}) / 2) * sin(radians({clon} - {qlon}) / 2)"
+        ")))) * 1000000.0 + 0.5) AS BIGINT)"
+    ).format(qlon=qlon, qlat=qlat, clon=clon, clat=clat)
+
+
+def knn_join_haversine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    level: int = None,
+    radius: int = 1,
+) -> DataFrame:
+    """Exact great-circle kNN -> (query_id, rank, neighbor_id, dist_udeg).
+
+    Same ring-join shape as the planar :func:`knn_join` (candidate side
+    explodes its (2r+1)^2 neighbourhood once, window takes top-k), but the
+    metric is the haversine central angle in integer micro-degrees
+    (:func:`_hav_udeg`) and the exactness guard is PER QUERY: a candidate
+    outside the searched ring is separated by either >= r*cd degrees of
+    latitude (central angle >= r*cd directly) or >= r*cd degrees of
+    longitude with its latitude within the ring band, whose central angle
+    is >= acos(1 - (1 - cos(r*cd)) * cos(qlat) * cos(band)) where band =
+    min(90, |qlat| + (r+1)*cd) — both true lower bounds, so queries whose
+    k-th neighbour beats min(of the two) are provably settled. Near the
+    poles the longitude bound collapses to 0 (meridians converge), so polar
+    queries fall through to the exact brute-force tail — the correct
+    trade: poles are a measure-zero sliver of a production corpus, and
+    output stays exact everywhere. The planar operator's planar-degrees
+    contract is untouched.
+    """
+    if level is None:
+        level = choose_level(candidates.count(), k, radius)
+    nx, ny = grid_shape(level)
+    cd = 180.0 / (2 ** level)
+
+    q = _with_cell_xy(queries, "query_id", level).select(
+        "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+        "cx", "cy",
+    )
+    c = _with_cell_xy(candidates, "neighbor_id", level).select(
+        F.col("neighbor_id"), F.col("lon").alias("clon"),
+        F.col("lat").alias("clat"), "cx", "cy",
+    )
+    off = _offsets_array(_ring_dxs(radius, nx), range(-radius, radius + 1))
+    c_ex = (
+        c.withColumn("o", F.explode(off))
+        .select(
+            "neighbor_id", "clon", "clat",
+            F.pmod(F.col("cx") + F.col("o.dx"), F.lit(nx)).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < ny))
+    )
+    joined = q.join(c_ex, on=["cx", "cy"], how="left").select(
+        "query_id", "qlat", "neighbor_id",
+        _hav_udeg(F.col("qlon"), F.col("qlat"),
+                  F.col("clon"), F.col("clat")).alias("dist_udeg"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_udeg").asc_nulls_last(),
+        F.col("neighbor_id").asc_nulls_last())
+    ringed = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
+    )
+
+    # per-query guard in micro-degrees (floor - 1: strictly conservative
+    # against the scaled-integer rounding)
+    d_deg = float(radius * cd)
+    band = F.least(F.lit(90.0), F.abs(F.col("qlat")) + F.lit((radius + 1) * cd))
+    cos_sig = F.lit(1.0) - (
+        (F.lit(1.0) - F.cos(F.radians(F.lit(d_deg))))
+        * F.cos(F.radians(F.col("qlat"))) * F.cos(F.radians(band))
+    )
+    lon_lb = F.degrees(F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_sig))))
+    guard_udeg = (
+        F.floor(F.least(F.lit(d_deg), lon_lb) * F.lit(1000000.0) + F.lit(0.5))
+        - F.lit(1)
+    ).cast("long")
+    settled_row = (
+        (F.col("rank") == k)
+        & F.col("dist_udeg").isNotNull()
+        & (F.col("dist_udeg") <= guard_udeg)
+    )
+
+    out_cols = ["query_id", "rank", "neighbor_id", "dist_udeg"]
+    agg_row = ringed.agg(
+        F.sum(settled_row.cast("int")).alias("n_settled"),
+        F.sum((F.col("rank") == 1).cast("int")).alias("n_queries"),
+    ).first()
+    if int(agg_row["n_queries"] or 0) == int(agg_row["n_settled"] or 0):
+        return ringed.select(*out_cols)
+
+    settled_ids = ringed.filter(settled_row).select("query_id")
+    settled = ringed.join(settled_ids, on="query_id").select(*out_cols)
+
+    # exact brute tail for the (polar / sparse-ring) remnant — the shrinking
+    # side of the cross join; production-scale polar traffic would add the
+    # planar operator's ring-expansion rounds before this
+    rest = queries.join(settled_ids, on="query_id", how="left_anti")
+    brute = rest.select(
+        "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    ).crossJoin(
+        candidates.select(
+            "neighbor_id", F.col("lon").alias("clon"),
+            F.col("lat").alias("clat"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _hav_udeg(F.col("qlon"), F.col("qlat"),
+                  F.col("clon"), F.col("clat")).alias("dist_udeg"),
+    )
+    brute_k = (
+        brute.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+    return settled.unionByName(brute_k)
+
+
 class _CacheHandles:
     """Unpersists every cached stage of a persist-mode knn_join."""
 

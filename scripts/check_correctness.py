@@ -294,6 +294,12 @@ KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
 #:       nested-loop; the alternative is a driver collect the operator
 #:       deliberately avoids.
 PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
+                    # haversine kNN's exact brute tail: the per-query guard
+                    # provably cannot settle polar queries (meridians
+                    # converge), so the polar remnant cross-joins the
+                    # candidate table — unsettled side only, same rationale
+                    # as geo_knn
+                    "geo_knn_haversine",
                     # 1-row corpus-total scalar broadcast onto the vocab
                     # (same shape as bm25's scalar attach)
                     "text_surprisal",
