@@ -3571,6 +3571,83 @@ _EXTRA_QUERIES["geo_knn_haversine"] = q_geo_knn_haversine
 _EXTRA_ORACLES["geo_knn_haversine"] = _q_geo_knn_haversine_sql()
 
 
+def q_web_boilerplate(spark, sf_dir):
+    """Domain-scoped boilerplate gram fractions (CCNet-style template
+    detection; ``operators/web.py:domain_boilerplate``). Bigram granularity
+    exercises real cross-doc repeats on the synthetic corpus; production
+    text would run 5-8-gram paragraphs."""
+    from picogeojson_spark.operators.web import domain_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_boilerplate(docs, n=2, min_docs=2,
+                              thresh_ppm=300_000).orderBy("doc_id")
+
+
+Q_WEB_BOILERPLATE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source AS dom,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, dom, gram FROM (
+    SELECT doc_id, dom,
+           unnest(list_transform(range(1, len(toks)),
+                  j -> toks[j] || ' ' || toks[j + 1])) AS gram
+    FROM d WHERE len(toks) >= 2)),
+dd AS (SELECT source AS dom, CAST(COUNT(*) AS BIGINT) AS dom_docs
+       FROM documents GROUP BY source),
+gd AS (SELECT dom, gram, CAST(COUNT(*) AS BIGINT) AS in_docs
+       FROM g GROUP BY dom, gram),
+b AS (SELECT gd.dom, gd.gram FROM gd JOIN dd USING (dom)
+      WHERE in_docs >= 2 AND in_docs * 1000000 >= dom_docs * 300000),
+pg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       FROM g GROUP BY doc_id),
+fg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+       FROM g JOIN b USING (dom, gram) GROUP BY doc_id)
+SELECT d0.doc_id,
+       COALESCE(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       COALESCE(n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+                 THEN (COALESCE(n_boiler, 0) * 1000000) // n_grams
+                 ELSE 0 END AS BIGINT) AS boiler_ppm
+FROM documents d0
+LEFT JOIN pg USING (doc_id)
+LEFT JOIN fg USING (doc_id)
+ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["web_boilerplate"] = q_web_boilerplate
+_EXTRA_ORACLES["web_boilerplate"] = Q_WEB_BOILERPLATE_SQL
+
+
+def q_sample_importance(spark, sf_dir):
+    """DSIR-style importance resampling: score raw docs by hashed-unigram
+    likelihood ratio against the English slice as the target corpus, keep
+    with probability min(1, score/cap) via a deterministic 30-bit hash
+    (``operators/importance.py``; integer-exact throughout)."""
+    from picogeojson_spark.operators.importance import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return importance_resample(
+        docs, target, cap_ppm=1_200_000, n_buckets=64, salt="ir0"
+    ).orderBy("doc_id")
+
+
+def _q_sample_importance_sql():
+    from picogeojson_spark.operators.importance import importance_oracle_sql
+
+    return importance_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        cap_ppm=1_200_000, n_buckets=64, salt="ir0",
+    )
+
+
+_EXTRA_QUERIES["sample_importance"] = q_sample_importance
+_EXTRA_ORACLES["sample_importance"] = _q_sample_importance_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

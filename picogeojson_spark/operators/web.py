@@ -213,3 +213,74 @@ def schedule_frontier(urls: DataFrame, per_domain: int = 2,
                 p=int(per_domain))).cast("long"),
         )
     )
+
+
+def domain_boilerplate(docs: DataFrame, n: int = 2, min_docs: int = 2,
+                       thresh_ppm: int = 300_000, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       domain_col: str = "source") -> DataFrame:
+    """Domain-scoped boilerplate measurement — the CCNet/trafilatura idea
+    (navigation text, footers, templates repeat across one site's pages,
+    not across the web) at word n-gram granularity: a gram is boilerplate
+    WITHIN a domain when it appears in at least ``thresh_ppm``/1e6 of that
+    domain's documents (and at least ``min_docs`` of them). Emits per doc
+    ``(doc_id, n_grams, n_boiler, boiler_ppm)`` — the fraction of the
+    doc's distinct grams that are domain-boilerplate, the signal a
+    cleaning pass thresholds on.
+
+    Scale shape: gram occurrences aggregate map-side into per-(domain,
+    gram) document counts; the flagged-gram table is small (real
+    boilerplate is template text, a sliver of the gram space) and joins
+    back onto the per-doc gram stream as an AQE-broadcast equi-join. No
+    self-join, no sort, all-integer arithmetic (ppm threshold as a cross-
+    multiplication, ``div`` for the final fraction — truncation parity
+    with DuckDB is pinned in build notes).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("dom"),
+            toks.alias("toks"),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") >= n)
+    )
+    gram = F.array_join(F.slice(F.col("toks"), F.col("i") + 1, n), " ")
+    grams = (
+        d.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("n_toks") - n)))
+        .select("doc_id", "dom", gram.alias("gram"))
+        .distinct()
+    )
+    dom_docs = docs.groupBy(F.col(domain_col).alias("dom")).agg(
+        F.count("*").cast("long").alias("dom_docs"))
+    gram_docs = grams.groupBy("dom", "gram").agg(
+        F.count("*").cast("long").alias("in_docs"))
+    boiler = (
+        gram_docs.join(dom_docs, "dom")
+        .filter(
+            (F.col("in_docs") >= min_docs)
+            & (F.col("in_docs") * F.lit(1_000_000)
+               >= F.col("dom_docs") * F.lit(int(thresh_ppm)))
+        )
+        .select("dom", "gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    flagged = grams.join(boiler, ["dom", "gram"]).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_boiler"))
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0).cast("long")).alias("n_boiler"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0L) > 0 THEN "
+                "(coalesce(n_boiler, 0L) * 1000000L) div n_grams "
+                "ELSE 0L END"
+            ).cast("long").alias("boiler_ppm"),
+        )
+    )

@@ -303,6 +303,9 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     # 1-row corpus-total scalar broadcast onto the vocab
                     # (same shape as bm25's scalar attach)
                     "text_surprisal",
+                    # two 1-row token-total scalars onto the bucket-rate
+                    # tables (bounded: n_buckets rows)
+                    "sample_importance",
                     # two 1-row snapshot-total scalars onto the vocab join
                     "text_drift"}
 
