@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "events_pivot",
     "events_funnel",
     "events_cohort",
+    "geo_knn_haversine",
+    "web_boilerplate",
+    "sample_importance",
 ]
 
 

@@ -265,14 +265,22 @@ def domain_boilerplate(docs: DataFrame, n: int = 2, min_docs: int = 2,
         )
         .select("dom", "gram")
     )
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_grams"))
-    flagged = grams.join(boiler, ["dom", "gram"]).groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_boiler"))
+    # one left join against the (small, broadcast) flag table, then ONE
+    # doc-keyed aggregation computes both totals — a separate
+    # flagged-grams groupBy would pay a second doc_id exchange
+    per_doc = (
+        grams.join(boiler.withColumn("is_b", F.lit(1)), ["dom", "gram"],
+                   "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("long")
+            .alias("n_boiler"),
+        )
+    )
     spine = docs.select(F.col(id_col).alias("doc_id"))
     return (
         spine.join(per_doc, "doc_id", "left")
-        .join(flagged, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
