@@ -3648,6 +3648,110 @@ _EXTRA_QUERIES["sample_importance"] = q_sample_importance
 _EXTRA_ORACLES["sample_importance"] = _q_sample_importance_sql()
 
 
+# Shoelace measures over four vertex-offset shapes on the quarter-degree
+# lattice (triangle / CW rectangle / convex pentagon / concave hexagon).
+# Offsets are integers, so area2 and edge2_sum are translation-invariant
+# INTEGER constants per shape and the centroid numerators are LINEAR in
+# the anchor: cx_num = CX0 + 3*area2*x0 (verified symbolically and
+# numerically at build time) — giving the oracle a closed form fully
+# independent of the engine's general ring fold.
+_MEASURE_SHAPES = {
+    0: [(0, 0), (4, 0), (1, 3)],
+    1: [(0, 0), (0, 3), (5, 3), (5, 0)],           # clockwise: area2 < 0
+    2: [(0, 0), (4, 0), (6, 2), (3, 4), (0, 3)],
+    3: [(0, 0), (6, 0), (6, 4), (4, 4), (4, 2), (0, 2)],  # concave
+}
+
+
+def _measure_consts():
+    out = {}
+    for s, pts in _MEASURE_SHAPES.items():
+        ring = pts + [pts[0]]
+        a2 = cx = cy = e2 = 0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            cr = x1 * y2 - x2 * y1
+            a2 += cr
+            cx += (x1 + x2) * cr
+            cy += (y1 + y2) * cr
+            e2 += (x2 - x1) ** 2 + (y2 - y1) ** 2
+        out[s] = (a2, cx, cy, e2, len(pts))
+    return out
+
+
+def q_geo_area_centroid(spark, sf_dir):
+    """Signed shoelace area + centroid numerators + squared-edge sums for
+    lattice polygons (``operators/measures.py:polygon_measures`` — one JVM
+    HOF fold per row, zero shuffles). Scaled-integer outputs per repo
+    contract: lattice coordinates make every sum exactly dyadic."""
+    from picogeojson_spark.operators.measures import polygon_measures
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 13) % 300).cast("double") / 2 - 90 + 0.25
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double") / 2 - 60 + 0.25
+    base = c.select(
+        F.col("c_custkey").alias("poly_id"),
+        (F.col("c_custkey") % 4).alias("s"),
+        x0.alias("x0"), y0.alias("y0"),
+    )
+    arms = " ".join(
+        "WHEN {s} THEN array({pts})".format(
+            s=s,
+            pts=", ".join(
+                "array(x0 + {dx}.0d, y0 + {dy}.0d)".format(dx=dx, dy=dy)
+                for dx, dy in pts + [pts[0]]
+            ),
+        )
+        for s, pts in _MEASURE_SHAPES.items()
+    )
+    polys = base.select(
+        "poly_id", F.expr("CASE s {} END".format(arms)).alias("ring"))
+    m = polygon_measures(polys, ring_col="ring", id_col="poly_id")
+    return m.select(
+        "poly_id",
+        "n_vertices",
+        F.round(F.col("area2") * 16).cast("long").alias("area2_x16"),
+        F.round(F.col("cx_num") * 32).cast("long").alias("cx_num_x32"),
+        F.round(F.col("cy_num") * 32).cast("long").alias("cy_num_x32"),
+        F.round(F.col("edge2_sum")).cast("long").alias("edge2_sum"),
+    ).orderBy("poly_id")
+
+
+def _q_geo_area_centroid_sql():
+    cs = _measure_consts()
+
+    def case(fmt):
+        return "CASE s " + " ".join(
+            "WHEN {s} THEN {v}".format(s=s, v=fmt(*cs[s]))
+            for s in sorted(cs)
+        ) + " END"
+
+    nv = case(lambda a2, cx, cy, e2, nv: str(nv))
+    a2x16 = case(lambda a2, cx, cy, e2, nv: str(a2 * 16))
+    cxe = case(lambda a2, cx, cy, e2, nv:
+               "({cx} + 3 * {a2} * x0) * 32".format(cx=cx, a2=a2))
+    cye = case(lambda a2, cx, cy, e2, nv:
+               "({cy} + 3 * {a2} * y0) * 32".format(cy=cy, a2=a2))
+    e2c = case(lambda a2, cx, cy, e2, nv: str(e2))
+    return """
+WITH p AS (
+  SELECT c_custkey AS poly_id, c_custkey % 4 AS s,
+         CAST((c_custkey * 13) % 300 AS DOUBLE) / 2 - 90 + 0.25 AS x0,
+         CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
+  FROM customer)
+SELECT poly_id,
+       CAST({nv} AS INTEGER) AS n_vertices,
+       CAST({a2} AS BIGINT) AS area2_x16,
+       CAST(round({cx}) AS BIGINT) AS cx_num_x32,
+       CAST(round({cy}) AS BIGINT) AS cy_num_x32,
+       CAST({e2} AS BIGINT) AS edge2_sum
+FROM p ORDER BY poly_id
+""".format(nv=nv, a2=a2x16, cx=cxe, cy=cye, e2=e2c)
+
+
+_EXTRA_QUERIES["geo_area_centroid"] = q_geo_area_centroid
+_EXTRA_ORACLES["geo_area_centroid"] = _q_geo_area_centroid_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
