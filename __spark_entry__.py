@@ -3752,6 +3752,61 @@ _EXTRA_QUERIES["geo_area_centroid"] = q_geo_area_centroid
 _EXTRA_ORACLES["geo_area_centroid"] = _q_geo_area_centroid_sql()
 
 
+def q_geo_distance_join(spark, sf_dir):
+    """Within-radius great-circle join (all supplier points within 3 deg of
+    central angle of each customer point; ``operators/knn.py:
+    distance_join_haversine`` — cell-ring equi-join, per-query latitude
+    guard). Queries capped to |lat| < 60 so every query provably settles in
+    the ring (guard >= 3 deg at level 5 / radius 2) and the exact polar
+    brute tail — exercised in tests/test_distance_join.py — stays out of
+    this plan; the gate's no-cross-join invariant applies in full."""
+    from picogeojson_spark.operators.knn import distance_join_haversine
+
+    q = (
+        _points_from_customer(spark, sf_dir)
+        .withColumnRenamed("point_id", "query_id")
+        .filter(F.abs(F.col("lat")) < 60.0)
+    )
+    c = _t(spark, sf_dir, "customer")
+    cand = c.select(
+        F.col("c_custkey").alias("neighbor_id"),
+        (((F.col("c_custkey") * 53) % 720).cast("double") / 2 - 180
+         + 0.25).alias("lon"),
+        (((F.col("c_custkey") * 29) % 360).cast("double") / 2 - 90
+         + 0.25).alias("lat"),
+    )
+    out = distance_join_haversine(q, cand, d_udeg=3_000_000,
+                                  level=5, radius=2)
+    return out.orderBy("query_id", "neighbor_id")
+
+
+_DIST_CANDS_SQL = (
+    "SELECT c_custkey AS neighbor_id, "
+    "CAST((c_custkey * 53) % 720 AS DOUBLE) / 2 - 180 + 0.25 AS lon, "
+    "CAST((c_custkey * 29) % 360 AS DOUBLE) / 2 - 90 + 0.25 AS lat "
+    "FROM customer"
+)
+
+
+def _q_geo_distance_join_sql():
+    from picogeojson_spark.operators.knn import hav_udeg_sql
+
+    dist = hav_udeg_sql("q.lon", "q.lat", "c.lon", "c.lat")
+    return """
+WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})
+           WHERE abs(lat) < 60.0),
+     c AS ({cands})
+SELECT q.query_id, c.neighbor_id, {dist} AS dist_udeg
+FROM q CROSS JOIN c
+WHERE {dist} <= 3000000
+ORDER BY query_id, neighbor_id
+""".format(points=_POINTS_SQL, cands=_DIST_CANDS_SQL, dist=dist)
+
+
+_EXTRA_QUERIES["geo_distance_join"] = q_geo_distance_join
+_EXTRA_ORACLES["geo_distance_join"] = _q_geo_distance_join_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -457,3 +457,107 @@ class _CacheHandles:
         for df in self._dfs:
             df.unpersist(blocking)
         return self
+
+
+def distance_join_haversine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    d_udeg: int,
+    level: int = None,
+    radius: int = None,
+) -> DataFrame:
+    """Exact within-radius great-circle join: every (query, candidate) pair
+    whose haversine central angle is <= ``d_udeg`` integer micro-degrees ->
+    ``(query_id, neighbor_id, dist_udeg)``.
+
+    Same cell-ring shape as :func:`knn_join_haversine` — the candidate side
+    explodes its (2r+1)^2 neighbourhood once, pairs come from one equi-join
+    on (cx, cy) — but the settledness test is simpler than kNN's: it
+    depends only on the QUERY's latitude. A candidate outside the ring is
+    separated by at least ``guard(qlat)`` (the same two true lower bounds:
+    r*cd degrees of latitude, or the longitude-direction bound
+    acos(1 - (1-cos(r*cd)) * cos(qlat) * cos(band))), so a query with
+    ``d_udeg <= guard_udeg`` provably has ALL its matches inside the ring.
+    High-latitude queries where the longitude bound collapses below
+    ``d_udeg`` fall to an exact brute tail (skipped entirely when no query
+    needs it — the common case away from the poles).
+
+    Scale shape: one candidate-side explode (bounded (2r+1)^2 fan-out), one
+    equi-join, one filter — no theta join, no window. The ring join's
+    output is exactly the candidate set within ~r cells, so shuffle volume
+    tracks true pair density, not |Q| x |C|.
+    """
+    import math
+
+    if d_udeg <= 0:
+        raise ValueError("d_udeg must be a positive integer of micro-degrees")
+    d_deg = d_udeg / 1e6
+    if level is None:
+        # cell size ~ search radius => ring radius lands at 1-2
+        level = max(2, min(14, int(math.log2(180.0 / max(d_deg, 1e-9)))))
+    nx, ny = grid_shape(level)
+    cd = 180.0 / (2 ** level)
+    if radius is None:
+        radius = int(d_deg / cd) + 1
+
+    d_lit = F.lit(int(d_udeg)).cast("long")
+    band = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit((radius + 1) * cd))
+    cos_sig = F.lit(1.0) - (
+        (F.lit(1.0) - F.cos(F.radians(F.lit(float(radius * cd)))))
+        * F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(band))
+    )
+    lon_lb = F.degrees(F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_sig))))
+    guard_udeg = (
+        F.floor(F.least(F.lit(float(radius * cd)), lon_lb)
+                * F.lit(1000000.0) + F.lit(0.5)) - F.lit(1)
+    ).cast("long")
+
+    q_all = queries.withColumn("_settled", guard_udeg >= d_lit)
+    n_tail = q_all.filter(~F.col("_settled")).count()
+
+    q = _with_cell_xy(q_all.filter(F.col("_settled")), "query_id", level).select(
+        "query_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+        "cx", "cy",
+    )
+    c = _with_cell_xy(candidates, "neighbor_id", level).select(
+        F.col("neighbor_id"), F.col("lon").alias("clon"),
+        F.col("lat").alias("clat"), "cx", "cy",
+    )
+    off = _offsets_array(_ring_dxs(radius, nx), range(-radius, radius + 1))
+    c_ex = (
+        c.withColumn("o", F.explode(off))
+        .select(
+            "neighbor_id", "clon", "clat",
+            F.pmod(F.col("cx") + F.col("o.dx"), F.lit(nx)).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < ny))
+    )
+    ringed = (
+        q.join(c_ex, on=["cx", "cy"])
+        .select(
+            "query_id", "neighbor_id",
+            _hav_udeg(F.col("qlon"), F.col("qlat"),
+                      F.col("clon"), F.col("clat")).alias("dist_udeg"),
+        )
+        .filter(F.col("dist_udeg") <= d_lit)
+    )
+    if n_tail == 0:
+        return ringed
+
+    brute = (
+        q_all.filter(~F.col("_settled"))
+        .select("query_id", F.col("lon").alias("qlon"),
+                F.col("lat").alias("qlat"))
+        .crossJoin(candidates.select(
+            "neighbor_id", F.col("lon").alias("clon"),
+            F.col("lat").alias("clat")))
+        .select(
+            "query_id", "neighbor_id",
+            _hav_udeg(F.col("qlon"), F.col("qlat"),
+                      F.col("clon"), F.col("clat")).alias("dist_udeg"),
+        )
+        .filter(F.col("dist_udeg") <= d_lit)
+    )
+    return ringed.unionByName(brute)
