@@ -3807,6 +3807,71 @@ _EXTRA_QUERIES["geo_distance_join"] = q_geo_distance_join
 _EXTRA_ORACLES["geo_distance_join"] = _q_geo_distance_join_sql()
 
 
+def q_graph_hits(spark, sf_dir):
+    """Integer HITS hubs/authorities (4 rounds, divisor renormalization)
+    over the customer->supplier purchase graph — the companion ranking to
+    graph_pagerank (``operators/graph.py:hits``); the oracle unrolls the
+    same integer rounds in SQL."""
+    from picogeojson_spark.operators.graph import hits, purchase_graph
+
+    edges = purchase_graph(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return hits(edges, iterations=4).orderBy("node")
+
+
+def _hits_sql(iterations=4, scale=10**9):
+    # every per-round CTE is referenced twice (LEFT JOIN + normalizer
+    # scalar subquery); DuckDB inlines plain CTEs per reference, which
+    # makes the unrolled chain exponential — AS MATERIALIZED keeps the
+    # oracle linear in rounds
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (
+  SELECT node, CAST({k} AS BIGINT) AS hub FROM nodes)""".format(
+            k=scale)
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            """,
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS raw
+  FROM h{prev} h JOIN e ON h.node = e.src GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw, 0)
+              // GREATEST(1, (SELECT CAST(SUM(raw) AS BIGINT) FROM ar{i})
+                             // {k}) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS raw
+  FROM a{i} a JOIN e ON a.node = e.dst GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw, 0)
+              // GREATEST(1, (SELECT CAST(SUM(raw) AS BIGINT) FROM hr{i})
+                             // {k}) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node)""".format(
+                i=i, prev=i - 1, k=scale)
+        )
+    parts.append(
+        """
+SELECT n.node, h.hub, a.auth
+FROM nodes n JOIN h{n} h ON n.node = h.node JOIN a{n} a ON n.node = a.node
+ORDER BY n.node""".format(n=iterations)
+    )
+    return "".join(parts)
+
+
+_EXTRA_QUERIES["graph_hits"] = q_graph_hits
+_EXTRA_ORACLES["graph_hits"] = _hits_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

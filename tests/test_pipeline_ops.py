@@ -2013,3 +2013,52 @@ def test_token_drift_matches_duckdb(spark):
         "SELECT text FROM dv WHERE doc_id % 2 = 1", k=20)).fetchall()]
     got = [tuple(r) for r in token_drift(a, b, k=20).collect()]
     assert got == want and got
+
+
+# ------------------------------------------------------------------ HITS
+
+def _hits_replica(edges, iterations=4, scale=10**9):
+    """Pure-Python integer replica of operators.graph.hits."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        raw = {}
+        for s, d in edges:
+            raw[d] = raw.get(d, 0) + hub[s]
+        div = max(1, sum(raw.values()) // scale)
+        auth = {v: raw.get(v, 0) // div for v in nodes}
+        raw = {}
+        for s, d in edges:
+            raw[s] = raw.get(s, 0) + auth[d]
+        div = max(1, sum(raw.values()) // scale)
+        hub = {v: raw.get(v, 0) // div for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_matches_integer_replica(spark):
+    """Spark integer HITS == the serial integer replica, exactly."""
+    from picogeojson_spark.operators.graph import hits
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (1, 3), (6, 7),
+             (4, 3), (5, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r["hub"], r["auth"])
+           for r in hits(df, iterations=4).collect()}
+    assert got == _hits_replica(edges, iterations=4)
+
+
+def test_hits_hub_authority_structure(spark):
+    """Pages linked by many hubs score as authorities; pages linking to
+    many authorities score as hubs; mutual reinforcement beats degree."""
+    from picogeojson_spark.operators.graph import hits
+
+    # hubs 1-3 all cite authorities 100, 101; stray edge 4 -> 200
+    edges = [(h, a) for h in (1, 2, 3) for a in (100, 101)] + [(4, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r["hub"], r["auth"]) for r in hits(df).collect()}
+    assert got[100][1] == got[101][1] > got[200][1]
+    assert got[1][0] == got[2][0] == got[3][0] > got[4][0]
+    # pure authorities have zero hub mass, pure hubs zero authority
+    assert got[100][0] == 0 and got[1][1] == 0
