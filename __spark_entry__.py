@@ -3872,6 +3872,30 @@ _EXTRA_QUERIES["graph_hits"] = q_graph_hits
 _EXTRA_ORACLES["graph_hits"] = _hits_sql()
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Per-document mean BIGRAM surprisal vs the corpus's own bigram model
+    (order-2 LM-perplexity filtering, the transition-level signal unigram
+    surprisal can't see; ``operators/textstats.py:bigram_surprisal``).
+    Same integer bit-arithmetic contract as text_surprisal."""
+    from picogeojson_spark.operators.textstats import bigram_surprisal
+
+    return bigram_surprisal(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _q_text_bigram_lm_oracle():
+    from picogeojson_spark.operators.textstats import (
+        bigram_surprisal_oracle_sql,
+    )
+
+    return bigram_surprisal_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+_EXTRA_QUERIES["text_bigram_lm"] = q_text_bigram_lm
+_EXTRA_ORACLES["text_bigram_lm"] = _q_text_bigram_lm_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -639,3 +639,117 @@ FROM s
 ORDER BY drift_score DESC, tok ASC
 LIMIT {int(k)}
 """
+
+
+def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document mean BIGRAM surprisal against the corpus's own bigram
+    model — the order-2 companion of :func:`unigram_surprisal` and the
+    closest integer-exact analogue of the KenLM-perplexity filters used in
+    corpus curation (CCNet, Gopher): p(w2 | w1) = c(w1 w2) / c(w1 ·), so a
+    document full of unusual word TRANSITIONS scores high even when every
+    individual word is common (the signal unigram surprisal can't see).
+
+    Surprisal of one bigram occurrence, in whole bits:
+    ``bitlen(c(w1 ·)) - bitlen(c(w1 w2))`` via ``length(bin(x))`` — pure
+    integer, replayed bit-for-bit by the DuckDB oracle. Self-scoring means
+    every bigram has corpus count >= 1: no backoff arm is ever taken.
+
+    Returns ``(doc_id, n_bigrams, surprisal_sum, mean_surprisal_x1000)``
+    for every input document (docs with < 2 tokens score 0).
+
+    Scale shape (same as unigram): occurrences pre-aggregate to per-(doc,
+    bigram) multiplicities before touching the model, bounding join skew
+    at one row per doc per hot bigram; the prefix-count table is another
+    vocab-sized aggregate of the bigram table (no second corpus pass);
+    everything is equi-joins + map-side-combined aggregates, no UDF.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+", -1),
+                     lambda x: F.length(x) > 0)
+    d = docs.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= 2)
+    pairs = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (a, b) -> concat(a, ' ', b))")
+    big = d.select("doc_id", F.explode(pairs).alias("gram"))
+    mult = big.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("long").alias("m"))
+    bcnt = mult.groupBy("gram").agg(F.sum("m").cast("long").alias("cnt"))
+    pref = bcnt.groupBy(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cnt").cast("long").alias("pcnt"))
+    vs = bcnt.withColumn(
+        "w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+    ).join(pref, "w1").select(
+        "gram",
+        (F.length(F.bin(F.col("pcnt")))
+         - F.length(F.bin(F.col("cnt")))).cast("long").alias("surp"),
+    )
+    scored = (
+        mult.join(vs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("surp")).cast("long")
+            .alias("surprisal_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("surprisal_sum", F.lit(0).cast("long"))
+            .alias("surprisal_sum"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.expr("surprisal_sum * 1000 div n_bigrams"),
+            ).otherwise(F.lit(0)).cast("long")
+            .alias("mean_surprisal_x1000"),
+        )
+    )
+
+
+def bigram_surprisal_oracle_sql(source_sql: str) -> str:
+    """DuckDB replay of :func:`bigram_surprisal` (same integer bit
+    arithmetic), ordered by doc_id."""
+    return f"""
+WITH src AS ({source_sql}),
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> len(t) > 0) AS w
+  FROM src),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                j -> w[j] || ' ' || w[j + 1])) AS gram
+  FROM toked WHERE len(w) >= 2),
+mult AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS m
+  FROM big GROUP BY doc_id, gram),
+bcnt AS (
+  SELECT gram, CAST(SUM(m) AS BIGINT) AS cnt FROM mult GROUP BY gram),
+pref AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(SUM(cnt) AS BIGINT) AS pcnt
+  FROM bcnt GROUP BY 1),
+vs AS (
+  SELECT gram,
+         CAST(length(bin(pcnt)) - length(bin(cnt)) AS BIGINT) AS surp
+  FROM bcnt JOIN pref ON split_part(bcnt.gram, ' ', 1) = pref.w1),
+scored AS (
+  SELECT mult.doc_id,
+         CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m * surp) AS BIGINT) AS surprisal_sum
+  FROM mult JOIN vs USING (gram) GROUP BY mult.doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc.surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
+       CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+                 THEN (sc.surprisal_sum * 1000) // sc.n_bigrams
+                 ELSE 0 END AS BIGINT) AS mean_surprisal_x1000
+FROM (SELECT doc_id FROM src) s
+LEFT JOIN scored sc USING (doc_id)
+ORDER BY doc_id
+"""

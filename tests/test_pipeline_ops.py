@@ -2062,3 +2062,37 @@ def test_hits_hub_authority_structure(spark):
     assert got[1][0] == got[2][0] == got[3][0] > got[4][0]
     # pure authorities have zero hub mass, pure hubs zero authority
     assert got[100][0] == 0 and got[1][1] == 0
+
+
+# ---------------------------------------------------- bigram LM surprisal
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Corpus doc1='a b a b', doc2='a c': bigrams are (a b)x2, (b a)x1,
+    (a c)x1. Prefix counts: a->3, b->1. surp(a b)=bitlen(3)-bitlen(2)=0,
+    surp(b a)=bitlen(1)-bitlen(1)=0, surp(a c)=bitlen(3)-bitlen(1)=1."""
+    from picogeojson_spark.operators.textstats import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["surprisal_sum"],
+                         r["mean_surprisal_x1000"])
+           for r in bigram_surprisal(docs).collect()}
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (1, 1, 1000)
+    assert got[3] == (0, 0, 0)   # one token: no bigram
+    assert got[4] == (0, 0, 0)
+
+
+def test_bigram_surprisal_rare_transition_beats_common(spark):
+    """A rare continuation of a COMMON prefix scores high: 'cat sat'x8
+    gives surp(cat sat) = bitlen(9) - bitlen(8) = 0 while the one
+    'cat the' gets surp = bitlen(9) - bitlen(1) = 3."""
+    from picogeojson_spark.operators.textstats import bigram_surprisal
+
+    rows = [(i, "cat sat") for i in range(8)] + [(99, "cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_surprisal_x1000"]
+           for r in bigram_surprisal(docs).collect()}
+    assert got[0] == 0
+    assert got[99] == 3000
