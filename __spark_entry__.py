@@ -3896,6 +3896,102 @@ _EXTRA_QUERIES["text_bigram_lm"] = q_text_bigram_lm
 _EXTRA_ORACLES["text_bigram_lm"] = _q_text_bigram_lm_oracle()
 
 
+def _anchor_html_col():
+    i = F.col("doc_id")
+    label = (
+        F.when(i % 3 == 0, F.lit("Read More"))
+        .when(i % 3 == 1, F.lit("Official Site"))
+        .otherwise(F.concat(F.lit("Visit "), F.col("lang")))
+    )
+    return F.concat(
+        F.lit('<a href="https://WWW.'), F.col("lang"), F.lit('-hub.ORG/'),
+        i.cast("string"), F.lit('">'), label, F.lit("</a>"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(' <a href="http://news.'), F.col("source"),
+            F.lit('.io/x" rel="nofollow"> Breaking News </a>')))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.lit(' <a href="/relative/path">skip me</a>'))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.concat(
+            F.lit(' <a href="https://empty.'), F.col("lang"),
+            F.lit('.net/e"></a>'))).otherwise(F.lit("")),
+    )
+
+
+_ANCHOR_HTML_SQL = """
+    '<a href="https://WWW.' || lang || '-hub.ORG/'
+      || CAST(doc_id AS VARCHAR) || '">'
+    || CASE WHEN doc_id % 3 = 0 THEN 'Read More'
+            WHEN doc_id % 3 = 1 THEN 'Official Site'
+            ELSE 'Visit ' || lang END
+    || '</a>'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' <a href="http://news.' || source
+                 || '.io/x" rel="nofollow"> Breaking News </a>'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' <a href="/relative/path">skip me</a>' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' <a href="https://empty.' || lang || '.net/e"></a>'
+            ELSE '' END
+"""
+
+
+def q_web_anchor_text(spark, sf_dir):
+    """Incoming anchor-text aggregation per target domain
+    (``operators/web.py:anchor_text_stats``): href+anchor captured by one
+    conservative regex, absolute URLs only, trimmed/lower-cased anchors;
+    per domain the total/distinct anchor counts and the modal anchor
+    (count desc, text asc tie-break). Synth markup exercises extra
+    attributes after href, whitespace anchors, a relative href (dropped)
+    and an empty anchor (dropped)."""
+    from picogeojson_spark.operators.web import anchor_text_stats
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", "source", "lang").withColumns(
+        {"url": _messy_url_col(), "html": _anchor_html_col()})
+    return anchor_text_stats(pages).orderBy("dst_domain")
+
+
+def _q_web_anchor_text_oracle():
+    return """
+WITH pages AS (
+  SELECT doc_id, source, lang, {html} AS html FROM documents),
+ex AS (
+  SELECT regexp_extract_all(html, '{re}', 1) AS hrefs,
+         regexp_extract_all(html, '{re}', 2) AS texts
+  FROM pages),
+links AS (
+  SELECT hrefs[j] AS dst_url, lower(trim(texts[j])) AS anchor
+  FROM ex, LATERAL (SELECT unnest(range(1, len(hrefs) + 1)) AS j) s),
+ab AS (
+  SELECT * FROM links
+  WHERE regexp_matches(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+    AND len(anchor) > 0),
+per AS (
+  SELECT {dom} AS dst_domain, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ab GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_domain
+                               ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM per)
+SELECT dst_domain,
+       CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors,
+       MAX(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+       CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT)
+         AS top_anchor_cnt
+FROM r GROUP BY dst_domain ORDER BY dst_domain
+""".format(html=_ANCHOR_HTML_SQL,
+           re=r'href="([^"]*)"[^>]*>([^<]*)</a>',
+           dom=_domain_sql("dst_url"))
+
+
+_EXTRA_QUERIES["web_anchor_text"] = q_web_anchor_text
+_EXTRA_ORACLES["web_anchor_text"] = _q_web_anchor_text_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -292,3 +292,67 @@ def domain_boilerplate(docs: DataFrame, n: int = 2, min_docs: int = 2,
             ).cast("long").alias("boiler_ppm"),
         )
     )
+
+
+ANCHOR_RE = r'href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_stats(pages: DataFrame, src_url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Incoming anchor-text aggregation per TARGET domain — the classic
+    webgraph retrieval/quality signal (what the rest of the web calls a
+    site): ``(dst_domain, n_anchors, n_distinct_anchors, top_anchor,
+    top_anchor_cnt)``.
+
+    Extraction is scan-stage: ONE conservative regex captures href and
+    anchor body together, pulled twice with ``regexp_extract_all`` group
+    1 / group 2 and re-paired with ``arrays_zip`` (both engines run the
+    identical RE; anchors are trimmed + lower-cased). Only absolute
+    target URLs qualify (same rule as :func:`domain_link_graph`) and
+    empty anchors are dropped.
+
+    Scale shape: one (domain, anchor) map-side-combined count aggregate
+    over the link stream, then a domain-keyed top-1 window the optimizer
+    runs as WindowGroupLimit (no full sort of the anchor table) fused
+    with the per-domain totals — the second exchange is vocab-sized
+    (distinct anchors), never link-stream-sized.
+    """
+    from pyspark.sql import Window
+
+    links = (
+        pages.select(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1)
+            .alias("u"),
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+            .alias("t"),
+        )
+        .select(F.explode(F.arrays_zip("u", "t")).alias("p"))
+        .select(
+            F.col("p.u").alias("dst_url"),
+            F.lower(F.trim(F.col("p.t"))).alias("anchor"),
+        )
+        .filter(F.col("dst_url").rlike(_SCHEME_RE)
+                & (F.length("anchor") > 0))
+    )
+    per = (
+        links.select(
+            registrable_domain(F.col("dst_url")).alias("dst_domain"),
+            "anchor",
+        )
+        .groupBy("dst_domain", "anchor")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.desc("cnt"), F.asc("anchor"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .groupBy("dst_domain")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_anchors"),
+            F.count("*").cast("long").alias("n_distinct_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor")))
+            .alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long")
+            .alias("top_anchor_cnt"),
+        )
+    )

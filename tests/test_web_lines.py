@@ -238,3 +238,42 @@ def test_schedule_frontier_politeness(spark):
                if r["domain"] == "big.com") == 3
     with _pytest.raises(ValueError):
         schedule_frontier(df, per_domain=0)
+
+
+# ------------------------------------------------------- anchor text stats
+
+def test_anchor_text_stats(spark):
+    """Trim+lower, modal anchor with lexicographic tie-break, relative and
+    empty anchors dropped, multiple anchors per page extracted."""
+    from picogeojson_spark.operators.web import anchor_text_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<a href="https://a.com/1">Home</a>'
+                   ' <a href="https://a.com/2" rel="x"> HOME </a>'),
+            ("u2", '<a href="https://a.com/3">about</a>'
+                   ' <a href="/rel">skip</a>'
+                   ' <a href="https://b.org/x"></a>'),
+            ("u3", '<a href="https://b.org/y">B site</a>'),
+            ("u4", "<p>no links</p>"),
+        ],
+        "url string, html string")
+    got = {r["dst_domain"]: r for r in anchor_text_stats(pages).collect()}
+    assert set(got) == {"a.com", "b.org"}
+    a = got["a.com"]
+    assert (a["n_anchors"], a["n_distinct_anchors"]) == (3, 2)
+    assert (a["top_anchor"], a["top_anchor_cnt"]) == ("home", 2)
+    b = got["b.org"]
+    assert (b["n_anchors"], b["top_anchor"], b["top_anchor_cnt"]) == \
+        (1, "b site", 1)
+
+
+def test_anchor_text_tie_breaks_lexicographic(spark):
+    from picogeojson_spark.operators.web import anchor_text_stats
+
+    pages = spark.createDataFrame(
+        [("u", '<a href="https://t.io/1">zeta</a>'
+               ' <a href="https://t.io/2">alpha</a>')],
+        "url string, html string")
+    r = anchor_text_stats(pages).collect()[0]
+    assert (r["top_anchor"], r["top_anchor_cnt"]) == ("alpha", 1)
