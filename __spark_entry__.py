@@ -3992,6 +3992,43 @@ _EXTRA_QUERIES["web_anchor_text"] = q_web_anchor_text
 _EXTRA_ORACLES["web_anchor_text"] = _q_web_anchor_text_oracle()
 
 
+def q_decontam_embed(spark, sf_dir):
+    """Embedding-space benchmark decontamination (semantic twin of
+    decontam_ngram; ``operators/similarity.py:decontaminate_embed``): the
+    vec_id % 23 slice plays the leaked eval set, so member rows must come
+    back cos 1.0 and near-dups are judged on the rounded integer score
+    (>= 0.55). Eval side broadcast; corpus never shuffles."""
+    from picogeojson_spark.operators.similarity import decontaminate_embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 23 == 0)
+    return decontaminate_embed(emb, evals, threshold_x1e6=550_000).orderBy(
+        "vec_id")
+
+
+Q_DECONTAM_EMBED_SQL = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT v FROM c WHERE vec_id % 23 = 0),
+s AS (
+  SELECT c.vec_id,
+         CAST(round(list_dot_product(c.v, e.v)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(e.v, e.v))) * 1000000) AS BIGINT)
+           AS cx
+  FROM c CROSS JOIN e)
+SELECT vec_id,
+       CAST(MAX(cx) AS BIGINT) AS max_cos_x1e6,
+       CAST(SUM(CASE WHEN cx >= 550000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(CASE WHEN SUM(CASE WHEN cx >= 550000 THEN 1 ELSE 0 END) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM s GROUP BY vec_id ORDER BY vec_id
+"""
+
+_EXTRA_QUERIES["decontam_embed"] = q_decontam_embed
+_EXTRA_ORACLES["decontam_embed"] = Q_DECONTAM_EMBED_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -643,3 +643,81 @@ def cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
             F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
         )
     )
+
+
+def decontaminate_embed(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold_x1e6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus vector,
+    its similarity to the nearest EVAL vector and how many eval vectors sit
+    within the contamination threshold ->
+    ``(vec_id, max_cos_x1e6, n_hits, contaminated)``.
+
+    This is the n-gram decontamination operator's (``dedup.decontam``)
+    semantic twin: paraphrased eval leakage that shares no 8-gram still
+    lands next to the eval item in embedding space.
+
+    Scale shape — the standard exact-decontam asymmetry: eval benchmarks
+    are tiny (thousands) while the corpus is unbounded, so the eval matrix
+    is collected once (bounded, documented) and broadcast; every corpus
+    partition scores its own shard against it in Arrow batches with the
+    sequential dim-axis fold (bit-identical to list_dot_product in the
+    oracle), then reduces to per-row max/count — NO join, NO shuffle on
+    the corpus, output exactly corpus-sized. The threshold compares the
+    ROUNDED integer score (``cos_x1e6 >= threshold_x1e6``) so both engines
+    take the same branch everywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if threshold_x1e6 is None or not (-1_000_000 <= threshold_x1e6 <= 1_000_000):
+        raise ValueError("threshold_x1e6 must be in [-1e6, 1e6]")
+    e_rows = evals.select(vec_col).collect()  # bounded eval side only
+    e_mat = np.asarray([r[0] for r in e_rows], dtype=np.float64)
+    if e_mat.size == 0:
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("long").alias("max_cos_x1e6"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("int").alias("contaminated"),
+        )
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(e_mat)
+
+    def score(batches):
+        em = bc.value
+        en = np.sqrt((em * em).sum(axis=1))
+        dim = em.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n = cm.shape[0]
+            dot = np.zeros((n, em.shape[0]))
+            cn2 = np.zeros(n)
+            # sequential fold over the dim axis: same add order per pair
+            # as aggregate(zip_with(...)) and DuckDB list_dot_product
+            for j in range(dim):
+                dot += cm[:, j][:, None] * em[:, j][None, :]
+                cn2 += cm[:, j] * cm[:, j]
+            cos = dot / (np.sqrt(cn2)[:, None] * en[None, :])
+            cx = np.round(cos * 1e6).astype(np.int64)
+            hits = (cx >= int(threshold_x1e6)).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "max_cos_x1e6": cx.max(axis=1),
+                    "n_hits": hits,
+                    "contaminated": (hits > 0).astype(np.int32),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score,
+        schema=("vec_id long, max_cos_x1e6 long, n_hits long,"
+                " contaminated int"),
+    )

@@ -2096,3 +2096,49 @@ def test_bigram_surprisal_rare_transition_beats_common(spark):
            for r in bigram_surprisal(docs).collect()}
     assert got[0] == 0
     assert got[99] == 3000
+
+
+# ------------------------------------------------- embedding decontamination
+
+def test_decontam_embed_known_geometry(spark):
+    """Hand-built vectors: eval = x-axis. A corpus copy of it is
+    contaminated at cos 1.0, an orthogonal vector is clean, a 45-degree
+    vector sits at cos ~0.707 (contaminated at 0.7, clean at 0.8)."""
+    from picogeojson_spark.operators.similarity import decontaminate_embed
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [5.0, 5.0]),
+         (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    evals = corpus.filter(F.col("vec_id") == 1)
+    got = {r["vec_id"]: r for r in
+           decontaminate_embed(corpus, evals, 700_000).collect()}
+    assert got[1]["max_cos_x1e6"] == 1_000_000 and got[1]["contaminated"] == 1
+    assert got[2] ["contaminated"] == 0 and got[2]["max_cos_x1e6"] == 0
+    assert got[3]["max_cos_x1e6"] == 707_107 and got[3]["contaminated"] == 1
+    assert got[4]["max_cos_x1e6"] == -1_000_000 and got[4]["n_hits"] == 0
+    strict = {r["vec_id"]: r["contaminated"] for r in
+              decontaminate_embed(corpus, evals, 800_000).collect()}
+    assert strict == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_decontam_embed_counts_multiple_hits(spark):
+    from picogeojson_spark.operators.similarity import decontaminate_embed
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    evals = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [1.0, 0.1]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    r = decontaminate_embed(corpus, evals, 900_000).collect()[0]
+    assert r["n_hits"] == 2 and r["contaminated"] == 1
+
+
+def test_decontam_embed_empty_eval_set(spark):
+    from picogeojson_spark.operators.similarity import decontaminate_embed
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    evals = corpus.filter(F.col("vec_id") < 0)
+    r = decontaminate_embed(corpus, evals, 500_000).collect()[0]
+    assert (r["n_hits"], r["contaminated"], r["max_cos_x1e6"]) == (0, 0, None)
