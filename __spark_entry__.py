@@ -4029,6 +4029,38 @@ _EXTRA_QUERIES["decontam_embed"] = q_decontam_embed
 _EXTRA_ORACLES["decontam_embed"] = Q_DECONTAM_EMBED_SQL
 
 
+def q_geo_zorder_key(spark, sf_dir):
+    """Morton / Z-order spatial clustering key (``operators/layout.py``):
+    the lakehouse data-layout primitive behind OPTIMIZE ZORDER — pure
+    shift/mask codegen, oracle replays the identical interleave. Emitted
+    at bits=8 per point plus the curve bucket used by write_zordered's
+    range partitioning."""
+    from picogeojson_spark.operators.layout import zorder_key
+
+    pts = _points_from_customer(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        zorder_key(F.col("lon"), F.col("lat"), bits=8).alias("zkey"),
+        (zorder_key(F.col("lon"), F.col("lat"), bits=8) / 256)
+        .cast("long").alias("zbucket"),
+    ).orderBy("point_id")
+
+
+def _q_geo_zorder_key_sql():
+    from picogeojson_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql("lon", "lat", bits=8)
+    return """
+SELECT point_id, {z} AS zkey,
+       CAST(floor(({z}) / 256) AS BIGINT) AS zbucket
+FROM ({points}) ORDER BY point_id
+""".format(z=z, points=_POINTS_SQL)
+
+
+_EXTRA_QUERIES["geo_zorder_key"] = q_geo_zorder_key
+_EXTRA_ORACLES["geo_zorder_key"] = _q_geo_zorder_key_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
