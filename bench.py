@@ -91,6 +91,13 @@ BENCH_QUERIES = [
     "geo_knn_haversine",
     "web_boilerplate",
     "sample_importance",
+    "geo_area_centroid",
+    "geo_distance_join",
+    "geo_zorder_key",
+    "graph_hits",
+    "text_bigram_lm",
+    "web_anchor_text",
+    "decontam_embed",
 ]
 
 
