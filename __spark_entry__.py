@@ -4061,6 +4061,85 @@ _EXTRA_QUERIES["geo_zorder_key"] = q_geo_zorder_key
 _EXTRA_ORACLES["geo_zorder_key"] = _q_geo_zorder_key_sql()
 
 
+# Simplification fixtures: rectangles with an outward bump at each edge
+# midpoint. Every bump triangle's 2-area (W/4 or H/4) sits under the 2.0
+# threshold while every corner's stays above it, so Visvalingam removes
+# EXACTLY the four bumps and the survivor is the bare rectangle — whose
+# measures have a closed form the oracle derives independently.
+_SIMPLIFY_WH = {0: (5.5, 3.5), 1: (6.5, 4.5), 2: (7.5, 2.5), 3: (4.5, 5.5)}
+
+
+def q_geo_simplify(spark, sf_dir):
+    """Visvalingam-for-zoom simplification composed with polygon measures
+    (``operators/simplify.py`` -> ``operators/measures.py``): noisy-
+    rectangle rings collapse to their corner rectangles at threshold 2.0;
+    emitted as vertex counts + scaled-integer shoelace measures of the
+    SIMPLIFIED ring, which the oracle knows in closed form."""
+    from picogeojson_spark.operators.measures import polygon_measures
+    from picogeojson_spark.operators.simplify import simplify_rings
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = ((F.col("c_custkey") * 13) % 300).cast("double") / 2 - 90 + 0.25
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double") / 2 - 60 + 0.25
+    base = c.select(
+        F.col("c_custkey").alias("poly_id"),
+        (F.col("c_custkey") % 4).alias("s"),
+        x0.alias("x0"), y0.alias("y0"),
+    )
+    arms = []
+    for s, (w, h) in _SIMPLIFY_WH.items():
+        pts = [(0.0, 0.0), (w / 2, -0.25), (w, 0.0), (w + 0.25, h / 2),
+               (w, h), (w / 2, h + 0.25), (0.0, h), (-0.25, h / 2)]
+        arr = ", ".join(
+            "array(x0 + {dx}d, y0 + {dy}d)".format(dx=dx, dy=dy)
+            for dx, dy in pts + [pts[0]]
+        )
+        arms.append("WHEN {s} THEN array({a})".format(s=s, a=arr))
+    polys = base.select(
+        "poly_id", F.expr("CASE s " + " ".join(arms) + " END").alias("ring"))
+    simp = simplify_rings(polys, min_area2=2.0)
+    m = polygon_measures(simp, ring_col="ring", id_col="poly_id",
+                         keep_cols=("n_in", "n_out"))
+    return m.select(
+        "poly_id", "n_in", "n_out",
+        F.round(F.col("area2") * 16).cast("long").alias("area2_x16"),
+        F.round(F.col("cx_num") * 32).cast("long").alias("cx_num_x32"),
+        F.round(F.col("cy_num") * 32).cast("long").alias("cy_num_x32"),
+    ).orderBy("poly_id")
+
+
+def _q_geo_simplify_sql():
+    def case(fmt):
+        return "CASE s " + " ".join(
+            "WHEN {s} THEN {v}".format(s=s, v=fmt(*_SIMPLIFY_WH[s]))
+            for s in sorted(_SIMPLIFY_WH)
+        ) + " END"
+
+    a2 = case(lambda w, h: str(int(2 * w * h * 16)))       # (2WH)*16
+    cx = case(lambda w, h: "round((6 * {wh} * (x0 + {w2})) * 32)".format(
+        wh=w * h, w2=w / 2))
+    cy = case(lambda w, h: "round((6 * {wh} * (y0 + {h2})) * 32)".format(
+        wh=w * h, h2=h / 2))
+    return """
+WITH p AS (
+  SELECT c_custkey AS poly_id, c_custkey % 4 AS s,
+         CAST((c_custkey * 13) % 300 AS DOUBLE) / 2 - 90 + 0.25 AS x0,
+         CAST((c_custkey * 17) % 200 AS DOUBLE) / 2 - 60 + 0.25 AS y0
+  FROM customer)
+SELECT poly_id,
+       CAST(8 AS INTEGER) AS n_in,
+       CAST(4 AS INTEGER) AS n_out,
+       CAST({a2} AS BIGINT) AS area2_x16,
+       CAST({cx} AS BIGINT) AS cx_num_x32,
+       CAST({cy} AS BIGINT) AS cy_num_x32
+FROM p ORDER BY poly_id
+""".format(a2=a2, cx=cx, cy=cy)
+
+
+_EXTRA_QUERIES["geo_simplify"] = q_geo_simplify
+_EXTRA_ORACLES["geo_simplify"] = _q_geo_simplify_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

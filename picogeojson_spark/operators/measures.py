@@ -54,6 +54,7 @@ def polygon_measures(
     polys: DataFrame,
     ring_col: str = "ring",
     id_col: str = "poly_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-polygon shoelace measures from a closed exterior ring.
 
@@ -76,6 +77,7 @@ def polygon_measures(
     fold = F.expr(_FOLD.format(r=ring_col))
     return polys.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         (F.size(F.col(ring_col)) - 1).cast("int").alias("n_vertices"),
         fold["a2"].alias("area2"),
         fold["cx"].alias("cx_num"),
