@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "text_bigram_lm",
     "web_anchor_text",
     "decontam_embed",
+    "geo_simplify",
 ]
 
 
