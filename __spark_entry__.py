@@ -4140,6 +4140,23 @@ _EXTRA_QUERIES["geo_simplify"] = q_geo_simplify
 _EXTRA_ORACLES["geo_simplify"] = _q_geo_simplify_sql()
 
 
+def q_text_compress(spark, sf_dir):
+    """DEFLATE compression-ratio redundancy signal
+    (``operators/textstats.py:compression_ratio``) — rows-only by
+    necessity: DuckDB has no DEFLATE, so no SQL oracle exists (the
+    stream_counts precedent); exactness is pinned by the pure-Python
+    zlib replay test instead."""
+    from picogeojson_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+_EXTRA_QUERIES["text_compress"] = q_text_compress
+# deliberately NO _EXTRA_ORACLES entry: rows-only (documented above)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "web_anchor_text",
     "decontam_embed",
     "geo_simplify",
+    "text_compress",
 ]
 
 

@@ -753,3 +753,54 @@ FROM (SELECT doc_id FROM src) s
 LEFT JOIN scored sc USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6,
+                      flag_below_ppm: int = 300_000) -> DataFrame:
+    """DEFLATE compression ratio per document — the classic cheap
+    redundancy signal (used alongside the Gopher gates in Dolma/RedPajama
+    cleaning): machine-generated and template text compresses far better
+    than natural prose, so a LOW ratio flags it.
+
+    Returns ``(doc_id, raw_len, comp_len, ratio_ppm, low_entropy)`` with
+    ``ratio_ppm = comp_len * 1e6 div raw_len`` (integer) and
+    ``low_entropy = ratio_ppm < flag_below_ppm`` (as int). Empty docs get
+    ratio 1e6 and flag 0.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, no shuffle —
+    zlib at a fixed level is deterministic for a given zlib build, and the
+    downstream signal (the integer ratio) is robust to library revisions.
+    DuckDB has no DEFLATE, so the contract query is rows-only by
+    necessity; exactness is pinned by the pure-Python replay test.
+    """
+    import pandas as pd
+    import zlib
+
+    lvl = int(level)
+    thr = int(flag_below_ppm)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, lvl)) for b in raw]
+            rl = [len(b) for b in raw]
+            ratio = [((c * 1_000_000) // r) if r > 0 else 1_000_000
+                     for c, r in zip(comp, rl)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "raw_len": rl,
+                    "comp_len": comp,
+                    "ratio_ppm": ratio,
+                    "low_entropy": [int(x < thr) for x in ratio],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run,
+        schema=("doc_id long, raw_len long, comp_len long,"
+                " ratio_ppm long, low_entropy int"),
+    )

@@ -2142,3 +2142,46 @@ def test_decontam_embed_empty_eval_set(spark):
     evals = corpus.filter(F.col("vec_id") < 0)
     r = decontaminate_embed(corpus, evals, 500_000).collect()[0]
     assert (r["n_hits"], r["contaminated"], r["max_cos_x1e6"]) == (0, 0, None)
+
+
+# ----------------------------------------------------- compression ratio
+
+def test_compression_ratio_matches_python_zlib(spark):
+    """Row-for-row parity with a serial zlib replay (the op's exactness
+    evidence — DuckDB has no DEFLATE, so the contract query is rows-only)."""
+    import zlib
+
+    from picogeojson_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam " * 500),
+        (3, ""),
+        (4, "x"),
+        (5, "Zab4!kQ9#mD2@pL7"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio_ppm"],
+                         r["low_entropy"])
+           for r in compression_ratio(docs).collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        ratio = (c * 1_000_000) // len(b) if b else 1_000_000
+        assert got[i] == (len(b), c, ratio, int(ratio < 300_000)), i
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Template spam compresses far better than prose; random-ish short
+    text barely compresses; only the spam is flagged."""
+    from picogeojson_spark.operators.textstats import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 400),
+         (2, "It was the best of times, it was the worst of times, it was"
+             " the age of wisdom, it was the age of foolishness, light and"
+             " dark, hope and despair, spring and winter together at once.")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["ratio_ppm"] < got[2]["ratio_ppm"]
+    assert got[1]["low_entropy"] == 1 and got[2]["low_entropy"] == 0
