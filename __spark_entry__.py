@@ -4157,6 +4157,126 @@ _EXTRA_QUERIES["text_compress"] = q_text_compress
 # deliberately NO _EXTRA_ORACLES entry: rows-only (documented above)
 
 
+def _sessions_stream_dir(spark, sf_dir):
+    """Events parquet + one far-future '__flush__' sentinel per user, in a
+    directory the file stream source reads as TWO files -> two
+    micro-batches, so the watermark advances past every real session and
+    append mode flushes them all (the production finite-backfill pattern)."""
+    import os
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    d = "/tmp/stream_sessions_{}".format(label)
+    if not os.path.exists(os.path.join(d, "_PREPARED")):
+        os.makedirs(d, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        # ONE time-sorted file: the file source batches per file (oldest
+        # mod-time first), so an out-of-order part file would arrive with
+        # its rows behind the advanced watermark and be DROPPED as late
+        # (found by the parity test). Production event logs are coarsely
+        # time-ordered; disorder beyond that is what the watermark delay
+        # parameter absorbs.
+        ev.orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(d, "events"))
+        (
+            ev.select("user_id").distinct()
+            .select(
+                F.lit(-1).cast("bigint").alias("event_id"),
+                F.expr("TIMESTAMP_NTZ '2099-01-01 00:00:00'").alias("ts"),
+                "user_id",
+                F.lit("__flush__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(os.path.join(d, "flush"))
+        )
+        # flatten into one dir: the stream source lists files, not subdirs
+        import glob
+        import shutil
+
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(d, "events", "*.parquet")))):
+            shutil.move(f, os.path.join(d, "a{:03d}.parquet".format(i)))
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(d, "flush", "*.parquet")))):
+            shutil.move(f, os.path.join(d, "z{:03d}.parquet".format(i)))
+        shutil.rmtree(os.path.join(d, "events"))
+        shutil.rmtree(os.path.join(d, "flush"))
+        open(os.path.join(d, "_PREPARED"), "w").close()
+    return d
+
+
+def q_stream_sessions(spark, sf_dir):
+    """STREAMING gap sessionization: native session_window + watermark in
+    append mode (``streaming/pages_stream.py:stream_sessionize_events``) —
+    the structured-streaming twin of events_sessionize, with the finite-
+    backfill flush handled by per-user far-future sentinels (dropped from
+    the output). Full oracle: the lag+running-sum batch replay with the
+    session_window boundary rule (a gap of EXACTLY 30 min starts a new
+    session — session windows are end-exclusive)."""
+    from picogeojson_spark.streaming.pages_stream import (
+        stream_sessionize_events,
+    )
+
+    d = _sessions_stream_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = stream_sessionize_events(src, gap="30 minutes",
+                                   watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, "stream_sessions")
+    return (
+        spark.table("stream_sessions_q")
+        .filter(F.col("n_flush") == 0)
+        .select(
+            "user_id",
+            F.col("start_us").cast("long").alias("start_us"),
+            (F.col("last_us") + F.lit(1800000000).cast("long"))
+            .cast("long").alias("end_us"),
+            F.col("n_rows").cast("long").alias("n_events"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+Q_STREAM_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id,
+       MIN(tus) AS start_us,
+       MAX(tus) + 1800000000 AS end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, start_us
+"""
+
+_EXTRA_QUERIES["stream_sessions"] = q_stream_sessions
+_EXTRA_ORACLES["stream_sessions"] = Q_STREAM_SESSIONS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -130,3 +130,49 @@ def stream_windowed_counts(spark, pages_dir: str,
         .groupBy(F.window("warc_ts", window), F.col("geom_type"))
         .count()
     )
+
+
+def stream_sessionize_events(stream_src, gap: str = "30 minutes",
+                             watermark: str = "0 seconds"):
+    """Gap-based sessionization on a STREAM via Spark's native
+    ``session_window`` aggregation — the structured-streaming twin of the
+    batch lag+running-sum sessionizer (``q_events_sessionize``).
+
+    ``stream_src`` is a streaming events DataFrame (event_id, ts NTZ,
+    user_id, event_type, value, ...). The NTZ wall time is pinned to a UTC
+    instant via pure-NTZ epoch micros (the repo's session-tz-proof
+    pattern); state is keyed by (user_id, merging session window), so a
+    billion users shard across executors like any keyed aggregate and the
+    watermark bounds state size — expired sessions leave the store.
+
+    Emits one row per CLOSED session (append mode downstream): sessions
+    only flush once the watermark passes their end, so a bounded run needs
+    a flush sentinel past the last real event (see q_stream_sessions) —
+    exactly the production pattern for finite backfills.
+
+    ``n_flush`` counts sentinel rows (event_type = '__flush__') inside the
+    session so callers can drop sentinel-only sessions.
+    """
+    from pyspark.sql import functions as F
+
+    def ntz_epoch_us(col):
+        # pure-NTZ epoch micros (session-tz-proof; see __spark_entry__)
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', {})".format(col))
+
+    ts_i = F.timestamp_micros(ntz_epoch_us("ts"))
+    return (
+        stream_src.withColumn("ts_i", ts_i)
+        .withWatermark("ts_i", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts_i", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("cents_sum"),
+            F.sum((F.col("event_type") == "__flush__").cast("long"))
+            .alias("n_flush"),
+            F.min(ntz_epoch_us("ts")).alias("start_us"),
+            F.max(ntz_epoch_us("ts")).alias("last_us"),
+        )
+    )

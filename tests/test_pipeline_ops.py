@@ -2185,3 +2185,82 @@ def test_compression_ratio_orders_redundancy(spark):
     got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
     assert got[1]["ratio_ppm"] < got[2]["ratio_ppm"]
     assert got[1]["low_entropy"] == 1 and got[2]["low_entropy"] == 0
+
+
+# ----------------------------------------------- streaming sessionization
+
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    """session_window streaming sessions == a batch session_window over
+    the same events, and the per-user event/cents totals == the lag-based
+    batch sessionizer's (boundary rules differ only on EXACT-gap ties,
+    which this fixture includes to pin the end-exclusive rule)."""
+    from picogeojson_spark.streaming.pages_stream import (
+        stream_sessionize_events,
+    )
+
+    GAP = 1800000000  # 30 min in us
+    rows = []
+    # user 1: an EXACT-gap follow-up plus a gap+1 break — pins the
+    # boundary rule: exactly 30 min MERGES, 30 min + 1 us splits
+    t0 = 1_600_000_000_000_000
+    rows += [(1, 1, t0, 5.0), (2, 1, t0 + 60_000_000, 7.0),
+             (3, 1, t0 + 60_000_000 + GAP, 1.0),
+             (4, 1, t0 + 60_000_000 + 2 * GAP + 1, 9.0)]
+    # user 2: one long chained session
+    rows += [(10 + i, 2, t0 + i * (GAP - 1), 2.0) for i in range(4)]
+    import datetime
+
+    def ntz(us):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us)
+
+    ev = spark.createDataFrame(
+        [(eid, ntz(us), uid, "view", v, "") for eid, uid, us, v in rows],
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string")
+    d = str(tmp_path / "events_stream")
+    # ONE time-sorted file (out-of-order part files would late-drop under
+    # the 0s watermark — the file source batches per file)
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    # flush sentinels as a second file
+    (ev.select("user_id").distinct().select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.expr("TIMESTAMP_NTZ '2099-01-01 00:00:00'").alias("ts"),
+        "user_id", F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("").alias("props"))
+     .coalesce(1).write.mode("append").parquet(d))
+
+    src = (spark.readStream
+           .schema("event_id bigint, ts timestamp_ntz, user_id bigint,"
+                   " event_type string, value double, props string")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    agg = stream_sessionize_events(src)
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("t_sessions_q").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r["user_id"], r["start_us"]): (r["n_rows"], r["cents_sum"])
+           for r in spark.table("t_sessions_q")
+           .filter(F.col("n_flush") == 0).collect()}
+    # user 1: the exact-gap row MERGES (3 events); the gap+1 row splits
+    assert got[(1, t0)] == (3, 1300)
+    assert got[(1, t0 + 60_000_000 + 2 * GAP + 1)] == (1, 900)
+    # user 2: gap-1 diffs chain into ONE session of 4
+    assert got[(2, t0)] == (4, 800)
+    assert len(got) == 3
+
+    # batch session_window over the same events == the streamed result
+    batch = (
+        ev.withColumn("ts_i", F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+        .groupBy("user_id", F.session_window("ts_i", "30 minutes"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+             F.expr("min(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))")
+             .alias("start_us"))
+    )
+    bgot = {(r["user_id"], r["start_us"]): (r["n"], r["c"])
+            for r in batch.collect()}
+    assert bgot == got
