@@ -4277,6 +4277,95 @@ _EXTRA_QUERIES["stream_sessions"] = q_stream_sessions
 _EXTRA_ORACLES["stream_sessions"] = Q_STREAM_SESSIONS_SQL
 
 
+_PROFILE_COLS = ["o_custkey", "o_orderkey", "o_orderpriority",
+                 "o_orderstatus"]
+
+
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style per-column profile of the orders table
+    (``operators/profile.py:table_profile``): row/null counts and native
+    min/max from ONE aggregation pass, distinct-count estimates from the
+    integer-exact HLL sketch (p=6) over a single narrow melt — the
+    lakehouse stats collector. Integer/varchar columns only (cross-engine
+    string casts are exact there)."""
+    from picogeojson_spark.operators.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS, p=6,
+                         salt="prof")
+
+
+def _q_table_profile_sql(p=6, salt="prof"):
+    from picogeojson_spark.operators.sketches import (
+        _HLL_PRE, _HLL_SHIFT, _hll_consts, _hll_lc_table,
+    )
+
+    m, rem_bits, pre = _hll_consts(p)
+    lc_list = "[{}]".format(",".join(str(x) for x in _hll_lc_table(m)))
+    src = "\nUNION ALL\n".join(
+        "  SELECT '{c}' AS grp, CAST({c} AS VARCHAR) AS v FROM orders"
+        " WHERE {c} IS NOT NULL".format(c=c) for c in _PROFILE_COLS
+    )
+    stats = "\nUNION ALL\n".join(
+        "  SELECT '{c}' AS col,"
+        " CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_nulls,"
+        " CAST(MIN({c}) AS VARCHAR) AS min_s,"
+        " CAST(MAX({c}) AS VARCHAR) AS max_s FROM orders".format(c=c)
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH src AS (
+{src}),
+hashed AS (
+  SELECT grp,
+         CAST(('0x' || substring(md5('{salt}:' || v), 1, 15)) AS BIGINT)
+           AS h
+  FROM src),
+keyed AS (
+  SELECT grp, h // {1 << rem_bits} AS bucket, h % {1 << rem_bits} AS rem
+  FROM hashed),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits + 1} - length(bin(rem)) END) AS max_rho
+  FROM keyed GROUP BY grp, bucket),
+folded AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_reg,
+         CAST(SUM(CASE WHEN max_rho <= {_HLL_SHIFT}
+                       THEN (CAST(1 AS BIGINT) << ({_HLL_SHIFT} - max_rho))
+                       ELSE 0 END) AS BIGINT) AS s_present
+  FROM regs GROUP BY grp),
+raw AS (
+  SELECT grp,
+         CAST({m} - n_reg AS BIGINT) AS v_zero,
+         CAST(({pre} * {1 << (_HLL_SHIFT - _HLL_PRE)}) //
+              GREATEST(s_present + ({m} - n_reg) *
+                       (CAST(1 AS BIGINT) << {_HLL_SHIFT}), 1)
+              AS BIGINT) AS est_raw
+  FROM raw_src_placeholder) ,
+est AS (
+  SELECT grp, v_zero,
+         CAST(CASE WHEN v_zero > 0 AND est_raw <= {(5 * m) // 2}
+                   THEN ({lc_list})[CAST(v_zero AS INT)]
+                   ELSE est_raw END AS BIGINT) AS est
+  FROM raw),
+stats AS (
+{stats})
+SELECT s.col AS column,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+       s.n_nulls, s.min_s, s.max_s,
+       CAST(COALESCE(e.v_zero, {m}) AS BIGINT) AS v_zero,
+       CAST(COALESCE(e.est, 0) AS BIGINT) AS ndv_est
+FROM stats s LEFT JOIN est e ON s.col = e.grp
+ORDER BY s.col
+""".replace("FROM raw_src_placeholder", "FROM folded")
+
+
+_EXTRA_QUERIES["table_profile"] = q_table_profile
+_EXTRA_ORACLES["table_profile"] = _q_table_profile_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

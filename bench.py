@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "decontam_embed",
     "geo_simplify",
     "text_compress",
+    "stream_sessions",
+    "table_profile",
 ]
 
 

@@ -294,3 +294,38 @@ def test_hll_stream_equals_batch(spark, tmp_path):
                       hll_build(spark.read.parquet(d), ["grp"], "v", p=5)
                       .collect()))
     assert got == want and got
+
+
+# --------------------------------------------------------- table profile
+
+def test_table_profile_known_values(spark):
+    from picogeojson_spark.operators.profile import table_profile
+
+    rows = [(1, "a"), (2, "b"), (2, None), (9, "a"), (None, "c")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {r["column"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    k, s = got["k"], got["s"]
+    assert k["n_rows"] == s["n_rows"] == 5
+    assert (k["n_nulls"], k["min_s"], k["max_s"]) == (1, "1", "9")
+    assert (s["n_nulls"], s["min_s"], s["max_s"]) == (1, "a", "c")
+    # small cardinalities hit the linear-counting branch: exact
+    assert k["ndv_est"] == 3 and s["ndv_est"] == 3
+
+
+def test_table_profile_all_null_column(spark):
+    from picogeojson_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "k long, s string")
+    got = {r["column"]: r for r in table_profile(df, ["s"]).collect()}
+    s = got["s"]
+    assert (s["n_nulls"], s["min_s"], s["max_s"]) == (2, None, None)
+    assert s["ndv_est"] == 0 and s["v_zero"] == 64
+
+
+def test_table_profile_numeric_min_is_native_not_lexicographic(spark):
+    from picogeojson_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([(9,), (10,), (100,)], "k long")
+    r = table_profile(df, ["k"]).collect()[0]
+    assert (r["min_s"], r["max_s"]) == ("9", "100")  # not "10"/"9"
