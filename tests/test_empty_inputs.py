@@ -153,3 +153,87 @@ def test_funnel_empty_input(spark):
     got = {r["step"]: r["n_users"]
            for r in funnel_counts(empty, ["view", "click"], 100).collect()}
     assert got == {"view": 0, "click": 0}
+
+
+# ------------------------------------------------- round-4 operator sweep
+
+def test_distance_join_empty_sides(spark):
+    from picogeojson_spark.operators.knn import distance_join_haversine
+
+    q = _pts(spark, [(1, 5.0, 5.0)]).withColumnRenamed("point_id",
+                                                       "query_id")
+    c = _pts(spark, [(1, 5.25, 5.25)]).withColumnRenamed("point_id",
+                                                         "neighbor_id")
+    no_q = q.filter("query_id < 0")
+    no_c = c.filter("neighbor_id < 0")
+    assert distance_join_haversine(no_q, c, 1_000_000).count() == 0
+    assert distance_join_haversine(q, no_c, 1_000_000).count() == 0
+    assert distance_join_haversine(no_q, no_c, 1_000_000).count() == 0
+
+
+def test_polygon_measures_empty(spark):
+    from picogeojson_spark.operators.measures import polygon_measures
+
+    df = spark.createDataFrame([], "poly_id long, ring array<array<double>>")
+    assert polygon_measures(df).count() == 0
+
+
+def test_simplify_rings_empty(spark):
+    from picogeojson_spark.operators.simplify import simplify_rings
+
+    df = spark.createDataFrame([], "poly_id long, ring array<array<double>>")
+    assert simplify_rings(df, 1.0).count() == 0
+
+
+def test_hits_empty_graph(spark):
+    from picogeojson_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(edges, iterations=2).count() == 0
+
+
+def test_bigram_surprisal_empty(spark):
+    from picogeojson_spark.operators.textstats import bigram_surprisal
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bigram_surprisal(docs).count() == 0
+
+
+def test_anchor_text_stats_empty(spark):
+    from picogeojson_spark.operators.web import anchor_text_stats
+
+    pages = spark.createDataFrame([], "url string, html string")
+    assert anchor_text_stats(pages).count() == 0
+
+
+def test_compression_ratio_empty(spark):
+    from picogeojson_spark.operators.textstats import compression_ratio
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert compression_ratio(docs).count() == 0
+
+
+def test_table_profile_empty_table(spark):
+    from picogeojson_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([], "k long, s string")
+    got = {r["column"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    assert set(got) == {"k", "s"}
+    assert got["k"]["n_rows"] == 0 and got["k"]["ndv_est"] == 0
+
+
+def test_decontam_embed_empty_corpus(spark):
+    from picogeojson_spark.operators.similarity import decontaminate_embed
+
+    corpus = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    evals = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert decontaminate_embed(corpus, evals, 500_000).count() == 0
+
+
+def test_zorder_key_empty(spark):
+    from picogeojson_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([], "point_id long, lon double, lat double")
+    assert df.select(zorder_key(F.col("lon"), F.col("lat"), 8)).count() == 0
