@@ -93,3 +93,90 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_ranges(lon_min: float, lat_min: float, lon_max: float,
+                  lat_max: float, bits: int = 16,
+                  max_depth: int = 8) -> list:
+    """Decompose a bbox into a sorted list of disjoint Morton-key ranges
+    ``[(lo, hi), ...]`` that together form a tight SUPERSET of the bbox's
+    cells — the query-side of :func:`write_zordered`: filter the clustered
+    table with ``zkey BETWEEN`` these ranges (file/row-group stats prune on
+    them) then refine with the exact lon/lat predicate.
+
+    Quadtree decomposition over z-aligned square blocks (any aligned
+    2^k x 2^k block is one CONTIGUOUS z interval): blocks fully inside the
+    bbox emit their interval, disjoint blocks are dropped, straddling
+    blocks recurse. ``max_depth`` bounds both the recursion and the range
+    count (4 * max_depth * depth-ish in the worst case — blocks still
+    straddling at the floor emit wholesale; the refine step keeps the
+    answer exact). Adjacent intervals are merged.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+
+    def q(v, lo, hi):
+        x = int(((v - lo) / (hi - lo)) * n)
+        return max(0, min(n - 1, x))
+
+    qx0, qx1 = q(lon_min, -180.0, 180.0), q(lon_max, -180.0, 180.0)
+    qy0, qy1 = q(lat_min, -90.0, 90.0), q(lat_max, -90.0, 90.0)
+
+    def interleave(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    out = []
+
+    def rec(bx, by, k, depth):
+        side = 1 << k
+        x0, y0 = bx * side, by * side
+        x1, y1 = x0 + side - 1, y0 + side - 1
+        if x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1:
+            return
+        inside = qx0 <= x0 and x1 <= qx1 and qy0 <= y0 and y1 <= qy1
+        if inside or k == 0 or depth >= max_depth:
+            base = interleave(x0, y0)
+            out.append((base, base + (1 << (2 * k)) - 1))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(2 * bx + dx, 2 * by + dy, k - 1, depth + 1)
+
+    rec(0, 0, bits, 0)
+    out.sort()
+    merged = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def bbox_filter_zordered(df: DataFrame, lon_min: float, lat_min: float,
+                         lon_max: float, lat_max: float, bits: int = 16,
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         zkey_col: str = None) -> DataFrame:
+    """Exact bbox filter over a Z-order-clustered table: the Morton-range
+    prefilter (pushdown-friendly BETWEEN disjunction over ``zorder_ranges``)
+    plus the exact lon/lat refine. If the table carries a persisted key
+    column pass ``zkey_col``; otherwise the key is recomputed from
+    lon/lat (the refine columns' own min/max stats still prune, since the
+    layout clustered them)."""
+    key = (F.col(zkey_col) if zkey_col
+           else zorder_key(F.col(lon_col), F.col(lat_col), bits))
+    ranges = zorder_ranges(lon_min, lat_min, lon_max, lat_max, bits)
+    cond = None
+    for lo, hi in ranges:
+        c = key.between(int(lo), int(hi))
+        cond = c if cond is None else (cond | c)
+    exact = (
+        (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max)
+        & (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+    )
+    return df.filter(cond & exact)

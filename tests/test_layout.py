@@ -87,3 +87,62 @@ def test_zorder_layout_prunes_bbox_scans(spark, tmp_path):
     a = spark.read.parquet(base).orderBy("point_id").collect()
     b = spark.read.parquet(zpath).orderBy("point_id").collect()
     assert a == b
+
+
+def _interleave(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_ranges_exact_and_bounded():
+    """Unlimited depth: the ranges are EXACTLY the bbox's cell set.
+    Bounded depth: a disjoint sorted superset."""
+    import random
+
+    from picogeojson_spark.operators.layout import zorder_ranges
+
+    rng = random.Random(5)
+    bits = 6
+    n = 1 << bits
+    for _ in range(25):
+        a, b = sorted(rng.uniform(-180, 180) for _ in range(2))
+        c, d = sorted(rng.uniform(-90, 90) for _ in range(2))
+
+        def q(v, lo, hi):
+            return max(0, min(n - 1, int((v - lo) / (hi - lo) * n)))
+
+        want = {_interleave(x, y, bits)
+                for x in range(q(a, -180, 180), q(b, -180, 180) + 1)
+                for y in range(q(c, -90, 90), q(d, -90, 90) + 1)}
+        got = set()
+        for lo, hi in zorder_ranges(a, c, b, d, bits=bits, max_depth=99):
+            got.update(range(lo, hi + 1))
+        assert got == want
+        got2, prev = set(), -1
+        for lo, hi in zorder_ranges(a, c, b, d, bits=bits, max_depth=3):
+            assert lo > prev
+            prev = hi
+            got2.update(range(lo, hi + 1))
+        assert want <= got2
+
+
+def test_bbox_filter_zordered_equals_plain(spark):
+    from picogeojson_spark.operators.layout import bbox_filter_zordered
+
+    df = spark.range(5000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 37 % 720).cast("double") / 2 - 180 + 0.25)
+        .alias("lon"),
+        ((F.col("id") * 61 % 360).cast("double") / 2 - 90 + 0.25)
+        .alias("lat"),
+    )
+    bbox = (10.0, 40.0, 30.0, 55.0)
+    got = sorted(r["point_id"] for r in
+                 bbox_filter_zordered(df, *bbox, bits=12).collect())
+    want = sorted(r["point_id"] for r in df.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lat") >= bbox[1])
+        & (F.col("lon") <= bbox[2]) & (F.col("lat") <= bbox[3])).collect())
+    assert got == want and len(want) > 0
