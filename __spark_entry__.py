@@ -4366,6 +4366,98 @@ _EXTRA_QUERIES["table_profile"] = q_table_profile
 _EXTRA_ORACLES["table_profile"] = _q_table_profile_sql()
 
 
+def _geotext_text_col():
+    i = F.col("doc_id")
+    lat = ((i * 61) % 360).cast("double") / 2 - 90 + 0.25
+    lon = ((i * 37) % 720).cast("double") / 2 - 180 + 0.25
+    lat2 = ((i * 29) % 352).cast("double") / 2 - 88 + 0.25
+    lon2 = ((i * 53) % 712).cast("double") / 2 - 178 + 0.25
+    return F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" located at "), lat.cast("string"), F.lit(", "),
+            lon.cast("string"), F.lit("."))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" gps: 999.5, 12.25")).otherwise(
+            F.lit("")),
+        F.when(i % 7 == 0, F.concat(
+            F.lit(" branch office ("), lat2.cast("string"), F.lit(","),
+            lon2.cast("string"), F.lit(")"))).otherwise(F.lit("")),
+    )
+
+
+_GEOTEXT_TEXT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' located at '
+         || CAST(CAST((doc_id * 61) % 360 AS DOUBLE) / 2 - 90 + 0.25
+                 AS VARCHAR)
+         || ', '
+         || CAST(CAST((doc_id * 37) % 720 AS DOUBLE) / 2 - 180 + 0.25
+                 AS VARCHAR)
+         || '.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' gps: 999.5, 12.25' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' branch office ('
+         || CAST(CAST((doc_id * 29) % 352 AS DOUBLE) / 2 - 88 + 0.25
+                 AS VARCHAR)
+         || ','
+         || CAST(CAST((doc_id * 53) % 712 AS DOUBLE) / 2 - 178 + 0.25
+                 AS VARCHAR)
+         || ')' ELSE '' END
+"""
+
+
+def q_geo_text_coords(spark, sf_dir):
+    """Geotagging: coordinate mentions mined from page text
+    (``operators/geotext.py:extract_coordinates``) — scan-stage regex,
+    posexplode'd pairs, bounds validation (the planted 999.5 pair must
+    drop), level-8 cell ids. Lattice coordinates scale to exact
+    quarter-degree integers for the hash contract."""
+    from picogeojson_spark.operators.geotext import extract_coordinates
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _geotext_text_col().alias("text"))
+    out = extract_coordinates(d, level=8)
+    return out.select(
+        "doc_id", "idx",
+        F.round(F.col("lat") * 4).cast("long").alias("lat_x4"),
+        F.round(F.col("lon") * 4).cast("long").alias("lon_x4"),
+        "cell",
+    ).orderBy("doc_id", "idx")
+
+
+def _q_geo_text_coords_sql():
+    from picogeojson_spark.operators.geotext import COORD_RE
+
+    return r"""
+WITH d AS (
+  SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j - 1 AS idx0,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  -- idx is the mention's position among ALL regex matches (pre-filter),
+  -- matching the operator's posexplode-then-validate order
+  SELECT doc_id, CAST(idx0 AS INTEGER) AS idx, lat, lon
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180)
+SELECT doc_id, idx,
+       CAST(round(lat * 4) AS BIGINT) AS lat_x4,
+       CAST(round(lon * 4) AS BIGINT) AS lon_x4,
+       CAST(8 AS BIGINT) * {p58}
+         + CAST(floor((lon + 180) / 360 * 512) AS BIGINT) * {p29}
+         + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS cell
+FROM ok ORDER BY doc_id, idx
+""".format(txt=_GEOTEXT_TEXT_SQL, re=COORD_RE, p58=1 << 58, p29=1 << 29)
+
+
+_EXTRA_QUERIES["geo_text_coords"] = q_geo_text_coords
+_EXTRA_ORACLES["geo_text_coords"] = _q_geo_text_coords_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

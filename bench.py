@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "text_compress",
     "stream_sessions",
     "table_profile",
+    "geo_text_coords",
 ]
 
 

@@ -277,3 +277,44 @@ def test_anchor_text_tie_breaks_lexicographic(spark):
         "url string, html string")
     r = anchor_text_stats(pages).collect()[0]
     assert (r["top_anchor"], r["top_anchor_cnt"]) == ("alpha", 1)
+
+
+# ------------------------------------------------------------- geotagging
+
+def test_extract_coordinates(spark):
+    """Mentions in order, bounds validation (lat 999.5 and lon 200.5
+    dropped), negative coords, cell arithmetic vs python."""
+    from picogeojson_spark.operators.geotext import extract_coordinates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hq at 40.25, -74.75 and store (12.5,99.25)"),
+            (2, "bogus 999.5, 12.25 then ok -0.25 , 0.75"),
+            (3, "lon out of range 10.25, 200.5"),
+            (4, "no coords at all 5 , 7"),
+        ],
+        "doc_id long, text string")
+    got = [(r["doc_id"], r["idx"], r["lat"], r["lon"], r["cell"])
+           for r in extract_coordinates(docs, level=8)
+           .orderBy("doc_id", "idx").collect()]
+
+    def cell(lat, lon):
+        import math
+        return (8 << 58) | (math.floor((lon + 180) / 360 * 512) << 29) \
+            | math.floor((lat + 90) / 180 * 256)
+
+    assert got == [
+        (1, 0, 40.25, -74.75, cell(40.25, -74.75)),
+        (1, 1, 12.5, 99.25, cell(12.5, 99.25)),
+        (2, 1, -0.25, 0.75, cell(-0.25, 0.75)),  # idx 0 was the bogus pair
+    ]
+
+
+def test_extract_coordinates_empty_and_clean(spark):
+    from picogeojson_spark.operators.geotext import extract_coordinates
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert extract_coordinates(docs).count() == 0
+    clean = spark.createDataFrame([(1, "plain words only")],
+                                  "doc_id long, text string")
+    assert extract_coordinates(clean).count() == 0
