@@ -4458,6 +4458,66 @@ _EXTRA_QUERIES["geo_text_coords"] = q_geo_text_coords
 _EXTRA_ORACLES["geo_text_coords"] = _q_geo_text_coords_sql()
 
 
+def q_geo_pip_density(spark, sf_dir):
+    """Per-polygon point density: three engine ops composed — the
+    cell-cover PIP join counts points per polygon, the ring parsed back
+    out of the REAL GeoJSON string (from_json, no UDF) feeds the shoelace
+    fold for the area, and density = points per square degree in integer
+    millionths. Every world tile is emitted (zero-point polygons
+    included). The oracle derives counts by floor-binning and the area in
+    closed form — both fully independent of the engine's join and fold."""
+    from picogeojson_spark.operators import pip_join
+    from picogeojson_spark.operators.measures import polygon_measures
+
+    pts = _points_from_customer(spark, sf_dir)
+    polys = _grid_polygons(spark)
+    counts = pip_join(pts, polys).groupBy("poly_id").agg(
+        F.count("*").cast("long").alias("n_points"))
+    rings = polys.select(
+        "poly_id",
+        F.from_json(
+            F.col("geometry_json"),
+            "type string, coordinates array<array<array<double>>>",
+        )["coordinates"][0].alias("ring"),
+    )
+    m = polygon_measures(rings, ring_col="ring", id_col="poly_id")
+    return (
+        m.join(counts, "poly_id", "left")
+        .select(
+            "poly_id",
+            F.coalesce("n_points", F.lit(0).cast("long")).alias("n_points"),
+            F.round(F.col("area2") * 16).cast("long").alias("area2_x16"),
+            F.expr(
+                "(coalesce(n_points, 0L) * 32000000L)"
+                " div CAST(round(area2 * 16) AS BIGINT)"
+            ).cast("long").alias("density_x1e6"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+Q_GEO_PIP_DENSITY_SQL = """
+WITH polys AS (
+  SELECT CAST(unnest(range(0, 648)) AS BIGINT) AS poly_id),
+pts AS ({points}),
+cnt AS (
+  SELECT CAST(floor((lon + 180) / 10) + 36 * floor((lat + 90) / 10)
+              AS BIGINT) AS poly_id,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1)
+SELECT p.poly_id,
+       COALESCE(c.n_points, CAST(0 AS BIGINT)) AS n_points,
+       CAST(3200 AS BIGINT) AS area2_x16,
+       CAST((COALESCE(c.n_points, 0) * 32000000) // 3200 AS BIGINT)
+         AS density_x1e6
+FROM polys p LEFT JOIN cnt c USING (poly_id)
+ORDER BY p.poly_id
+""".format(points=_POINTS_SQL)
+
+_EXTRA_QUERIES["geo_pip_density"] = q_geo_pip_density
+_EXTRA_ORACLES["geo_pip_density"] = Q_GEO_PIP_DENSITY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

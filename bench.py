@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "stream_sessions",
     "table_profile",
     "geo_text_coords",
+    "geo_pip_density",
 ]
 
 
