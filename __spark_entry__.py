@@ -4518,6 +4518,69 @@ _EXTRA_QUERIES["geo_pip_density"] = q_geo_pip_density
 _EXTRA_ORACLES["geo_pip_density"] = Q_GEO_PIP_DENSITY_SQL
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Hourly spike detection per event type: an hour is anomalous when
+    its count exceeds 2x the trailing-24h mean (warm-up: at least 12 prior
+    hours) — the monitoring rollup an ingestion pipeline alerts on.
+    All-integer: the comparison cross-multiplies (n * prev_hours >
+    2 * prev_sum), no float mean. Scale shape: corpus-sized work is ONE
+    map-side-combined count aggregate; the lag windows run over the tiny
+    (hours x types) rollup, partitioned by type."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("{} div 3600000000".format(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )).cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type").orderBy("hour_id")
+        .rowsBetween(-24, -1)
+    )
+    return (
+        hourly.withColumn("prev_hours",
+                          F.count("*").over(w).cast("long"))
+        .withColumn("prev_sum",
+                    F.coalesce(F.sum("n_events").over(w), F.lit(0))
+                    .cast("long"))
+        .withColumn(
+            "anomaly",
+            ((F.col("prev_hours") >= 12)
+             & (F.col("n_events") * F.col("prev_hours")
+                > 2 * F.col("prev_sum"))).cast("int"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+Q_EVENTS_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id FROM events),
+hourly AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2),
+win AS (
+  SELECT event_type, hour_id, n_events,
+         CAST(COUNT(*) OVER w AS BIGINT) AS prev_hours,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS prev_sum
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour_id, n_events, prev_hours, prev_sum,
+       CAST(CASE WHEN prev_hours >= 12
+                  AND n_events * prev_hours > 2 * prev_sum
+                 THEN 1 ELSE 0 END AS INTEGER) AS anomaly
+FROM win ORDER BY event_type, hour_id
+"""
+
+_EXTRA_QUERIES["events_anomaly"] = q_events_anomaly
+_EXTRA_ORACLES["events_anomaly"] = Q_EVENTS_ANOMALY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

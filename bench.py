@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "table_profile",
     "geo_text_coords",
     "geo_pip_density",
+    "events_anomaly",
 ]
 
 
