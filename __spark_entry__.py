@@ -4581,6 +4581,40 @@ _EXTRA_QUERIES["events_anomaly"] = q_events_anomaly
 _EXTRA_ORACLES["events_anomaly"] = Q_EVENTS_ANOMALY_SQL
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-scaled source balancing at alpha=0.5
+    (``operators/sampling.py:temperature_sample``): per-source keep rate
+    sqrt(n_min/n_source), threshold integer-exact through IEEE
+    correctly-rounded sqrt; membership a pure (salt, id) function.
+    Balances the LANG axis (en is ~3.4x fr in the corpus — the source
+    axis is deliberately uniform and would keep everything)."""
+    from picogeojson_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, source_col="lang",
+                              salt="t0").orderBy("doc_id")
+
+
+Q_SAMPLE_TEMPERATURE_SQL = """
+WITH d AS (SELECT doc_id, lang FROM documents),
+c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+mn AS (SELECT CAST(MIN(n_src) AS BIGINT) AS n_min FROM c),
+thr AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST((n_min * 1000000000000) // n_src
+                              AS DOUBLE))) AS BIGINT) AS thr
+  FROM c CROSS JOIN mn)
+SELECT d.doc_id, d.lang
+FROM d JOIN thr USING (lang)
+WHERE CAST(('0x' || substring(md5('t0:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 1000000 < thr.thr
+ORDER BY d.doc_id
+"""
+
+_EXTRA_QUERIES["sample_temperature"] = q_sample_temperature
+_EXTRA_ORACLES["sample_temperature"] = Q_SAMPLE_TEMPERATURE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "geo_text_coords",
     "geo_pip_density",
     "events_anomaly",
+    "sample_temperature",
 ]
 
 

@@ -130,3 +130,54 @@ def mixture_sample(df: DataFrame, cap: int, source_col: str = "source",
         .filter(hash_bucket(id_col, salt, buckets) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_sample(df: DataFrame, source_col: str = "source",
+                       id_col: str = "doc_id", salt: str = "temp0",
+                       buckets: int = BUCKETS) -> DataFrame:
+    """Temperature-scaled source balancing at alpha = 0.5 — the
+    multilingual-mixture sampler (mT5/XLM-R style): sampling a source
+    proportionally to ``n_source^alpha`` instead of ``n_source`` flattens
+    the head without nuking the tail. Realized as a per-doc Bernoulli
+    keep with rate ``sqrt(n_min / n_source)`` (the smallest source keeps
+    everything; a source 100x bigger keeps 10x the docs of the smallest,
+    not 100x).
+
+    alpha is FIXED at 0.5 because that is the exactness sweet spot: the
+    keep threshold is ``floor(sqrt(n_min * buckets^2 div n_source))`` —
+    an integer radicand, and IEEE 754 requires sqrt to be correctly
+    rounded, so Spark's java.lang.Math and DuckDB's libm return the
+    bit-identical double and the oracle replays the threshold exactly
+    (general alpha needs pow(), which carries no such guarantee).
+
+    Scale shape — same as :func:`mixture_sample`: one partial-agg count
+    per source broadcast back, then a narrow hash filter; the corpus
+    never shuffles and membership is a pure function of (salt, id).
+
+    64-bit bound: the radicand is ``n_min * buckets^2``, so with the
+    default 1e6 buckets the SMALLEST source must stay under ~9.2e6 docs —
+    for corpora beyond that pass ``buckets=10_000`` (keep-rate precision
+    1e-4, ample for balancing).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("_n_src"))
+    # n_min via an unpartitioned window over the SOURCES-sized count table
+    # (bounded by construction) — a 1-row aggregate join would plan as the
+    # cross-join shape the repo's plan invariant forbids
+    b2 = int(buckets) * int(buckets)
+    thresholds = counts.withColumn(
+        "_n_min", F.min("_n_src").over(Window.partitionBy())
+    ).select(
+        source_col,
+        F.floor(F.sqrt(
+            F.expr("cast(_n_min as bigint) * cast({b2} as bigint)"
+                   " div _n_src".format(b2=b2)).cast("double")
+        )).cast("long").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(hash_bucket(id_col, salt, buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

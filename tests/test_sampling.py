@@ -99,3 +99,28 @@ def test_hash_sample_plan_is_narrow(spark, corpus):
     plan = hash_sample(corpus, 0.1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_sample_flattens_head(spark):
+    """alpha=0.5: the smallest source keeps everything; a 100x source
+    keeps ~10x the smallest's docs (not 100x); membership is a pure
+    (salt, id) function so re-cuts are stable at any parallelism."""
+    from picogeojson_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(10000)] + \
+           [(100000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, salt="tt").groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    assert got["small"] == 100                      # floor source: all kept
+    assert 800 <= got["big"] <= 1200                # ~ sqrt(100/10000)=10%
+    # deterministic re-cut
+    again = {r["source"]: r["count"] for r in
+             temperature_sample(df, salt="tt")
+             .groupBy("source").count().collect()}
+    assert again == got
+    # no cross join in the plan (the repo-wide invariant)
+    plan = temperature_sample(df, salt="tt") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
