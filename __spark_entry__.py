@@ -4615,6 +4615,62 @@ _EXTRA_QUERIES["sample_temperature"] = q_sample_temperature
 _EXTRA_ORACLES["sample_temperature"] = Q_SAMPLE_TEMPERATURE_SQL
 
 
+def q_stream_geotag(spark, sf_dir):
+    """STREAMING geotagging rollup: readStream over the documents parquet
+    -> the scan-stage coordinate regex + posexplode + bounds validation
+    (``operators/geotext.py`` — identical code path batch and stream) ->
+    per-cell mention counts in complete mode. Full oracle: the batch SQL
+    replay grouped by cell. Proves the text->geo bridge runs under
+    structured streaming with zero operator changes."""
+    from picogeojson_spark.operators.geotext import extract_coordinates
+
+    src = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    d = src.select("doc_id", _geotext_text_col().alias("text"))
+    mentions = extract_coordinates(d, level=8)
+    agg = mentions.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_mentions"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_geotag_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, "stream_geotag")
+    return spark.table("stream_geotag_q").orderBy("cell")
+
+
+def _q_stream_geotag_sql():
+    return r"""
+WITH d AS (
+  SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (SELECT lat, lon FROM men WHERE abs(lat) < 90 AND abs(lon) < 180)
+SELECT CAST(8 AS BIGINT) * {p58}
+         + CAST(floor((lon + 180) / 360 * 512) AS BIGINT) * {p29}
+         + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM ok GROUP BY 1 ORDER BY cell
+""".format(txt=_GEOTEXT_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)",
+           p58=1 << 58, p29=1 << 29)
+
+
+_EXTRA_QUERIES["stream_geotag"] = q_stream_geotag
+_EXTRA_ORACLES["stream_geotag"] = _q_stream_geotag_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

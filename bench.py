@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "geo_pip_density",
     "events_anomaly",
     "sample_temperature",
+    "stream_geotag",
 ]
 
 
