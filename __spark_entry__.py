@@ -4671,6 +4671,45 @@ _EXTRA_QUERIES["stream_geotag"] = q_stream_geotag
 _EXTRA_ORACLES["stream_geotag"] = _q_stream_geotag_sql()
 
 
+def q_dedup_setsim(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs at t=4/5 via AllPairs/PPJoin prefix
+    filtering — candidates come from each doc's rarest-20% shingles only,
+    yet the output is EXACT (prefix theorem + array_intersect verify). The
+    oracle below is the brute all-pairs formulation: hash-equality IS the
+    proof the prefix filter lost no pair. Threshold math is integer
+    rational (inter*5 >= 4*union) on both engines — no float boundary."""
+    from picogeojson_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prefix_jaccard_pairs(docs, n=3, t_num=4, t_den=5)
+    return out.select(
+        "doc_a", "doc_b",
+        F.col("inter_sz").cast("long").alias("inter_sz"),
+        F.col("union_sz").cast("long").alias("union_sz"),
+    ).orderBy("doc_a", "doc_b")
+
+
+Q_DEDUP_SETSIM_SQL = """
+WITH sh AS ({shingles}),
+     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_sz
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(inter_sz AS BIGINT) AS inter_sz,
+       CAST(sa.sz + sb.sz - inter_sz AS BIGINT) AS union_sz
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_sz * 5 >= 4 * (sa.sz + sb.sz - inter_sz)
+ORDER BY doc_a, doc_b
+""".format(shingles=_SHINGLES_SQL)
+
+
+_EXTRA_QUERIES["dedup_setsim"] = q_dedup_setsim
+_EXTRA_ORACLES["dedup_setsim"] = Q_DEDUP_SETSIM_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_anomaly",
     "sample_temperature",
     "stream_geotag",
+    "dedup_setsim",
 ]
 
 

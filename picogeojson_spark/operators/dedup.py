@@ -627,3 +627,95 @@ def dedup_against(existing: DataFrame, incoming: DataFrame, n: int = 3,
             "inter_sz", "union_sz",
         )
     )
+
+
+def prefix_jaccard_pairs(docs: DataFrame, n: int = 3,
+                         t_num: int = 4, t_den: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering.
+
+    Same output contract as :func:`ngram_jaccard_pairs` — every pair with
+    ``jaccard >= t_num/t_den`` (doc_a < doc_b, integer inter/union emitted) —
+    but candidate generation joins only each document's PREFIX shingles
+    instead of self-joining the full shingle table.
+
+    Prefix theorem (Bayardo et al. AllPairs / Xiao et al. PPJoin): order all
+    shingles by a global total order (ascending document frequency, shingle
+    string as tie-break).  With prefix length ``p_X = |X| - ceil(t*|X|) + 1``,
+    any pair with ``J(A,B) >= t`` shares its smallest common shingle inside
+    BOTH prefixes: ``J >= t`` implies ``|A∩B| >= ceil(t*max(|A|,|B|))``, so
+    the minimum element of ``A∩B`` has rank ``<= |X| - ceil(t*|X|) + 1`` in
+    each side.  Candidates are therefore complete, and the exact
+    ``array_intersect`` verify makes the output identical to the brute plan.
+
+    Scale shape (the reason this exists next to ``ngram_jaccard_pairs``): at
+    ``t = 0.8`` the prefix is ~20% of each document's shingles, and —
+    because the global order is df-ASCENDING — those are its RAREST
+    shingles, so the equi-join fan-out collapses.  The classic plan's
+    worst-case blowup (a stop-shingle shared by every document) never enters
+    the join.  A symmetric length filter (``t*max(sz) <= min(sz)``) prunes
+    candidates before the verify.  All threshold math is integer rational
+    (``t_num/t_den``) on both engines — no float boundary ambiguity.
+
+    Shuffles: shingle distinct, df aggregate (vocab-sized), df join-back,
+    one per-doc window (rank by rarity), prefix self-join, candidate
+    distinct, two array joins — every post-prefix stage is bounded by the
+    candidate count, never by |corpus|^2.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sh = shingles_df(docs, n, id_col, text_col)
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked_w = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.asc("shingle")
+    )
+    size_w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_tab, on="shingle")
+        .withColumn("rank", F.row_number().over(ranked_w))
+        .withColumn("sz", F.count("*").over(size_w))
+    )
+    # ceil(t*sz) in exact integer arithmetic: floor((t_num*sz + t_den-1)/t_den)
+    ceil_t_sz = (F.col("sz") * t_num + (t_den - 1)).cast("long") / F.lit(t_den)
+    prefix_len = F.col("sz") - F.floor(ceil_t_sz) + 1
+    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
+        "doc_id", "shingle", "sz"
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle",
+                      F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces t*max(sz) <= min(sz)
+        .filter(
+            F.greatest("sz_a", "sz_b") * t_num
+            <= F.least("sz_a", "sz_b") * t_den
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = shingle_arrays(docs, n, id_col, text_col)
+    out = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sh_a"),
+                        F.col("sz").alias("sz_a")),
+            on="doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b"),
+                        F.col("sz").alias("sz_b")),
+            on="doc_b",
+        )
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union_sz",
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter_sz"))
+        .filter(F.col("inter_sz") * t_den >= F.col("union_sz") * t_num)
+    )
+    return out.select("doc_a", "doc_b", "inter_sz", "union_sz")
