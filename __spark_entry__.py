@@ -4710,6 +4710,242 @@ _EXTRA_QUERIES["dedup_setsim"] = q_dedup_setsim
 _EXTRA_ORACLES["dedup_setsim"] = Q_DEDUP_SETSIM_SQL
 
 
+def _traj_text_col():
+    """Deterministic multi-waypoint travelogue column: 2-5 lattice
+    waypoints per doc (k*0.5+0.25 lattice -> micro-degree integers exact)
+    plus the out-of-range 999.5 trap planted MID-path for doc_id%5 so the
+    bounds filter must splice the polyline around a dropped mention."""
+    i = F.col("doc_id")
+    parts = [F.col("text")]
+    for j in range(5):
+        lat = ((i * 61 + j * 97) % 360).cast("double") / 2 - 90 + 0.25
+        lon = ((i * 37 + j * 131) % 720).cast("double") / 2 - 180 + 0.25
+        word = F.concat(F.lit(" via "), lat.cast("string"), F.lit(", "),
+                        lon.cast("string"), F.lit("."))
+        parts.append(F.when(j < 2 + i % 4, word).otherwise(F.lit("")))
+        if j == 0:
+            parts.append(F.when(i % 5 == 0,
+                                F.lit(" detour 999.5, 12.25"))
+                         .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+_TRAJ_WAYPOINT_SQL = """
+    || CASE WHEN {j} < 2 + doc_id % 4 THEN ' via '
+      || CAST(CAST((doc_id * 61 + {a}) % 360 AS DOUBLE) / 2 - 90 + 0.25
+              AS VARCHAR)
+      || ', '
+      || CAST(CAST((doc_id * 37 + {b}) % 720 AS DOUBLE) / 2 - 180 + 0.25
+              AS VARCHAR)
+      || '.' ELSE '' END
+"""
+
+_TRAJ_TEXT_SQL = (
+    "text"
+    + _TRAJ_WAYPOINT_SQL.format(j=0, a=0, b=0)
+    + " || CASE WHEN doc_id % 5 = 0 THEN ' detour 999.5, 12.25'"
+    "    ELSE '' END "
+    + "".join(
+        _TRAJ_WAYPOINT_SQL.format(j=j, a=j * 97, b=j * 131)
+        for j in range(1, 5)
+    )
+)
+
+
+def q_geo_trajectory(spark, sf_dir):
+    """Text-mined TRAJECTORIES: the geotagging regex turns each document's
+    ordered coordinate mentions into a polyline; per-doc path length, net
+    displacement and bbox come out as exact micro-degree integers
+    (floor(lat*1e6) coordinates; floor(sqrt(integer radicand)) per
+    segment — both correctly-rounded IEEE ops, so cross-engine
+    bit-identical; see operators/geotext.py:trajectory_measures).  The
+    planted 999.5 mid-path trap proves dropped mentions splice, not break,
+    the polyline.  ONE shuffle: the per-doc lag window's hash partitioning
+    is reused by the groupBy(doc_id)."""
+    from picogeojson_spark.operators.geotext import trajectory_measures
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _traj_text_col().alias("text"))
+    return trajectory_measures(docs).orderBy("doc_id")
+
+
+Q_GEO_TRAJECTORY_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS lat_u,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS lon_u
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+seg AS (
+  SELECT doc_id, j, lat_u, lon_u,
+         lag(lat_u) OVER (PARTITION BY doc_id ORDER BY j) AS plat,
+         lag(lon_u) OVER (PARTITION BY doc_id ORDER BY j) AS plon
+  FROM ok),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(CASE WHEN plat IS NULL THEN 0
+              ELSE CAST(floor(sqrt(CAST(
+                     (lon_u - plon) * (lon_u - plon)
+                   + (lat_u - plat) * (lat_u - plat) AS DOUBLE)))
+                   AS BIGINT) END) AS BIGINT) AS path_len_u,
+         arg_min(lat_u, j) AS first_lat, arg_min(lon_u, j) AS first_lon,
+         arg_max(lat_u, j) AS last_lat,  arg_max(lon_u, j) AS last_lon,
+         CAST(MIN(lat_u) AS BIGINT) AS lat_min_u,
+         CAST(MAX(lat_u) AS BIGINT) AS lat_max_u,
+         CAST(MIN(lon_u) AS BIGINT) AS lon_min_u,
+         CAST(MAX(lon_u) AS BIGINT) AS lon_max_u
+  FROM seg GROUP BY doc_id)
+SELECT doc_id, n_pts, path_len_u,
+       CAST(floor(sqrt(CAST(
+             (last_lon - first_lon) * (last_lon - first_lon)
+           + (last_lat - first_lat) * (last_lat - first_lat) AS DOUBLE)))
+            AS BIGINT) AS disp_u,
+       lat_min_u, lat_max_u, lon_min_u, lon_max_u
+FROM agg WHERE n_pts >= 2 ORDER BY doc_id
+""".format(txt=_TRAJ_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_trajectory"] = q_geo_trajectory
+_EXTRA_ORACLES["geo_trajectory"] = Q_GEO_TRAJECTORY_SQL
+
+
+def q_events_transitions(spark, sf_dir):
+    """Markov next-event transition matrix (clickstream sequence mining):
+    lag(event_type) per user in (ts, event_id) order, then counts and
+    integer-ppm row-conditional probabilities per (prev, next) pair.
+    Integer division (truncating) matches DuckDB's // exactly because every
+    operand is non-negative (documented precondition, same as cohort's).
+    Shuffles: the per-user window, then two vocab-sized ops (the 5x5
+    transition table) — corpus never reshuffles twice."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = pairs.groupBy("prev_type",
+                          F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n"))
+    tw = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(tw))
+        .select(
+            "prev_type", "next_type", "n",
+            F.expr("div(n * 1000000, row_total)").cast("long")
+            .alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+Q_EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS p_ppm
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
+_EXTRA_QUERIES["events_transitions"] = q_events_transitions
+_EXTRA_ORACLES["events_transitions"] = Q_EVENTS_TRANSITIONS_SQL
+
+
+def q_stream_attribution(spark, sf_dir):
+    """STREAM-STREAM event-time interval join — the one Structured
+    Streaming capability the surface lacked: a watermarked click stream
+    inner-joins a watermarked purchase stream on user_id with the purchase
+    constrained to [click_ts, click_ts + 2h] (last-touch attribution).
+    Both sides read the same events parquet as independent file streams;
+    the join keeps keyed state bounded by the 2h watermark + time-range
+    condition (state pruned as watermarks advance — the 100 TB shape).
+    Event time is pinned tz-independently (timestamp_micros of pure-NTZ
+    epoch micros); every output value is an integer or id.  Full oracle:
+    the equivalent batch interval join."""
+    ts_i = F.timestamp_micros(_ntz_epoch_us("ts"))
+
+    def src():
+        return (
+            spark.readStream.schema(_EVENTS_DDL)
+            .parquet(_stream_dir(sf_dir, "events"))
+            .withColumn("ts_i", ts_i)
+        )
+
+    clicks = (
+        src().filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts_i").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        src().filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("buy_id"),
+                F.col("user_id").alias("b_user"),
+                F.col("ts_i").alias("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    pairs = joined.select(
+        "user_id", "click_id", "buy_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("click_ts"))
+        .cast("long").alias("lag_us"),
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_attribution_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, "stream_attribution")
+    return (
+        spark.table("stream_attribution_q")
+        .orderBy("user_id", "click_id", "buy_id")
+    )
+
+
+Q_STREAM_ATTRIBUTION_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+ORDER BY a.user_id, click_id, buy_id
+"""
+
+
+_EXTRA_QUERIES["stream_attribution"] = q_stream_attribution
+_EXTRA_ORACLES["stream_attribution"] = Q_STREAM_ATTRIBUTION_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "sample_temperature",
     "stream_geotag",
     "dedup_setsim",
+    "geo_trajectory",
+    "events_transitions",
+    "stream_attribution",
 ]
 
 

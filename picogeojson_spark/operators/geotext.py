@@ -57,3 +57,75 @@ def extract_coordinates(
         + F.floor((F.col("lat") + 90.0) / 180.0 * ny).cast("long")
     )
     return exploded.withColumn("cell", cell)
+
+def trajectory_measures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TRAJECTORY built from its ordered coordinate mentions —
+    the geotagging bridge turned into movement analytics: a page narrating
+    "went from 12.25, 40.75 to 13.25, 41.75 ..." becomes a polyline whose
+    measures come out as exact integers.
+
+    Output (docs with >= 2 valid mentions only): ``doc_id``, ``n_pts``,
+    ``path_len_u`` (sum over consecutive-mention segments of
+    ``floor(sqrt(dx^2 + dy^2))`` in planar micro-degree units),
+    ``disp_u`` (same metric, first mention straight to last), and the
+    trajectory bbox ``(lat_min_u, lat_max_u, lon_min_u, lon_max_u)``.
+
+    Determinism contract (the reason every emitted value is an integer):
+    coordinates become micro-degrees via ``floor(lat * 1e6)`` — both
+    engines parse the same decimal text to the same IEEE double, the
+    multiply and floor are correctly-rounded IEEE ops, so the integers are
+    bit-identical cross-engine even OFF the test lattice; each segment
+    length is ``floor(sqrt())`` of an integer-valued radicand (exact up to
+    2^53, correctly-rounded beyond), the same trick ``temperature_sample``
+    pins.  Floats never reach the output.
+
+    Scale shape: extraction is scan-stage codegen; ONE shuffle total — the
+    per-doc window (lag) hash-partitions by doc_id and the following
+    groupBy(doc_id) reuses that exchange.  Output is document-sized.
+    """
+    from pyspark.sql import Window
+
+    m = extract_coordinates(docs, id_col, text_col).select(
+        "doc_id", "idx",
+        F.floor(F.col("lat") * 1000000.0).cast("long").alias("lat_u"),
+        F.floor(F.col("lon") * 1000000.0).cast("long").alias("lon_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    seg = (
+        m.withColumn("plat", F.lag("lat_u").over(w))
+        .withColumn("plon", F.lag("lon_u").over(w))
+    )
+    dx = F.col("lon_u") - F.col("plon")
+    dy = F.col("lat_u") - F.col("plat")
+    seg_len = F.when(
+        F.col("plat").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.floor(F.sqrt((dx * dx + dy * dy).cast("double"))))
+    out = (
+        seg.withColumn("seg_len", seg_len)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pts"),
+            F.sum("seg_len").cast("long").alias("path_len_u"),
+            F.min_by("lat_u", "idx").alias("first_lat"),
+            F.min_by("lon_u", "idx").alias("first_lon"),
+            F.max_by("lat_u", "idx").alias("last_lat"),
+            F.max_by("lon_u", "idx").alias("last_lon"),
+            F.min("lat_u").cast("long").alias("lat_min_u"),
+            F.max("lat_u").cast("long").alias("lat_max_u"),
+            F.min("lon_u").cast("long").alias("lon_min_u"),
+            F.max("lon_u").cast("long").alias("lon_max_u"),
+        )
+        .filter(F.col("n_pts") >= 2)
+    )
+    ddx = F.col("last_lon") - F.col("first_lon")
+    ddy = F.col("last_lat") - F.col("first_lat")
+    return out.select(
+        "doc_id", "n_pts", "path_len_u",
+        F.floor(F.sqrt((ddx * ddx + ddy * ddy).cast("double")))
+        .cast("long").alias("disp_u"),
+        "lat_min_u", "lat_max_u", "lon_min_u", "lon_max_u",
+    )

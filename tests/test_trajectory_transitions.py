@@ -1,0 +1,121 @@
+"""Trajectory mining, Markov transitions, and the stream-stream interval
+join — unit pins for the closed-form cases plus stream==batch parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from picogeojson_spark.operators.geotext import trajectory_measures
+
+
+def _traj_rows(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r.doc_id: r for r in trajectory_measures(df).collect()}
+
+
+def test_trajectory_closed_form(spark):
+    """3-4-5 triangle in micro-degrees: (0.25,0.25) -> (3.25,4.25) is
+    dx=4e6, dy=3e6 -> segment exactly 5e6; then straight back to start."""
+    out = _traj_rows(spark, [
+        (1, "go 0.25, 0.25 then 3.25, 4.25 then 0.25, 0.25 end"),
+    ])
+    r = out[1]
+    assert r.n_pts == 3
+    assert r.path_len_u == 10_000_000
+    assert r.disp_u == 0
+    assert (r.lat_min_u, r.lat_max_u) == (250_000, 3_250_000)
+    assert (r.lon_min_u, r.lon_max_u) == (250_000, 4_250_000)
+
+
+def test_trajectory_off_lattice_floor(spark):
+    """General decimals (not on the test lattice): floor(lat*1e6) exactness
+    is the operator's contract, not the lattice."""
+    out = _traj_rows(spark, [(7, "from 1.5, 2.25 to 4.5, 6.25 .")])
+    r = out[7]
+    assert r.n_pts == 2
+    assert r.path_len_u == 5_000_000  # dx=4e6, dy=3e6
+    assert r.disp_u == 5_000_000
+
+
+def test_trajectory_trap_splices(spark):
+    """An out-of-range mention BETWEEN two valid ones is dropped and the
+    polyline splices across it (one segment, not two broken ones)."""
+    spliced = _traj_rows(spark, [
+        (1, "a 0.25, 0.25 bad 999.5, 12.25 b 3.25, 4.25"),
+    ])[1]
+    direct = _traj_rows(spark, [(1, "a 0.25, 0.25 b 3.25, 4.25")])[1]
+    assert spliced.n_pts == direct.n_pts == 2
+    assert spliced.path_len_u == direct.path_len_u == 5_000_000
+
+
+def test_trajectory_short_docs_excluded(spark):
+    out = _traj_rows(spark, [
+        (1, "only one 0.25, 0.25 here"),
+        (2, "no coordinates at all"),
+        (3, "pair 0.25, 0.25 and 1.25, 1.25"),
+    ])
+    assert set(out) == {3}
+
+
+def test_transitions_ppm_truncates(spark):
+    """1 of 3 -> 333333 ppm (truncating integer division both engines)."""
+    import __spark_entry__ as e
+    rows = [
+        (1, "2024-01-01 00:00:01", 10, "view"),
+        (2, "2024-01-01 00:00:02", 10, "click"),
+        (3, "2024-01-01 00:00:03", 10, "view"),
+        (4, "2024-01-01 00:00:04", 10, "view"),
+        (5, "2024-01-01 00:00:05", 10, "click"),
+        (6, "2024-01-01 00:00:06", 10, "error"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (df.withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    trans = pairs.groupBy("prev_type",
+                          F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n"))
+    tw = Window.partitionBy("prev_type")
+    out = {(r.prev_type, r.next_type): (r.n, r.p_ppm)
+           for r in trans.withColumn("row_total", F.sum("n").over(tw))
+           .select("prev_type", "next_type", "n",
+                   F.expr("div(n * 1000000, row_total)").cast("long")
+                   .alias("p_ppm")).collect()}
+    # view -> {click: 2, view: 1}: 2/3 and 1/3 truncate
+    assert out[("view", "click")] == (2, 666666)
+    assert out[("view", "view")] == (1, 333333)
+    assert out[("click", "view")] == (1, 500000)
+    assert out[("click", "error")] == (1, 500000)
+
+
+def test_stream_attribution_equals_batch(spark):
+    """The watermarked stream-stream interval join emits exactly the batch
+    interval join's pairs (inner join: nothing dropped, nothing extra)."""
+    import __spark_entry__ as e
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.user_id, r.click_id, r.buy_id, r.lag_us)
+        for r in e.queries()["stream_attribution"](spark, sf).collect()
+    )
+    ev = spark.read.parquet(sf + "/events.parquet")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("a_ts"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    batch = a.join(b, (F.col("user_id") == F.col("b_user"))
+                   & (F.col("b_ts") >= F.col("a_ts"))
+                   & (F.col("b_ts") <= F.col("a_ts")
+                      + F.expr("INTERVAL 2 HOURS")))
+    want = sorted(
+        (r.user_id, r.click_id, r.buy_id, r.lag_us)
+        for r in batch.select(
+            "user_id", "click_id", "buy_id",
+            F.expr("timestampdiff(MICROSECOND, a_ts, b_ts)")
+            .cast("long").alias("lag_us")).collect()
+    )
+    assert got == want and len(got) > 0
