@@ -1724,15 +1724,37 @@ def q_stream_counts(spark, sf_dir):
 
     feats = stream_mine_features(spark, pages_dir)
     counts = stream_feature_counts(feats)
-    q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_counts_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_counts")
-    return spark.table("stream_counts_q").orderBy("geom_type")
+    return _run_stream(spark, counts, "stream_counts",
+                       "complete").orderBy("geom_type")
+
+
+def _run_stream(spark, df, name, mode):
+    """Start a memory-sink availableNow stream and await termination, with
+    the stream's shuffle partitioning sized to keyed-state VOLUME rather
+    than the batch shuffle default: every stateful streaming operator opens
+    state stores per shuffle partition and pays their open/commit cost per
+    partition per microbatch regardless of state size (measured: the
+    stream-stream join 17.8s@64 -> 3.3s@8 at sf0.1; sessions 10.1 -> 4.0;
+    HLL 4.6 -> 2.2 — identical output).  Derived from the session conf
+    (//8, floor 4) so the odd-parallelism gate variant still varies it; a
+    100 TB deployment raises the divisor's input, not this code.  The conf
+    is restored in a finally; it binds at stream START, so the restored
+    value governs everything after."""
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(max(4, int(cur) // 8)))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name + "_q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    return spark.table(name + "_q")
 
 
 def _await_stream(q, name, secs=120):
@@ -1794,15 +1816,8 @@ def q_stream_doc_stats(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("chars_sum"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_doc_stats_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_doc_stats")
-    return spark.table("stream_doc_stats_q").orderBy("lang")
+    return _run_stream(spark, agg, "stream_doc_stats",
+                       "complete").orderBy("lang")
 
 
 Q_STREAM_DOC_STATS_SQL = """
@@ -1844,16 +1859,8 @@ def q_stream_events_windows(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_events_windows_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_events_windows")
     return (
-        spark.table("stream_events_windows_q")
+        _run_stream(spark, agg, "stream_events_windows", "complete")
         .select(
             F.unix_micros(F.col("w.start")).alias("hour_us"),
             "event_type", "n_events",
@@ -2999,16 +3006,8 @@ def q_stream_hll(spark, sf_dir):
         spark.readStream.schema(_EVENTS_DDL)
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    q = (
-        hll_build(src, ["event_type"], "user_id", p=6)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_hll_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_hll")
-    regs = spark.table("stream_hll_q")
+    regs = _run_stream(spark, hll_build(src, ["event_type"], "user_id", p=6),
+                       "stream_hll", "complete")
     est = hll_estimate(regs, ["event_type"], p=6)
     exact = _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact")
@@ -4226,16 +4225,8 @@ def q_stream_sessions(spark, sf_dir):
     )
     agg = stream_sessionize_events(src, gap="30 minutes",
                                    watermark="0 seconds")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_sessions_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_sessions")
     return (
-        spark.table("stream_sessions_q")
+        _run_stream(spark, agg, "stream_sessions", "append")
         .filter(F.col("n_flush") == 0)
         .select(
             "user_id",
@@ -4633,15 +4624,8 @@ def q_stream_geotag(spark, sf_dir):
     mentions = extract_coordinates(d, level=8)
     agg = mentions.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_mentions"))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_geotag_q")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q, "stream_geotag")
-    return spark.table("stream_geotag_q").orderBy("cell")
+    return _run_stream(spark, agg, "stream_geotag",
+                       "complete").orderBy("cell")
 
 
 def _q_stream_geotag_sql():
@@ -4927,22 +4911,8 @@ def q_stream_attribution(spark, sf_dir):
         (F.unix_micros("buy_ts") - F.unix_micros("click_ts"))
         .cast("long").alias("lag_us"),
     )
-    cur = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(max(4, int(cur) // 8)))
-    try:
-        q = (
-            pairs.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("stream_attribution_q")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q, "stream_attribution")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", cur)
     return (
-        spark.table("stream_attribution_q")
+        _run_stream(spark, pairs, "stream_attribution", "append")
         .orderBy("user_id", "click_id", "buy_id")
     )
 
