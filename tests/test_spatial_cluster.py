@@ -1,0 +1,126 @@
+"""grid_dbscan / grid_heatmap: hand-computed contracts on tiny point sets.
+
+Coordinates sit on the exact 0.25-degree dyadic lattice (repo rule) so the
+micro-degree floor arithmetic is bit-deterministic.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "point_id long, lon double, lat double")
+
+
+def _run(spark, rows, **kw):
+    from picogeojson_spark.operators.spatial_cluster import grid_dbscan
+
+    out = grid_dbscan(_df(spark, rows), **kw).collect()
+    return {r.point_id: (r.cluster_id, r.role) for r in out}
+
+
+def _key(lon, lat, eps=500_000):
+    import math
+
+    cx = math.floor(math.floor(lon * 1e6) / eps)
+    cy = math.floor(math.floor(lat * 1e6) / eps)
+    return (cx + (1 << 20)) * (1 << 21) + (cy + (1 << 20))
+
+
+def test_two_blobs_and_noise(spark):
+    # blob A: 4 points in two adjacent 0.5-degree cells; blob B: 3 points
+    # in one far cell; one lone noise point.
+    rows = [
+        (1, 10.25, 10.25), (2, 10.25, 10.25),       # cell (20, 20) core
+        (3, 10.75, 10.25), (4, 10.75, 10.25),       # cell (21, 20) core
+        (5, 50.25, -30.25), (6, 50.25, -30.25), (7, 50.25, -30.25),
+        (8, -120.25, 60.25),                        # alone -> noise
+    ]
+    got = _run(spark, rows, eps_udeg=500_000, min_pts=2)
+    a = _key(10.25, 10.25)
+    b = _key(50.25, -30.25)
+    assert got[1] == (a, "core") and got[4] == (a, "core")
+    assert got[2] == got[3] == (a, "core")  # adjacent core cells merge
+    assert got[5] == got[6] == got[7] == (b, "core")
+    assert got[8] == (-1, "noise")
+
+
+def test_border_point_takes_min_neighbor_cluster(spark):
+    # core cell at (20,20); single point one cell east is BORDER.
+    rows = [
+        (1, 10.25, 10.25), (2, 10.25, 10.25),
+        (3, 10.75, 10.25),                          # non-core, adjacent
+    ]
+    got = _run(spark, rows, eps_udeg=500_000, min_pts=2)
+    a = _key(10.25, 10.25)
+    assert got[3] == (a, "border")
+
+
+def test_chain_of_core_cells_is_one_cluster(spark):
+    # five consecutive core cells along lon -> single component whose id
+    # is the minimum packed key (the westmost cell).
+    rows = []
+    pid = 0
+    for i in range(5):
+        lon = 10.25 + 0.5 * i
+        rows += [(pid, lon, 10.25), (pid + 1, lon, 10.25)]
+        pid += 2
+    got = _run(spark, rows, eps_udeg=500_000, min_pts=2)
+    cid = _key(10.25, 10.25)
+    assert all(v == (cid, "core") for v in got.values())
+
+
+def test_diagonal_adjacency_merges(spark):
+    rows = [
+        (1, 10.25, 10.25), (2, 10.25, 10.25),       # (20, 20)
+        (3, 10.75, 10.75), (4, 10.75, 10.75),       # (21, 21) diagonal
+    ]
+    got = _run(spark, rows, eps_udeg=500_000, min_pts=2)
+    cid = _key(10.25, 10.25)
+    assert got[1] == got[3] == (cid, "core")
+
+
+def test_negative_coordinates_floor_not_truncate(spark):
+    # lon -0.25 must land in cell -1, not cell 0 (floor vs truncation).
+    rows = [(1, -0.25, -0.25), (2, -0.25, -0.25), (3, 0.25, 0.25)]
+    got = _run(spark, rows, eps_udeg=500_000, min_pts=2)
+    cid = _key(-0.25, -0.25)
+    # (−1,−1) core and (0,0) are DIAGONAL neighbors -> point 3 is border.
+    assert got[1] == (cid, "core")
+    assert got[3] == (cid, "border")
+
+
+def test_no_cartesian_in_plan(spark):
+    from picogeojson_spark.operators.spatial_cluster import grid_dbscan
+
+    rows = [(i, 10.25 + 0.25 * (i % 4), 10.25) for i in range(12)]
+    plan = grid_dbscan(_df(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_heatmap_hand_computed(spark):
+    from picogeojson_spark.operators.spatial_cluster import grid_heatmap
+
+    # cells (0,0): 3 points, (1,0): 2, (3,3): 1  at 2-degree pitch
+    rows = [
+        (1, 0.25, 0.25), (2, 1.25, 1.25), (3, 0.75, 0.75),
+        (4, 2.25, 0.25), (5, 3.25, 1.75),
+        (6, 6.25, 6.25),
+    ]
+    out = grid_heatmap(_df(spark, rows), cell_udeg=2_000_000).collect()
+    got = {(r.cx, r.cy): (r.cnt, r.smoothed) for r in out}
+    assert got[(0, 0)] == (3, 5)   # self + east neighbor
+    assert got[(1, 0)] == (2, 5)
+    assert got[(3, 3)] == (1, 1)
+    assert set(got) == {(0, 0), (1, 0), (3, 3)}  # occupied cells only
+
+
+def test_heatmap_no_cartesian(spark):
+    from picogeojson_spark.operators.spatial_cluster import grid_heatmap
+
+    rows = [(i, 0.25, 0.25) for i in range(5)]
+    plan = grid_heatmap(_df(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
