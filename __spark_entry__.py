@@ -5085,6 +5085,46 @@ _EXTRA_QUERIES["geo_heatmap"] = q_geo_heatmap
 _EXTRA_ORACLES["geo_heatmap"] = Q_GEO_HEATMAP_SQL
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting over the market-basket co-occurrence graph
+    (parts sharing an order): degree-ordered orientation (Suri-
+    Vassilvitskii) bounds wedge fan-out at O(m^1.5) under any skew; one
+    wedge self-join + one closing equi-join, per-vertex counts map-side
+    combined.  The oracle is the brute triple join over the same distinct
+    edge set — hash-equality proves the oriented enumeration finds every
+    triangle exactly once."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return triangle_count(edges).orderBy("node")
+
+
+Q_GRAPH_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pern AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pern GROUP BY node ORDER BY node
+"""
+
+
+_EXTRA_QUERIES["graph_triangles"] = q_graph_triangles
+_EXTRA_ORACLES["graph_triangles"] = Q_GRAPH_TRIANGLES_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
