@@ -5125,6 +5125,66 @@ _EXTRA_QUERIES["graph_triangles"] = q_graph_triangles
 _EXTRA_ORACLES["graph_triangles"] = Q_GRAPH_TRIANGLES_SQL
 
 
+def q_web_bloom(spark, sf_dir):
+    """Bloom-filter URL-blocklist membership: blocked domains (every
+    31st doc's registrable domain — 17 of the 44 domains) build an
+    m=128-bit / k=3 bitmap — DELIBERATELY undersized so a false positive
+    is exercised (exactly 1 FP domain at both SFs, verified) — collected
+    as two packed int64 words and probed with pure bit-test expressions
+    (zero shuffles, zero UDFs on the corpus). ``true_block`` rides a
+    broadcast join so the oracle pins both the Bloom arithmetic AND the
+    no-false-negative property row-for-row."""
+    from picogeojson_spark.operators.bloom import bloom_build, bloom_probe
+    from picogeojson_spark.operators.web import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    doms = d.select(
+        "doc_id", registrable_domain(_messy_url_col()).alias("domain"))
+    block = (doms.filter(F.col("doc_id") % 31 == 0)
+             .select("domain").distinct())
+    words = bloom_build(block, "domain", m_bits=128, k=3)
+    probed = bloom_probe(doms, "domain", words, m_bits=128, k=3)
+    return (
+        probed.join(block.withColumn("true_block", F.lit(1)),
+                    on="domain", how="left")
+        .select("doc_id", "domain", "bloom_hit",
+                F.coalesce("true_block", F.lit(0)).alias("true_block"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_web_bloom_sql():
+    def pos(i, col):
+        return ("CAST(('0x' || substring(md5('b{i}:' || {c}), 1, 8)) "
+                "AS BIGINT) % 128").format(i=i, c=col)
+
+    return """
+WITH pages AS (SELECT doc_id, {url} AS url FROM documents),
+doms AS (SELECT doc_id, {dom} AS domain FROM pages),
+block AS (SELECT DISTINCT domain FROM doms WHERE doc_id % 31 = 0),
+ks(i) AS (VALUES (0), (1), (2)),
+bpos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('b' || CAST(i AS VARCHAR) || ':'
+              || domain), 1, 8)) AS BIGINT) % 128 AS pos
+  FROM block CROSS JOIN ks)
+SELECT d.doc_id, d.domain,
+       CASE WHEN ({p0}) IN (SELECT pos FROM bpos)
+             AND ({p1}) IN (SELECT pos FROM bpos)
+             AND ({p2}) IN (SELECT pos FROM bpos)
+            THEN 1 ELSE 0 END AS bloom_hit,
+       CASE WHEN d.domain IN (SELECT domain FROM block)
+            THEN 1 ELSE 0 END AS true_block
+FROM doms d ORDER BY doc_id
+""".format(url=_MESSY_URL_SQL, dom=_domain_sql("url"),
+           p0=pos(0, "d.domain"), p1=pos(1, "d.domain"),
+           p2=pos(2, "d.domain"))
+
+
+_EXTRA_QUERIES["web_bloom"] = q_web_bloom
+_EXTRA_ORACLES["web_bloom"] = _q_web_bloom_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
