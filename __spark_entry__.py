@@ -5185,6 +5185,35 @@ _EXTRA_QUERIES["web_bloom"] = q_web_bloom
 _EXTRA_ORACLES["web_bloom"] = _q_web_bloom_sql()
 
 
+def q_geo_geohash(spark, sf_dir):
+    """Geohash string keys at two precisions (the hierarchy property:
+    gh4 is always a prefix of gh6) — pure codegen quantize + interleave +
+    base-32 lookup, pinned against published geohash values in tests."""
+    from picogeojson_spark.operators.layout import geohash_encode
+
+    pts = _points_from_customer(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        geohash_encode(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        geohash_encode(F.col("lon"), F.col("lat"), 4).alias("gh4"),
+    ).orderBy("point_id")
+
+
+def _q_geo_geohash_sql():
+    from picogeojson_spark.operators.layout import geohash_encode_sql
+
+    return """
+SELECT point_id, {g6} AS gh6, {g4} AS gh4
+FROM ({points}) ORDER BY point_id
+""".format(points=_POINTS_SQL,
+           g6=geohash_encode_sql("lon", "lat", 6),
+           g4=geohash_encode_sql("lon", "lat", 4))
+
+
+_EXTRA_QUERIES["geo_geohash"] = q_geo_geohash
+_EXTRA_ORACLES["geo_geohash"] = _q_geo_geohash_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -180,3 +180,78 @@ def bbox_filter_zordered(df: DataFrame, lon_min: float, lat_min: float,
         & (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
     )
     return df.filter(cond & exact)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Standard base-32 geohash string of a point (Niemeyer layout: bits
+    alternate lon-first MSB->LSB, 5 bits per character) — the string-keyed
+    sibling of :func:`zorder_key` for systems that partition or prefix-
+    filter on geohash strings. Pure JVM expressions: two quantizes, one
+    flat interleave OR-chain, ``precision`` array lookups; no UDF, no
+    shuffle.
+
+    The per-axis quantize floor((x - lo) / extent * 2^bits) is exactly
+    successive bisection, so output matches the canonical algorithm
+    (pinned against published geohashes in tests).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    qx = _quantize(lon, -180.0, 180.0, lon_bits)
+    qy = _quantize(lat, -90.0, 90.0, lat_bits)
+    terms = []
+    for i in range(lon_bits):
+        terms.append(F.shiftleft(
+            F.shiftright(qx, lon_bits - 1 - i).bitwiseAND(F.lit(1)),
+            total - 1 - 2 * i))
+    for j in range(lat_bits):
+        terms.append(F.shiftleft(
+            F.shiftright(qy, lat_bits - 1 - j).bitwiseAND(F.lit(1)),
+            total - 2 - 2 * j))
+    code = terms[0]
+    for t in terms[1:]:
+        code = code.bitwiseOR(t)
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(code, 5 * (precision - 1 - j))
+             .bitwiseAND(F.lit(31))).cast("int") + F.lit(1))
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_encode_sql(lon: str, lat: str, precision: int = 6) -> str:
+    """DuckDB spelling of :func:`geohash_encode` (identical arithmetic)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def q(col, lo, extent, bits):
+        n = 1 << bits
+        return ("GREATEST(0, LEAST({m}, CAST(floor(({c} - ({lo})) / {e} "
+                "* {n}) AS BIGINT)))").format(c=col, lo=lo, e=extent,
+                                              n=n, m=n - 1)
+
+    qx = q(lon, -180.0, 360.0, lon_bits)
+    qy = q(lat, -90.0, 180.0, lat_bits)
+    terms = []
+    for i in range(lon_bits):
+        terms.append("((({q}) >> {i}) & 1) << {s}".format(
+            q=qx, i=lon_bits - 1 - i, s=total - 1 - 2 * i))
+    for j in range(lat_bits):
+        terms.append("((({q}) >> {i}) & 1) << {s}".format(
+            q=qy, i=lat_bits - 1 - j, s=total - 2 - 2 * j))
+    code = "(" + " | ".join("(" + t + ")" for t in terms) + ")"
+    chars = [
+        "substr('{a}', CAST((({code} >> {s}) & 31) AS INT) + 1, 1)".format(
+            a=_GEOHASH32, code=code, s=5 * (precision - 1 - j))
+        for j in range(precision)
+    ]
+    return " || ".join(chars)
