@@ -5214,6 +5214,77 @@ _EXTRA_QUERIES["geo_geohash"] = q_geo_geohash
 _EXTRA_ORACLES["geo_geohash"] = _q_geo_geohash_sql()
 
 
+def q_events_rfm(spark, sf_dir):
+    """RFM user segmentation over purchase events: per-user last-seen day
+    / purchase count / integer-cent spend, quintile-bucketed with exact
+    histogram-percentile cutoffs (no user-table sort; the three 1-row
+    cutoff scalars broadcast onto the user table — allowlisted shape).
+    All integer arithmetic; ties share the lower bucket."""
+    from picogeojson_spark.operators.rfm import rfm_segments
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        _ntz_epoch_us("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return rfm_segments(ev).orderBy("user_id")
+
+
+def _q_events_rfm_sql():
+    def cut_cte(m):
+        return """
+h_{m} AS (SELECT {m} AS val, COUNT(*) AS cnt FROM users GROUP BY 1),
+c_{m} AS (
+  SELECT val, SUM(cnt) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
+         SUM(cnt) OVER () AS n
+  FROM h_{m}),
+cut_{m} AS (
+  SELECT MIN(CASE WHEN cume >= (20 * n + 99) // 100 THEN val END) AS c20,
+         MIN(CASE WHEN cume >= (40 * n + 99) // 100 THEN val END) AS c40,
+         MIN(CASE WHEN cume >= (60 * n + 99) // 100 THEN val END) AS c60,
+         MIN(CASE WHEN cume >= (80 * n + 99) // 100 THEN val END) AS c80
+  FROM c_{m})""".format(m=m)
+
+    def bucket(m, a):
+        return ("(1 + CASE WHEN u.{m} > {a}.c20 THEN 1 ELSE 0 END"
+                " + CASE WHEN u.{m} > {a}.c40 THEN 1 ELSE 0 END"
+                " + CASE WHEN u.{m} > {a}.c60 THEN 1 ELSE 0 END"
+                " + CASE WHEN u.{m} > {a}.c80 THEN 1 ELSE 0 END)"
+                ).format(m=m, a=a)
+
+    rb = bucket("last_day", "cr")
+    fb = bucket("freq", "cf")
+    mb = bucket("monetary", "cm")
+    return """
+WITH users AS (
+  SELECT user_id,
+         CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+{cr},
+{cf},
+{cm}
+SELECT u.user_id, u.last_day, u.freq, u.monetary,
+       CAST({rb} AS INT) AS r_bucket,
+       CAST({fb} AS INT) AS f_bucket,
+       CAST({mb} AS INT) AS m_bucket,
+       CAST({rb} * 100 + {fb} * 10 + {mb} AS INT) AS rfm_code
+FROM users u
+CROSS JOIN cut_last_day cr CROSS JOIN cut_freq cf CROSS JOIN cut_monetary cm
+ORDER BY user_id
+""".format(cr=cut_cte("last_day"), cf=cut_cte("freq"),
+           cm=cut_cte("monetary"), rb=rb, fb=fb, mb=mb)
+
+
+_EXTRA_QUERIES["events_rfm"] = q_events_rfm
+_EXTRA_ORACLES["events_rfm"] = _q_events_rfm_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -1,0 +1,93 @@
+"""RFM (recency / frequency / monetary) user segmentation.
+
+The classic CRM segmentation: per user, days-since-last-purchase,
+purchase count, and lifetime spend, each bucketed into quintiles 1-5
+(5 = best), plus the combined three-digit RFM code.
+
+Exact, engine-portable bucketing WITHOUT a global sort: quintile cutoffs
+come from the same histogram-percentile construction as
+``textstats.quality_percentile_flags`` — each metric is an integer with
+bounded cardinality (recency coarsened to DAYS; frequency and cents
+naturally clustered), so the exact ``(p*n+99) div 100`` discrete
+percentile is a prefix scan over a histogram, never over users. The
+three 1-row cutoff tables attach to the user table as broadcast scalars
+(the ``text_surprisal`` / ``bm25`` shape — documented in the gate's
+PLAN_ALLOW_CROSS).
+
+Direction: all three metrics are "higher is better" by construction —
+recency is bucketed on last-seen DAY (more recent = larger), so no
+max-timestamp scalar pass is needed. Ties at a cutoff share the lower
+bucket (bucket = 1 + #cutoffs strictly below the value) — a pure integer
+function of the multiset, identical across engines and partitionings.
+
+Scale shape: ONE corpus-sized shuffle (the per-user aggregate); the
+histograms, prefix scans and cutoff rows are all metric-cardinality-
+sized; the final bucket assignment is pure expressions on the user
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DAY_US = 86_400_000_000
+_QUINTILES = (20, 40, 60, 80)
+
+
+def _cutoffs(users: DataFrame, col: str) -> DataFrame:
+    """1-row DataFrame with columns ``{col}_c20 .. {col}_c80``: the exact
+    discrete 20/40/60/80th percentiles of ``col``, via histogram + prefix
+    scan (window partitions are histogram-sized, not user-sized)."""
+    hist = users.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        F.col(col).alias("val"),
+        F.sum("cnt").over(w_cum).alias("cume"),
+        F.sum("cnt").over(
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)).alias("n"),
+    )
+    aggs = [
+        F.min(F.when(
+            F.col("cume") >= F.expr("({p} * n + 99) div 100".format(p=p)),
+            F.col("val"))).alias("{}_c{}".format(col, p))
+        for p in _QUINTILES
+    ]
+    return cum.agg(*aggs)
+
+
+def _bucket(col: str):
+    b = F.lit(1)
+    for p in _QUINTILES:
+        b = b + (F.col(col) > F.col("{}_c{}".format(col, p))).cast("int")
+    return b.cast("int")
+
+
+def rfm_segments(events: DataFrame, ts_us_col: str = "ts_us",
+                 user_col: str = "user_id",
+                 cents_col: str = "cents") -> DataFrame:
+    """Input: one row per purchase event with integer epoch-microsecond
+    ``ts_us_col`` (must be >= 0) and integer ``cents_col``. Output: one
+    row per user — ``(user_id, last_day, freq, monetary, r_bucket,
+    f_bucket, m_bucket, rfm_code)``."""
+    users = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(F.expr("{} div {}".format(ts_us_col, _DAY_US)))
+        .cast("long").alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(cents_col).cast("long").alias("monetary"),
+    )
+    # the user table feeds three histogram passes + the final select —
+    # cut the lineage so the corpus-sized aggregate runs exactly once.
+    users = users.localCheckpoint(eager=False)
+    out = users
+    for m in ("last_day", "freq", "monetary"):
+        out = out.crossJoin(F.broadcast(_cutoffs(users, m)))
+    r, f, mo = _bucket("last_day"), _bucket("freq"), _bucket("monetary")
+    return out.select(
+        "user_id", "last_day", "freq", "monetary",
+        r.alias("r_bucket"), f.alias("f_bucket"), mo.alias("m_bucket"),
+        (r * 100 + f * 10 + mo).cast("int").alias("rfm_code"),
+    )

@@ -307,7 +307,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     # tables (bounded: n_buckets rows)
                     "sample_importance",
                     # two 1-row snapshot-total scalars onto the vocab join
-                    "text_drift"}
+                    "text_drift",
+                    # three 1-row quintile-cutoff scalars broadcast onto
+                    # the user table (histogram-percentile RFM bucketing)
+                    "events_rfm"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
