@@ -5285,6 +5285,121 @@ _EXTRA_QUERIES["events_rfm"] = q_events_rfm
 _EXTRA_ORACLES["events_rfm"] = _q_events_rfm_sql()
 
 
+def _local_traj_text_col():
+    """LOCALIZED travelogues: each doc's 2-4 waypoints sit within +/-5
+    degrees of one of 24 anchor regions (crossings happen between
+    neighbors, not across the planet — the realistic trajectory shape and
+    the one that keeps pair output linear-ish); the 999.5 trap is planted
+    mid-path for doc_id%5 so splicing is exercised in the join too."""
+    i = F.col("doc_id")
+    g = i % 24
+    alon = (g % 6).cast("double") * 60 - 170
+    alat = F.floor(g / F.lit(6)).cast("double") * 45 - 78
+    parts = [F.lit("trip")]
+    for j in range(4):
+        lat = alat + ((i * 61 + j * 97) % 40).cast("double") * 0.25 - 5
+        lon = alon + ((i * 37 + j * 131) % 40).cast("double") * 0.25 - 5
+        word = F.concat(F.lit(" via "), lat.cast("string"), F.lit(", "),
+                        lon.cast("string"), F.lit("."))
+        parts.append(F.when(j < 2 + i % 3, word).otherwise(F.lit("")))
+        if j == 0:
+            parts.append(F.when(i % 5 == 0,
+                                F.lit(" detour 999.5, 12.25"))
+                         .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+_LOCAL_TRAJ_WAYPOINT_SQL = """
+    || CASE WHEN {j} < 2 + doc_id % 3 THEN ' via '
+      || CAST(floor((doc_id % 24) / 6.0) * 45 - 78
+              + CAST((doc_id * 61 + {a}) % 40 AS DOUBLE) * 0.25 - 5
+              AS VARCHAR)
+      || ', '
+      || CAST(CAST((doc_id % 24) % 6 AS DOUBLE) * 60 - 170
+              + CAST((doc_id * 37 + {b}) % 40 AS DOUBLE) * 0.25 - 5
+              AS VARCHAR)
+      || '.' ELSE '' END
+"""
+
+_LOCAL_TRAJ_TEXT_SQL = (
+    "'trip'"
+    + _LOCAL_TRAJ_WAYPOINT_SQL.format(j=0, a=0, b=0)
+    + " || CASE WHEN doc_id % 5 = 0 THEN ' detour 999.5, 12.25'"
+    "    ELSE '' END "
+    + "".join(
+        _LOCAL_TRAJ_WAYPOINT_SQL.format(j=j, a=j * 97, b=j * 131)
+        for j in range(1, 4)
+    )
+)
+
+
+def q_geo_seg_intersect(spark, sf_dir):
+    """Cross-document trajectory CROSSING join: text-mined LOCAL polylines
+    (same mention/splicing contract as geo_trajectory) -> segment table
+    -> cell-cover candidates (bounded explode + ONE equi-join, canonical-
+    cell dedup so no distinct shuffle) -> exact integer orientation
+    refine. The oracle is the brute all-pairs formulation — hash-equality
+    proves the cell cover lost no crossing pair (the dedup_setsim proof
+    shape)."""
+    from picogeojson_spark.operators.segjoin import (
+        segment_crossings,
+        trajectory_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _local_traj_text_col().alias("text"))
+    segs = trajectory_segments(docs)
+    return (segment_crossings(segs, cell_udeg=10_000_000)
+            .orderBy("doc_a", "doc_b"))
+
+
+Q_GEO_SEG_INTERSECT_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS y,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS x
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+seg AS (
+  SELECT doc_id, j, x AS bx, y AS by,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY j) AS ax,
+         lag(y) OVER (PARTITION BY doc_id ORDER BY j) AS ay
+  FROM ok),
+segs AS (SELECT * FROM seg WHERE ax IS NOT NULL),
+pairs AS (
+  SELECT s.doc_id AS doc_a, t.doc_id AS doc_b
+  FROM segs s JOIN segs t ON s.doc_id < t.doc_id
+  WHERE (((s.bx - s.ax) * (t.ay - s.ay) - (t.ax - s.ax) * (s.by - s.ay) > 0
+          AND (s.bx - s.ax) * (t.by - s.ay)
+              - (t.bx - s.ax) * (s.by - s.ay) < 0)
+      OR ((s.bx - s.ax) * (t.ay - s.ay) - (t.ax - s.ax) * (s.by - s.ay) < 0
+          AND (s.bx - s.ax) * (t.by - s.ay)
+              - (t.bx - s.ax) * (s.by - s.ay) > 0))
+    AND (((t.bx - t.ax) * (s.ay - t.ay) - (s.ax - t.ax) * (t.by - t.ay) > 0
+          AND (t.bx - t.ax) * (s.by - t.ay)
+              - (s.bx - t.ax) * (t.by - t.ay) < 0)
+      OR ((t.bx - t.ax) * (s.ay - t.ay) - (s.ax - t.ax) * (t.by - t.ay) < 0
+          AND (t.bx - t.ax) * (s.by - t.ay)
+              - (s.bx - t.ax) * (t.by - t.ay) > 0)))
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM pairs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+""".format(txt=_LOCAL_TRAJ_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_seg_intersect"] = q_geo_seg_intersect
+_EXTRA_ORACLES["geo_seg_intersect"] = Q_GEO_SEG_INTERSECT_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
