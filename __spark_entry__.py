@@ -5400,6 +5400,59 @@ _EXTRA_QUERIES["geo_seg_intersect"] = q_geo_seg_intersect
 _EXTRA_ORACLES["geo_seg_intersect"] = Q_GEO_SEG_INTERSECT_SQL
 
 
+def q_events_sliding(spark, sf_dir):
+    """Hopping-window rollup (1 h window sliding every 15 min): each
+    event lands in exactly window/hop = 4 windows via a 4-offset explode
+    on pure integer-microsecond arithmetic (the tz-proof spelling of
+    F.window(slide) — native event-time windows cast through the session
+    zone; the repo's GATE_TZ variants would catch that). ONE map-side-
+    combined aggregate; money in integer cents."""
+    hop, win_k = 900_000_000, 4
+    ev = _t(spark, sf_dir, "events").select(
+        _ntz_epoch_us("ts").alias("tus"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ks = F.array(*[F.lit(k) for k in range(win_k)])
+    return (
+        ev.select(
+            "event_type", "cents",
+            F.expr("tus div {}".format(hop)).alias("hb"),
+            F.explode(ks).alias("k"),
+        )
+        .select(
+            "event_type", "cents",
+            ((F.col("hb") - F.col("k")) * F.lit(hop)).alias("win_start_us"),
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("cents").cast("long").alias("cents"))
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+WITH ks(k) AS (VALUES (0), (1), (2), (3)),
+ev AS (
+  SELECT epoch_us(ts) AS tus, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT (tus // 900000000 - k) * 900000000 AS win_start_us,
+         event_type, cents
+  FROM ev CROSS JOIN ks)
+SELECT win_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM w GROUP BY win_start_us, event_type
+ORDER BY win_start_us, event_type
+"""
+
+
+_EXTRA_QUERIES["events_sliding"] = q_events_sliding
+_EXTRA_ORACLES["events_sliding"] = Q_EVENTS_SLIDING_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
