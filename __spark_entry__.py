@@ -5453,6 +5453,37 @@ _EXTRA_QUERIES["events_sliding"] = q_events_sliding
 _EXTRA_ORACLES["events_sliding"] = Q_EVENTS_SLIDING_SQL
 
 
+def q_sketch_hll_overlap(spark, sf_dir):
+    """HLL set algebra: click-audience x purchase-audience overlap by
+    register-max UNION + inclusion-exclusion (the mergeable-sketch
+    workflow — per-shard register tables answer any later intersection
+    without re-scanning the corpus); exact intersection rides along to
+    pin the estimator. 1-row output; the scalar attach is the allowlisted
+    broadcast shape."""
+    from picogeojson_spark.operators.sketches import hll_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_overlap(
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id", p=6,
+    )
+
+
+def _q_sketch_hll_overlap_sql():
+    from picogeojson_spark.operators.sketches import hll_overlap_oracle_sql
+
+    return hll_overlap_oracle_sql(
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "user_id", p=6,
+    )
+
+
+_EXTRA_QUERIES["sketch_hll_overlap"] = q_sketch_hll_overlap
+_EXTRA_ORACLES["sketch_hll_overlap"] = _q_sketch_hll_overlap_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -348,3 +348,113 @@ SELECT e.term, CAST(e.est AS BIGINT) AS est,
 FROM est e LEFT JOIN exact x USING (term)
 ORDER BY term
 """
+
+
+def hll_overlap(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                p: int = 6, salt: str = "hll") -> DataFrame:
+    """Audience-overlap estimation by HLL SET ALGEBRA: estimate |A|, |B|,
+    |A u B| (registers of the union = element-wise max of the two
+    register tables — the mergeability property), then the intersection
+    by inclusion-exclusion, floored at 0. One row:
+    ``(est_a, est_b, est_union, est_inter, exact_inter)``.
+
+    This is the sketch workflow that matters at 100 TB: per-shard /
+    per-day register tables are tiny, precomputable, and UNION-able after
+    the fact, so any audience intersection is answerable without
+    re-scanning the corpus. ``exact_inter`` rides along (one distinct
+    semi-join) so the contract query pins the estimator against truth.
+
+    Inclusion-exclusion amplifies the +-1.04/sqrt(m) register noise when
+    the true overlap is small relative to the union — inherent to the
+    method (theta sketches fix this; out of scope), and why the floor at
+    0 exists.
+    """
+    a = df_a.select(F.lit("a").alias("aud"), F.col(value_col).alias("v"))
+    b = df_b.select(F.lit("b").alias("aud"), F.col(value_col).alias("v"))
+    regs = hll_build(a.union(b), ["aud"], "v", p=p, salt=salt)\
+        .localCheckpoint(eager=False)
+    uregs = regs.groupBy("bucket").agg(
+        F.max("max_rho").alias("max_rho")).select(
+        F.lit("u").alias("aud"), "bucket", "max_rho")
+    ests = hll_estimate(regs.unionByName(uregs), ["aud"], p=p)
+    piv = ests.agg(
+        F.max(F.when(F.col("aud") == "a", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("aud") == "b", F.col("est"))).alias("est_b"),
+        F.max(F.when(F.col("aud") == "u", F.col("est"))).alias("est_union"),
+    )
+    exact = (
+        df_a.select(F.col(value_col).alias("v")).distinct()
+        .join(df_b.select(F.col(value_col).alias("v")).distinct(), on="v")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return piv.crossJoin(F.broadcast(exact)).select(
+        "est_a", "est_b", "est_union",
+        F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                   F.lit(0).cast("long")).alias("est_inter"),
+        "exact_inter",
+    )
+
+
+def hll_overlap_oracle_sql(src_a: str, src_b: str, value_col: str,
+                           p: int = 6, salt: str = "hll") -> str:
+    """DuckDB replay of :func:`hll_overlap` — same register build, union
+    by max, integer estimator and inclusion-exclusion."""
+    m, rem_bits, pre = _hll_consts(p)
+    lc_list = "[{}]".format(",".join(str(x) for x in _hll_lc_table(m)))
+    return f"""
+WITH a AS ({src_a}), b AS ({src_b}),
+tagged AS (
+  SELECT 'a' AS grp, {value_col} AS v FROM a
+  UNION ALL SELECT 'b', {value_col} FROM b),
+hashed AS (
+  SELECT grp,
+         CAST(('0x' || substring(md5('{salt}:' || CAST(v AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM tagged),
+keyed AS (
+  SELECT grp, h // {1 << rem_bits} AS bucket, h % {1 << rem_bits} AS rem
+  FROM hashed),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits + 1} - length(bin(rem)) END) AS max_rho
+  FROM keyed GROUP BY grp, bucket),
+uregs AS (
+  SELECT 'u' AS grp, bucket, MAX(max_rho) AS max_rho
+  FROM regs GROUP BY bucket),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs),
+folded AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_reg,
+         CAST(SUM(CASE WHEN max_rho <= {_HLL_SHIFT}
+                       THEN (CAST(1 AS BIGINT) << ({_HLL_SHIFT} - max_rho))
+                       ELSE 0 END) AS BIGINT) AS s_present
+  FROM allregs GROUP BY grp),
+raw AS (
+  SELECT grp,
+         CAST({m} - n_reg AS BIGINT) AS v_zero,
+         CAST(({pre} * {1 << (_HLL_SHIFT - _HLL_PRE)}) //
+              GREATEST(s_present + ({m} - n_reg) *
+                       (CAST(1 AS BIGINT) << {_HLL_SHIFT}), 1)
+              AS BIGINT) AS est_raw
+  FROM folded),
+est AS (
+  SELECT grp,
+         CAST(CASE WHEN v_zero > 0 AND est_raw <= {(5 * m) // 2}
+                   THEN ({lc_list})[CAST(v_zero AS INT)]
+                   ELSE est_raw END AS BIGINT) AS est
+  FROM raw),
+piv AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN est END) AS est_a,
+         MAX(CASE WHEN grp = 'b' THEN est END) AS est_b,
+         MAX(CASE WHEN grp = 'u' THEN est END) AS est_union
+  FROM est),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT {value_col} AS v FROM a
+    INTERSECT
+    SELECT DISTINCT {value_col} FROM b) t)
+SELECT est_a, est_b, est_union,
+       GREATEST(est_a + est_b - est_union, 0) AS est_inter, exact_inter
+FROM piv CROSS JOIN exact
+"""

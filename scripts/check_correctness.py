@@ -310,7 +310,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     "text_drift",
                     # three 1-row quintile-cutoff scalars broadcast onto
                     # the user table (histogram-percentile RFM bucketing)
-                    "events_rfm"}
+                    "events_rfm",
+                    # 1-row exact-intersection scalar onto the 1-row
+                    # pivoted HLL estimates
+                    "sketch_hll_overlap"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
