@@ -5484,6 +5484,53 @@ _EXTRA_QUERIES["sketch_hll_overlap"] = q_sketch_hll_overlap
 _EXTRA_ORACLES["sketch_hll_overlap"] = _q_sketch_hll_overlap_sql()
 
 
+def q_geo_idw(spark, sf_dir):
+    """Inverse-distance-weighted interpolation at every customer point
+    from the 4 nearest supplier 'stations' (synthetic integer
+    measurements): kNN ring join + one neighbor-keyed value join + an
+    integer-exact blend (weights scale div (round(16*d2)+1), estimate
+    num div den). Same allowlist rationale as geo_knn (exact brute
+    tail)."""
+    from picogeojson_spark.operators.knn import idw_interpolate
+
+    q = _points_from_customer(spark, sf_dir).withColumnRenamed(
+        "point_id", "query_id")
+    cand = _cand_points_from_supplier(spark, sf_dir).withColumn(
+        "value", ((F.col("neighbor_id") * 37) % 10000).cast("long"))
+    return idw_interpolate(q, cand, k=4, level=4, radius=2).orderBy(
+        "query_id")
+
+
+Q_GEO_IDW_SQL = """
+WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})),
+     c AS (SELECT neighbor_id, lon, lat,
+                  CAST((neighbor_id * 37) % 10000 AS BIGINT) AS v
+           FROM ({cands})),
+     d AS (
+       SELECT q.query_id, c.neighbor_id, c.v,
+              CAST(round(((q.lon - c.lon) * (q.lon - c.lon)
+                    + (q.lat - c.lat) * (q.lat - c.lat)) * 16) AS BIGINT)
+                AS d2i,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY (q.lon - c.lon) * (q.lon - c.lon)
+                                        + (q.lat - c.lat) * (q.lat - c.lat)
+                                          ASC,
+                                          c.neighbor_id ASC) AS rank
+       FROM q CROSS JOIN c),
+     w AS (SELECT query_id, v, 1000000000 // (d2i + 1) AS w
+           FROM d WHERE rank <= 4)
+SELECT query_id,
+       CAST(SUM(v * w) // GREATEST(SUM(w), 1) AS BIGINT) AS idw_value,
+       CAST(SUM(w) AS BIGINT) AS w_sum,
+       CAST(COUNT(*) AS INT) AS n_used
+FROM w GROUP BY query_id ORDER BY query_id
+""".format(points=_POINTS_SQL, cands=_CANDS_SQL)
+
+
+_EXTRA_QUERIES["geo_idw"] = q_geo_idw
+_EXTRA_ORACLES["geo_idw"] = Q_GEO_IDW_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -561,3 +561,56 @@ def distance_join_haversine(
         .filter(F.col("dist_udeg") <= d_lit)
     )
     return ringed.unionByName(brute)
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "value",
+    k: int = 4,
+    scale: int = 10**9,
+    qscale: int = 16,
+    **knn_kwargs,
+):
+    """Inverse-distance-weighted interpolation: estimate a measurement at
+    every query point from its k nearest candidate stations —
+    ``(query_id, idw_value, w_sum, n_used)``.
+
+    Pure composition: the heavy lifting is :func:`knn_join` (ring
+    equi-join + exact tail); the station values attach by ONE
+    neighbor-keyed equi-join (station table ≪ corpus — AQE broadcasts);
+    the blend is a map-side-combined aggregate.
+
+    Exactness contract (cross-engine): distances quantize to integers via
+    ``round(dist2 * qscale)`` (exact when coordinates sit on the repo's
+    dyadic lattice), weights are ``scale div (d2i + 1)`` in integer
+    arithmetic (the +1 makes a station exactly at the query point a huge
+    but finite weight), and the estimate is ``sum(v*w) div sum(w)``.
+    Overflow bound: |value| * scale * k must stay under 2^63 — the
+    defaults allow |value| <= ~2e5 at k <= 4.
+    """
+    nn = knn_join(queries, candidates.select("neighbor_id", "lon", "lat"),
+                  k=k, **knn_kwargs)
+    vals = candidates.select("neighbor_id", F.col(value_col).alias("__v"))
+    j = nn.join(vals, "neighbor_id").select(
+        "query_id", "__v",
+        F.round(F.col("dist2") * F.lit(int(qscale))).cast("long")
+        .alias("__d2i"),
+    ).select(
+        "query_id", "__v",
+        F.expr("{s} div (__d2i + 1)".format(s=int(scale))).alias("__w"),
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.col("__v") * F.col("__w")).cast("long").alias("__num"),
+            F.sum("__w").cast("long").alias("w_sum"),
+            F.count("*").cast("int").alias("n_used"),
+        )
+        .select(
+            "query_id",
+            F.expr("__num div greatest(w_sum, 1)").cast("long")
+            .alias("idw_value"),
+            "w_sum", "n_used",
+        )
+    )

@@ -313,7 +313,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     "events_rfm",
                     # 1-row exact-intersection scalar onto the 1-row
                     # pivoted HLL estimates
-                    "sketch_hll_overlap"}
+                    "sketch_hll_overlap",
+                    # kNN composition — same exact-brute-tail rationale
+                    # as geo_knn
+                    "geo_idw"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
