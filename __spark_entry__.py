@@ -5531,6 +5531,48 @@ _EXTRA_QUERIES["geo_idw"] = q_geo_idw
 _EXTRA_ORACLES["geo_idw"] = Q_GEO_IDW_SQL
 
 
+def q_graph_kcore(spark, sf_dir):
+    """60-core of the market-basket co-occurrence graph: iterative peel
+    (one degree aggregate + two semi-joins per round, count-probe
+    convergence) to the unique fixpoint; emits each core vertex with its
+    in-core degree.  Measured convergence is 2 rounds at both SFs; the
+    operator raises rather than truncating, and the oracle unrolls 8
+    rounds of the same peel with MATERIALIZED CTEs (a fixpoint is
+    idempotent, so extra rounds are no-ops)."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, k_core
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return k_core(edges, k=60, max_rounds=8).orderBy("node")
+
+
+def _q_graph_kcore_sql(k=60, rounds=8):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item)"""]
+    for i in range(1, rounds + 1):
+        parts.append("""
+n{i} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT u AS n FROM e{j} UNION ALL SELECT v FROM e{j}) s
+  GROUP BY n HAVING COUNT(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{j}
+  WHERE u IN (SELECT n FROM n{i}) AND v IN (SELECT n FROM n{i}))"""
+                     .format(i=i, j=i - 1, k=k))
+    parts.append("""
+SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r}) s
+GROUP BY n ORDER BY node""".format(r=rounds))
+    return ",".join(parts[:1] + []) + "," + ",".join(parts[1:-1]) + parts[-1]
+
+
+_EXTRA_QUERIES["graph_kcore"] = q_graph_kcore
+_EXTRA_ORACLES["graph_kcore"] = _q_graph_kcore_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

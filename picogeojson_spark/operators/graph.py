@@ -378,3 +378,50 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """k-core decomposition: iteratively peel vertices of degree < k from
+    the undirected graph until the unique fixpoint -> one row per
+    surviving vertex ``(node, core_degree)`` (its degree INSIDE the
+    core).
+
+    The k-core is order-independent (the fixpoint is unique no matter the
+    peeling schedule), so the distributed round — ONE map-side-combined
+    degree aggregate + two semi-joins per round — computes exactly the
+    sequential result. Edge sets shrink monotonically, so the count probe
+    that doubles as the per-round materializer (lazy localCheckpoint,
+    the duplicate_clusters pattern) is also the convergence test: equal
+    counts imply equal sets.
+
+    Rounds are data-dependent (a path peels one link per round); callers
+    pin ``max_rounds`` and get a loud RuntimeError instead of a silently
+    truncated core.
+    """
+    e = (edges.select("u", "v").filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=False))
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (sym.groupBy("u").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= F.lit(int(k)))
+                .select(F.col("u").alias("n")))
+        nxt = (
+            e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            e = nxt
+            break
+        e, n_edges = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            "k_core did not converge in {} rounds".format(max_rounds))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree"))
