@@ -5573,6 +5573,57 @@ _EXTRA_QUERIES["graph_kcore"] = q_graph_kcore
 _EXTRA_ORACLES["graph_kcore"] = _q_graph_kcore_sql()
 
 
+def q_orders_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k): segment filter ->
+    customer⋈orders⋈lineitem (two broadcastable equi-joins after filter
+    pushdown) -> per-order revenue in integer cent-percent -> global
+    top-10 via TakeOrderedAndProject (orderBy+limit — no full sort
+    materialization). Date emitted as epoch-micros integer so the hash
+    is tz-proof."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        _ntz_epoch_us("o_orderdate").alias("odate_us"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")).select(
+        "l_orderkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("long")
+         * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+        .alias("rev_cp"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "odate_us", "o_orderpriority")
+        .agg(F.sum("rev_cp").cast("long").alias("revenue_cp"))
+        .orderBy(F.desc("revenue_cp"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q_ORDERS_PRIORITY_SQL = """
+SELECT l_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+       o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, odate_us, o_orderpriority
+ORDER BY revenue_cp DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+_EXTRA_QUERIES["orders_priority"] = q_orders_priority
+_EXTRA_ORACLES["orders_priority"] = Q_ORDERS_PRIORITY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #
