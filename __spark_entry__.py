@@ -5624,6 +5624,62 @@ _EXTRA_QUERIES["orders_priority"] = q_orders_priority
 _EXTRA_ORACLES["orders_priority"] = Q_ORDERS_PRIORITY_SQL
 
 
+def q_geo_quadbin(spark, sf_dir):
+    """Density-adaptive quadtree binning over the clumped field: split
+    until every leaf holds <= 25 points or level 6 — dense blobs shatter
+    into fine cells, empty ocean stays coarse; the skew-balancing
+    partitioner for spatial writes.  ONE corpus shuffle (finest
+    histogram); coarser counts cascade by integer halving (exact — the
+    tile_pyramid identity); the oracle computes every level DIRECTLY
+    from the points, so hash-equality re-proves the cascade."""
+    from picogeojson_spark.operators.spatial_cluster import adaptive_quadbin
+
+    pts = _clumped_points(spark, sf_dir)
+    return adaptive_quadbin(pts, cap=25, max_level=6).orderBy(
+        "level", "x", "y")
+
+
+def _q_geo_quadbin_sql(cap=25, max_level=6):
+    lvl_counts = []
+    for lv in range(max_level + 1):
+        nx, ny = 1 << (lv + 1), 1 << lv
+        lvl_counts.append("""
+h{lv} AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {nx}) AS BIGINT) AS x,
+         CAST(floor((lat + 90.0) / 180.0 * {ny}) AS BIGINT) AS y,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2)""".format(lv=lv, nx=nx, ny=ny))
+    anc_joins = []
+    for lv in range(max_level):
+        shift = 1 << (max_level - lv)
+        anc_joins.append(
+            "JOIN h{lv} a{lv} ON a{lv}.x = f.x // {s} AND a{lv}.y = f.y // {s}"
+            .format(lv=lv, s=shift))
+    leaf = str(max_level)
+    for lv in range(max_level - 1, -1, -1):
+        leaf = ("CASE WHEN a{lv}.cnt <= {cap} THEN {lv} ELSE {rest} END"
+                .format(lv=lv, cap=cap, rest=leaf))
+    return """
+WITH pts AS ({points}),
+{hists},
+annotated AS (
+  SELECT f.x, f.y, f.cnt, CAST({leaf} AS INT) AS leaf
+  FROM h{maxl} f
+  {joins})
+SELECT leaf AS level,
+       x // (1 << ({maxl} - leaf)) AS x,
+       y // (1 << ({maxl} - leaf)) AS y,
+       CAST(SUM(cnt) AS BIGINT) AS n_points
+FROM annotated
+GROUP BY 1, 2, 3 ORDER BY level, x, y
+""".format(points=_CLUMPED_POINTS_SQL, hists=",".join(lvl_counts),
+           leaf=leaf, maxl=max_level, joins=" ".join(anc_joins))
+
+
+_EXTRA_QUERIES["geo_quadbin"] = q_geo_quadbin
+_EXTRA_ORACLES["geo_quadbin"] = _q_geo_quadbin_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

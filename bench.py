@@ -111,6 +111,19 @@ BENCH_QUERIES = [
     "geo_trajectory",
     "events_transitions",
     "stream_attribution",
+    # continuation-session additions (SURVEY.md section 2.16)
+    "geo_grid_cluster",
+    "geo_heatmap",
+    "graph_triangles",
+    "web_bloom",
+    "geo_geohash",
+    "events_rfm",
+    "geo_seg_intersect",
+    "events_sliding",
+    "sketch_hll_overlap",
+    "geo_idw",
+    "graph_kcore",
+    "orders_priority",
 ]
 
 

@@ -208,3 +208,85 @@ def grid_dbscan(
             F.coalesce("role", F.lit("noise")).alias("role"),
         )
     )
+
+
+def adaptive_quadbin(
+    points: DataFrame,
+    cap: int = 1000,
+    max_level: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Density-adaptive quadtree binning: split the world until every
+    bin holds <= ``cap`` points or ``max_level`` is reached -> one row
+    per LEAF bin ``(level, x, y, n_points)``.
+
+    This is the write-path partitioner for skewed spatial data: uniform
+    grids put Manhattan and the Pacific in same-sized cells; the adaptive
+    tree gives every output partition comparable row counts, which is
+    what bounds task skew in a spatial shuffle or file layout.
+
+    Exact leaf rule (a pure function of the point multiset): a point's
+    leaf is its ancestor cell at the SMALLEST level whose count <= cap
+    (else its max_level cell). Points sharing a level-L cell share all
+    coarser ancestors, so the rule induces a consistent non-overlapping
+    cover.
+
+    Scale shape: ONE corpus-sized shuffle (the finest-level histogram);
+    coarser counts cascade by integer-halving the cell coords (exact —
+    multiplication by powers of two only shifts the exponent, the
+    tile_pyramid identity), the leaf decision is a when-chain over
+    max_level+1 joined histogram columns (every table cell-sized), and
+    the output is leaf-sized. Grid convention matches geo/cells:
+    nx = 2^(L+1), ny = 2^L.
+    """
+    if not 0 <= max_level <= 20:
+        raise ValueError("max_level must be in [0, 20]")
+    nx, ny = 1 << (max_level + 1), 1 << max_level
+    fx = F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long")
+    fy = F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long")
+    finest = (
+        points.select(fx.alias("x"), fy.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # cascade coarser histograms (tiny tables, no corpus re-scan)
+    hists = {max_level: finest}
+    for lv in range(max_level - 1, -1, -1):
+        hists[lv] = (
+            hists[lv + 1]
+            .select((F.col("x") / 2).cast("long").alias("x"),
+                    (F.col("y") / 2).cast("long").alias("y"), "cnt")
+            .groupBy("x", "y")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    # annotate every finest cell with its ancestors' counts
+    f = finest
+    for lv in range(0, max_level):
+        shift = max_level - lv
+        h = hists[lv].select(
+            F.col("x").alias("ax"), F.col("y").alias("ay"),
+            F.col("cnt").alias("c{}".format(lv)))
+        f = f.join(
+            h,
+            (F.expr("x div {}".format(1 << shift)) == F.col("ax"))
+            & (F.expr("y div {}".format(1 << shift)) == F.col("ay")),
+        ).drop("ax", "ay")
+    leaf = F.lit(max_level)
+    for lv in range(max_level - 1, -1, -1):
+        leaf = F.when(F.col("c{}".format(lv)) <= F.lit(int(cap)),
+                      F.lit(lv)).otherwise(leaf)
+    f = f.withColumn("leaf", leaf.cast("int"))
+    return (
+        f.select(
+            "leaf",
+            F.expr("x div shiftleft(1L, {} - leaf)".format(max_level))
+            .alias("lx"),
+            F.expr("y div shiftleft(1L, {} - leaf)".format(max_level))
+            .alias("ly"),
+            "cnt",
+        )
+        .groupBy(F.col("leaf").alias("level"), F.col("lx").alias("x"),
+                 F.col("ly").alias("y"))
+        .agg(F.sum("cnt").cast("long").alias("n_points"))
+    )
