@@ -4942,11 +4942,16 @@ _EXTRA_ORACLES["stream_attribution"] = Q_STREAM_ATTRIBUTION_SQL
 
 
 def _clumped_points(spark, sf_dir):
+    return _clumped_points_from(_t(spark, sf_dir, "customer"))
+
+
+def _clumped_points_from(c):
     """Deterministic CLUMPED point field for density clustering: 6 cluster
     centers on a coarse lattice, per-point offsets on the exact 0.25-degree
     dyadic lattice (dlon from i mod 5, dlat from i mod 7 — independent
     residues so the blob is 2-D, not a diagonal), plus world-scattered
-    noise for every 23rd customer."""
+    noise for every 23rd customer. Pure expressions — runs unchanged on a
+    streaming customer source."""
     i = F.col("c_custkey")
     g = (i * 7) % 6
     lon_c = (g % 3).cast("double") * 100 - 100
@@ -4954,7 +4959,6 @@ def _clumped_points(spark, sf_dir):
     dlon = ((i * 13) % 5).cast("double") * 0.25 - 0.5
     dlat = ((i * 17) % 7).cast("double") * 0.25 - 0.75
     noise = (i % 23) == 0
-    c = _t(spark, sf_dir, "customer")
     return c.select(
         i.alias("point_id"),
         F.when(noise, ((i * 37) % 720).cast("double") / 2 - 180 + 0.25)
@@ -5678,6 +5682,37 @@ GROUP BY 1, 2, 3 ORDER BY level, x, y
 
 _EXTRA_QUERIES["geo_quadbin"] = q_geo_quadbin
 _EXTRA_ORACLES["geo_quadbin"] = _q_geo_quadbin_sql()
+
+
+_CUSTOMER_DDL = ("c_custkey bigint, c_name string, c_nationkey int, "
+                 "c_acctbal double, c_mktsegment string")
+
+
+def q_stream_heatmap(spark, sf_dir):
+    """STREAMING hotspot raster: the cell histogram runs as a complete-
+    mode streaming aggregate over a customer file stream (identical
+    expressions batch and stream); the 3x3 smoothing folds in batch on
+    the memory sink — the stream_hll fold-on-sink pattern, since chained
+    stateful aggregations are unsupported in streams. Full oracle: the
+    SAME SQL as geo_heatmap, so stream==batch is proven by the hash."""
+    from picogeojson_spark.operators.spatial_cluster import (
+        cell_histogram,
+        smooth_cell_histogram,
+    )
+
+    src = (
+        spark.readStream.schema(_CUSTOMER_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "customer"))
+    )
+    pts = _clumped_points_from(src)
+    cells = cell_histogram(pts, cell_udeg=2_000_000)
+    sink = _run_stream(spark, cells, "stream_heatmap", "complete")
+    return smooth_cell_histogram(sink).orderBy("cx", "cy")
+
+
+_EXTRA_QUERIES["stream_heatmap"] = q_stream_heatmap
+_EXTRA_ORACLES["stream_heatmap"] = Q_GEO_HEATMAP_SQL
 
 
 # --------------------------------------------------------------------------

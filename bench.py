@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "geo_idw",
     "graph_kcore",
     "orders_priority",
+    "geo_quadbin",
+    "stream_heatmap",
 ]
 
 

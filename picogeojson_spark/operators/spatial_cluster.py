@@ -59,6 +59,35 @@ def _pack(cx, cy):
     return (cx + F.lit(_B)) * F.lit(2 * _B) + (cy + F.lit(_B))
 
 
+def cell_histogram(
+    points: DataFrame,
+    cell_udeg: int = 2_000_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Occupied-cell point counts ``(cx, cy, cnt)`` — the one corpus-sized
+    shuffle shared by the heatmap and its streaming twin (a plain hash
+    aggregate, so it runs unchanged as a complete-mode streaming query)."""
+    if cell_udeg < 200:
+        raise ValueError("cell_udeg must be >= 200 (cell key packing bound)")
+    cx, cy = _cell_cols(F.col(lon_col), F.col(lat_col), cell_udeg)
+    return (
+        points.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def smooth_cell_histogram(cells: DataFrame) -> DataFrame:
+    """3x3 box smoothing over an occupied-cell histogram ``(cx, cy,
+    cnt)`` -> ``(cx, cy, cnt, smoothed)``; shuffle volume 9x the occupied-
+    cell count, independent of the point count. Batch-foldable on a
+    streaming sink (multi-aggregation limits keep it out of the stream
+    itself — the stream_hll fold-on-sink pattern)."""
+    cells = cells.withColumn("k", _pack(F.col("cx"), F.col("cy")))
+    return _smooth_packed(cells)
+
+
 def grid_heatmap(
     points: DataFrame,
     cell_udeg: int = 2_000_000,
@@ -76,15 +105,11 @@ def grid_heatmap(
     target key — shuffle volume 9x the occupied-cell count, independent of
     the point count. Never a theta join.
     """
-    if cell_udeg < 200:
-        raise ValueError("cell_udeg must be >= 200 (cell key packing bound)")
-    cx, cy = _cell_cols(F.col(lon_col), F.col(lat_col), cell_udeg)
-    cells = (
-        points.select(cx.alias("cx"), cy.alias("cy"))
-        .groupBy("cx", "cy")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("k", _pack(F.col("cx"), F.col("cy")))
-    )
+    return smooth_cell_histogram(
+        cell_histogram(points, cell_udeg, lon_col, lat_col))
+
+
+def _smooth_packed(cells: DataFrame) -> DataFrame:
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
