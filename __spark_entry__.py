@@ -5715,6 +5715,89 @@ _EXTRA_QUERIES["stream_heatmap"] = q_stream_heatmap
 _EXTRA_ORACLES["stream_heatmap"] = Q_GEO_HEATMAP_SQL
 
 
+def q_events_abtest(spark, sf_dir):
+    """A/B experiment readout: users hash-split into two arms (the
+    deterministic md5 assignment every experimentation system uses so
+    exposure is reproducible at any parallelism), conversion = any
+    purchase by a view-exposed user; per-arm counts + conversion ppm +
+    lift vs the pooled rate, all integer arithmetic. Corpus work is one
+    per-user aggregate; everything after is 2-row."""
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int"))
+            .alias("exposed"),
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .alias("converted"),
+        )
+        .filter(F.col("exposed") == 1)
+        .select(
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit("ab:"),
+                               F.col("user_id").cast("string"))), 1, 8),
+                16, 10).cast("long") % 2).alias("armno"),
+            "converted",
+        )
+    )
+    from pyspark.sql import Window
+
+    arms = users.groupBy("armno").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    w = (Window.orderBy("armno")
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    arms = arms.select(
+        "armno", "n_users", "n_conv",
+        F.sum("n_conv").over(w).cast("long").alias("tc"),
+        F.sum("n_users").over(w).cast("long").alias("tn"),
+    )
+    return (
+        arms.select(
+            F.when(F.col("armno") == 0, "A").otherwise("B").alias("arm"),
+            "n_users", "n_conv",
+            F.expr("(n_conv * 1000000) div n_users").alias("conv_ppm"),
+            (F.expr("(n_conv * 1000000) div n_users")
+             - F.expr("(tc * 1000000) div tn")).cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+Q_EVENTS_ABTEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS armno,
+         converted
+  FROM users WHERE exposed = 1),
+arms AS (
+  SELECT armno, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM armed GROUP BY armno),
+tot AS (SELECT SUM(n_conv) AS c, SUM(n_users) AS n FROM arms)
+SELECT CASE WHEN armno = 0 THEN 'A' ELSE 'B' END AS arm,
+       n_users, n_conv,
+       CAST((n_conv * 1000000) // n_users AS BIGINT) AS conv_ppm,
+       CAST((n_conv * 1000000) // n_users
+            - (t.c * 1000000) // t.n AS BIGINT) AS lift_ppm
+FROM arms CROSS JOIN tot t
+ORDER BY arm
+"""
+
+
+_EXTRA_QUERIES["events_abtest"] = q_events_abtest
+_EXTRA_ORACLES["events_abtest"] = Q_EVENTS_ABTEST_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

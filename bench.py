@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "orders_priority",
     "geo_quadbin",
     "stream_heatmap",
+    "events_abtest",
 ]
 
 
