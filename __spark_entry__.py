@@ -5798,6 +5798,81 @@ _EXTRA_QUERIES["events_abtest"] = q_events_abtest
 _EXTRA_ORACLES["events_abtest"] = Q_EVENTS_ABTEST_SQL
 
 
+def q_geo_hull(spark, sf_dir):
+    """Convex hull -> polygon measures composition: per-doc planted point
+    clouds (4 rectangle corners + 3 strictly-interior points; every 7th
+    doc a collinear run) -> monotone-chain hull ring (one applyInPandas
+    stage) -> the polygon_measures HOF fold.  The oracle is a CLOSED-FORM
+    derivation from doc_id alone (rectangle area/centroid/edge algebra —
+    never runs a hull), so hash-equality proves the hull found exactly
+    the corners and dropped interior + collinear points."""
+    from picogeojson_spark.operators.hull import convex_hull_rings
+    from picogeojson_spark.operators.measures import polygon_measures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    x0 = ((i * 37) % 300 - 150).cast("double")
+    y0 = ((i * 61) % 160 - 80).cast("double")
+    w = (1 + i % 4).cast("double")
+    h = (1 + i % 3).cast("double")
+    coll = (i % 7) == 0
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    rect_pts = F.array(
+        pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + h), pt(x0, y0 + h),
+        pt(x0 + 0.25, y0 + 0.25), pt(x0 + 0.5, y0 + 0.25),
+        pt(x0 + 0.75, y0 + 0.25),
+    )
+    coll_pts = F.array(*[
+        pt(x0 + F.lit(float(j)), y0 + F.lit(0.5 * j)) for j in range(4)
+    ])
+    pts = (
+        d.select("doc_id",
+                 F.explode(F.when(coll, coll_pts).otherwise(rect_pts))
+                 .alias("p"))
+        .select("doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    rings = convex_hull_rings(pts)
+    m = polygon_measures(rings, ring_col="ring", id_col="doc_id")
+    return m.select(
+        "doc_id", "n_vertices",
+        F.col("area2").cast("long").alias("area2"),
+        F.col("cx_num").cast("long").alias("cx_num"),
+        F.col("cy_num").cast("long").alias("cy_num"),
+        (F.col("edge2_sum") * 4).cast("long").alias("edge2_x4"),
+    ).orderBy("doc_id")
+
+
+Q_GEO_HULL_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 300 - 150 AS DOUBLE) AS x0,
+         CAST((doc_id * 61) % 160 - 80 AS DOUBLE) AS y0,
+         CAST(1 + doc_id % 4 AS DOUBLE) AS w,
+         CAST(1 + doc_id % 3 AS DOUBLE) AS h,
+         doc_id % 7 = 0 AS coll
+  FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN coll THEN 2 ELSE 4 END AS INT) AS n_vertices,
+       CAST(CASE WHEN coll THEN 0 ELSE 2 * w * h END AS BIGINT) AS area2,
+       CAST(CASE WHEN coll THEN 0
+                 ELSE 6 * w * h * x0 + 3 * w * w * h END AS BIGINT)
+         AS cx_num,
+       CAST(CASE WHEN coll THEN 0
+                 ELSE 6 * w * h * y0 + 3 * h * h * w END AS BIGINT)
+         AS cy_num,
+       CAST(CASE WHEN coll THEN 90
+                 ELSE 8 * (w * w + h * h) END AS BIGINT) AS edge2_x4
+FROM d ORDER BY doc_id
+"""
+
+
+_EXTRA_QUERIES["geo_hull"] = q_geo_hull
+_EXTRA_ORACLES["geo_hull"] = Q_GEO_HULL_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

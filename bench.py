@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "geo_quadbin",
     "stream_heatmap",
     "events_abtest",
+    "geo_hull",
 ]
 
 
