@@ -5873,6 +5873,80 @@ _EXTRA_QUERIES["geo_hull"] = q_geo_hull
 _EXTRA_ORACLES["geo_hull"] = Q_GEO_HULL_SQL
 
 
+def q_geo_resample(spark, sf_dir):
+    """Trajectory resampling at fixed 0.5-degree arc-length intervals
+    over the localized text-mined polylines: one per-doc cumulative-
+    length window, per-segment index-range explode (ranges partition the
+    integers — no duplicate samples), all-integer interpolation with
+    non-negative dividends (div == // only on non-negatives, repo rule).
+    The oracle replays length/cumsum/range/interpolation formula-for-
+    formula."""
+    from picogeojson_spark.operators.segjoin import (
+        resample_trajectory,
+        trajectory_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _local_traj_text_col().alias("text"))
+    segs = trajectory_segments(docs)
+    return resample_trajectory(segs, step_u=500_000).orderBy(
+        "doc_id", "sample_idx")
+
+
+Q_GEO_RESAMPLE_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS y,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS x
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+seg AS (
+  SELECT doc_id, j, x AS bx, y AS by,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY j) AS ax,
+         lag(y) OVER (PARTITION BY doc_id ORDER BY j) AS ay
+  FROM ok),
+lens AS (
+  SELECT doc_id, j AS seg_id, ax, ay, bx, by,
+         CAST(floor(sqrt(CAST((bx - ax) * (bx - ax)
+                             + (by - ay) * (by - ay) AS DOUBLE)))
+              AS BIGINT) AS len
+  FROM seg WHERE ax IS NOT NULL),
+cums AS (
+  SELECT doc_id, ax, ay, bx, by, len,
+         SUM(len) OVER (PARTITION BY doc_id ORDER BY seg_id) AS cum
+  FROM lens),
+samp AS (
+  SELECT doc_id, ax, ay, bx, by, len, cum - len AS cum_prev, jj
+  FROM cums, LATERAL (
+    SELECT unnest(range(CAST((cum - len + 499999) // 500000 AS BIGINT),
+                        CAST((cum + 499999) // 500000 AS BIGINT))) AS jj) t)
+SELECT doc_id, jj AS sample_idx,
+       CAST(ax + CASE WHEN bx >= ax
+             THEN (abs(bx - ax) * (jj * 500000 - cum_prev)) // len
+             ELSE -((abs(bx - ax) * (jj * 500000 - cum_prev)) // len) END
+            AS BIGINT) AS x,
+       CAST(ay + CASE WHEN by >= ay
+             THEN (abs(by - ay) * (jj * 500000 - cum_prev)) // len
+             ELSE -((abs(by - ay) * (jj * 500000 - cum_prev)) // len) END
+            AS BIGINT) AS y
+FROM samp ORDER BY doc_id, sample_idx
+""".format(txt=_LOCAL_TRAJ_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_resample"] = q_geo_resample
+_EXTRA_ORACLES["geo_resample"] = Q_GEO_RESAMPLE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

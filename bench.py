@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "stream_heatmap",
     "events_abtest",
     "geo_hull",
+    "geo_resample",
 ]
 
 

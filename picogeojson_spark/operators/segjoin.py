@@ -142,3 +142,60 @@ def trajectory_segments(docs: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("ax").isNotNull())
     )
+
+
+def resample_trajectory(segs: DataFrame, step_u: int = 500_000) -> DataFrame:
+    """Resample each document's polyline at fixed arc-length intervals —
+    ``(doc_id, sample_idx, x, y)`` with one sample every ``step_u``
+    micro-degrees of (planar) path length, linearly interpolated along
+    the segment containing it. The GPS-pipeline densification primitive
+    (uniform point clouds from raw traces for heatmaps / clustering).
+
+    Exact integer contract (cross-engine): segment length is
+    ``floor(sqrt(dx^2 + dy^2))`` (the trajectory_measures rule);
+    cumulative lengths come from ONE per-doc window (the operator's only
+    shuffle, same partitioning as the segment build); sample ``j`` lands
+    on the segment with ``cum_prev <= j*step < cum`` — the index ranges
+    partition the integers, so no sample is emitted twice; interpolation
+    is ``a + sign * (|d| * off div len)`` with every dividend
+    NON-NEGATIVE (truncating ``div`` and flooring ``//`` agree only on
+    non-negatives — repo rule). The final endpoint is emitted only when
+    the total length is a multiple of ``step_u`` (documented boundary).
+
+    Zero-length segments emit nothing (empty index range), so the
+    guarded division never sees len = 0.
+    """
+    from pyspark.sql import Window
+
+    if step_u <= 0:
+        raise ValueError("step_u must be positive")
+    w = Window.partitionBy("doc_id").orderBy("seg_id")
+    ln = F.floor(F.sqrt(
+        ((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+         + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+        .cast("double"))).cast("long")
+    s = segs.select(
+        "doc_id", "seg_id", "ax", "ay", "bx", "by", ln.alias("len"),
+        F.sum(ln).over(w).alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("len"))
+    j0 = F.expr("(cum_prev + {s} - 1) div {s}".format(s=int(step_u)))
+    j1 = F.expr("(cum + {s} - 1) div {s} - 1".format(s=int(step_u)))
+    s = s.select(
+        "doc_id", "ax", "ay", "bx", "by", "len", "cum_prev",
+        F.explode(
+            F.when(j1 >= j0, F.sequence(j0, j1))
+            .otherwise(F.array().cast("array<bigint>"))
+        ).alias("j"),
+    )
+    dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    xoff = F.expr("(abs(bx - ax) * (j * {s} - cum_prev)) div len"
+                  .format(s=int(step_u)))
+    yoff = F.expr("(abs(by - ay) * (j * {s} - cum_prev)) div len"
+                  .format(s=int(step_u)))
+    return s.select(
+        "doc_id", F.col("j").alias("sample_idx"),
+        (F.col("ax") + F.when(dx >= 0, xoff).otherwise(-xoff))
+        .cast("long").alias("x"),
+        (F.col("ay") + F.when(dy >= 0, yoff).otherwise(-yoff))
+        .cast("long").alias("y"),
+    )
