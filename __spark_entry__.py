@@ -5947,6 +5947,76 @@ _EXTRA_QUERIES["geo_resample"] = q_geo_resample
 _EXTRA_ORACLES["geo_resample"] = Q_GEO_RESAMPLE_SQL
 
 
+def q_text_keywords(spark, sf_dir):
+    """Per-document keyword extraction (tf-idf-bits top-3): (doc, token)
+    multiplicities -> vocab-sized df aggregate -> integer idf =
+    bitlen(N div df) (the repo's whole-bit log idiom — no float ln) ->
+    score = tf * idf_bits -> per-doc top-3 via WindowGroupLimit (map-side
+    rank pruning), ties lexicographic. The 1-row corpus-count scalar
+    attaches to the VOCAB (text_surprisal shape, allowlisted); the corpus
+    pays one (doc, token) aggregate and one broadcastable token join."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("tok"),
+    ).filter(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf"))
+    df_tbl = dt.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    vocab = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.length(F.bin(F.expr("n_docs div df"))).cast("long")
+        .alias("idf_bits"),
+    )
+    scored = dt.join(vocab, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_bits")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", F.col("score").cast("long")
+                .alias("score"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+Q_TEXT_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM dt GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+vocab AS (
+  SELECT tok, CAST(length(bin(n_docs // df)) AS BIGINT) AS idf_bits
+  FROM dfs CROSS JOIN n),
+scored AS (
+  SELECT dt.doc_id, dt.tok, dt.tf * v.idf_bits AS score
+  FROM dt JOIN vocab v ON v.tok = dt.tok),
+r AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, tok,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+_EXTRA_QUERIES["text_keywords"] = q_text_keywords
+_EXTRA_ORACLES["text_keywords"] = Q_TEXT_KEYWORDS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_abtest",
     "geo_hull",
     "geo_resample",
+    "text_keywords",
 ]
 
 

@@ -316,7 +316,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     "sketch_hll_overlap",
                     # kNN composition — same exact-brute-tail rationale
                     # as geo_knn
-                    "geo_idw"}
+                    "geo_idw",
+                    # 1-row corpus-count scalar onto the vocab (the
+                    # text_surprisal shape)
+                    "text_keywords"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
