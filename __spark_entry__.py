@@ -6017,6 +6017,47 @@ _EXTRA_QUERIES["text_keywords"] = q_text_keywords
 _EXTRA_ORACLES["text_keywords"] = Q_TEXT_KEYWORDS_SQL
 
 
+def q_graph_triangles_est(spark, sf_dir):
+    """DOULION sampled triangle estimate (q=4): deterministic md5 edge
+    coin -> exact degree-ordered count on the 1/q sample -> scale by q^3.
+    The approximation lever for wedge-bound graphs (exact graph_triangles
+    is the most expensive query in the suite BY THE ALGORITHM — the
+    sample cuts wedge work ~q^1.5). Oracle replays coin + brute triple
+    join + scaling."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count_estimate,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return triangle_count_estimate(edges, q=4)
+
+
+Q_GRAPH_TRIANGLES_EST_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+s AS (SELECT u, v FROM e
+      WHERE CAST(('0x' || substring(md5(CAST(u AS VARCHAR) || ':'
+                  || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM s e1
+  JOIN s e2 ON e2.u = e1.v
+  JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_edges FROM s),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles FROM tri)
+SELECT n_sampled_edges, n_sampled_triangles,
+       CAST(n_sampled_triangles * 64 AS BIGINT) AS est_triangles
+FROM ne CROSS JOIN nt
+"""
+
+
+_EXTRA_QUERIES["graph_triangles_est"] = q_graph_triangles_est
+_EXTRA_ORACLES["graph_triangles_est"] = Q_GRAPH_TRIANGLES_EST_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

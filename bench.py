@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "geo_hull",
     "geo_resample",
     "text_keywords",
+    "graph_triangles_est",
 ]
 
 

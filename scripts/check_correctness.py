@@ -319,7 +319,9 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     "geo_idw",
                     # 1-row corpus-count scalar onto the vocab (the
                     # text_surprisal shape)
-                    "text_keywords"}
+                    "text_keywords",
+                    # two 1-row sampled-count scalars (DOULION estimate)
+                    "graph_triangles_est"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):

@@ -60,3 +60,36 @@ def test_no_cartesian_in_plan(spark):
     plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sampled_estimate_python_replay(spark):
+    import hashlib
+
+    from picogeojson_spark.operators.graph import triangle_count_estimate
+
+    pairs = list(combinations(range(24), 2))  # K24: 2024 triangles
+    q = 2
+
+    def coin(u, v):
+        h = hashlib.md5(("%d:%d" % (u, v)).encode()).hexdigest()[:8]
+        return int(h, 16) % q == 0
+
+    sampled = [(u, v) for u, v in pairs if coin(u, v)]
+    want_tri = sum(
+        1 for a, b, c in combinations(range(24), 3)
+        if (a, b) in sampled and (b, c) in sampled and (a, c) in sampled)
+
+    df = spark.createDataFrame(pairs, "u long, v long")
+    r = triangle_count_estimate(df, q=q).collect()[0]
+    assert r.n_sampled_edges == len(sampled)
+    assert r.n_sampled_triangles == want_tri
+    assert r.est_triangles == want_tri * q ** 3
+
+
+def test_sampled_estimate_q1_is_exact(spark):
+    from picogeojson_spark.operators.graph import triangle_count_estimate
+
+    pairs = list(combinations(range(8), 2))  # K8: 56 triangles
+    df = spark.createDataFrame(pairs, "u long, v long")
+    r = triangle_count_estimate(df, q=1).collect()[0]
+    assert r.n_sampled_triangles == r.est_triangles == 56
