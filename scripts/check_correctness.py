@@ -135,7 +135,13 @@ def main():
     import os
 
     master = os.environ.get("GATE_MASTER", "local[8]")
-    extra = {"spark.ui.enabled": "false"}
+    # repo rule (CLAUDE.md): local runs need driver memory set BEFORE the
+    # JVM starts — the 1g default OOMs on shuffle-heavy queries at sf0.1
+    # (first hit: graph_triangles' 90M-wedge stage took the whole session
+    # down mid-gate). Overridable via GATE_DRIVER_MEM.
+    extra = {"spark.ui.enabled": "false",
+             "spark.driver.memory": os.environ.get("GATE_DRIVER_MEM",
+                                                   "16g")}
     if "GATE_ANSI" in os.environ:
         # ANSI-mode-independence: Spark 4 defaults ANSI on; GATE_ANSI=false
         # proves no query relies on ANSI-only or legacy-only cast/indexing
