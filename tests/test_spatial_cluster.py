@@ -124,3 +124,63 @@ def test_heatmap_no_cartesian(spark):
     plan = grid_heatmap(_df(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_randomized_brute_differential(spark):
+    """30 deterministic pseudo-random point fields vs a pure-python
+    replica of the full grid-DBSCAN contract (cells, cores, 8-neighbor
+    components, border resolution, noise)."""
+    import math
+
+    eps, min_pts = 500_000, 2
+    B = 1 << 20
+
+    def key(cx, cy):
+        return (cx + B) * (1 << 21) + (cy + B)
+
+    def brute(rows):
+        cells = {}
+        pc = {}
+        for pid, lon, lat in rows:
+            cx = math.floor(math.floor(lon * 1e6) / eps)
+            cy = math.floor(math.floor(lat * 1e6) / eps)
+            pc[pid] = (cx, cy)
+            cells[(cx, cy)] = cells.get((cx, cy), 0) + 1
+        core = {c for c, n in cells.items() if n >= min_pts}
+        # components over 8-neighborhood
+        comp = {}
+        for c in core:
+            comp[c] = key(*c)
+        changed = True
+        while changed:
+            changed = False
+            for (cx, cy) in core:
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nb = (cx + dx, cy + dy)
+                        if nb in core and comp[nb] < comp[(cx, cy)]:
+                            comp[(cx, cy)] = comp[nb]
+                            changed = True
+        out = {}
+        for pid, c in pc.items():
+            if c in core:
+                out[pid] = (comp[c], "core")
+            else:
+                nbrs = [comp[(c[0] + dx, c[1] + dy)]
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                        if not (dx == 0 and dy == 0)
+                        and (c[0] + dx, c[1] + dy) in core]
+                out[pid] = (min(nbrs), "border") if nbrs else (-1, "noise")
+        return out
+
+    for seed in range(30):
+        rows = []
+        for i in range(40):
+            # LCG scatter concentrated in a 6x6-degree box + far outliers
+            a = (seed * 7919 + i * 104729) % 96
+            b = (seed * 15485863 + i * 32452843) % 96
+            lon = -10.0 + a * 0.25 / 4 if i % 9 else 120.25
+            lat = 20.0 + b * 0.25 / 4 if i % 9 else -60.25
+            rows.append((i, lon, lat))
+        got = _run(spark, rows, eps_udeg=eps, min_pts=min_pts)
+        assert got == brute(rows), seed
