@@ -6058,6 +6058,47 @@ _EXTRA_QUERIES["graph_triangles_est"] = q_graph_triangles_est
 _EXTRA_ORACLES["graph_triangles_est"] = Q_GRAPH_TRIANGLES_EST_SQL
 
 
+def q_web_history(spark, sf_dir):
+    """SCD-2 recrawl history: every fetch of a canonical URL versioned
+    with a validity interval (valid_from/valid_to/version/is_current) —
+    the point-in-time complement of web_keep_latest, over the same messy
+    URL + cdn-collision synthesis so real multi-version keys are
+    exercised. ONE per-key window (recrawl-sized partitions)."""
+    from picogeojson_spark.operators.web import canonicalize, scd2_history
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    c = canonicalize(d).withColumn(
+        "crawl_ts", F.expr("(doc_id * 7919) % 100000").cast("long"))
+    return scd2_history(c).orderBy("doc_id")
+
+
+Q_WEB_HISTORY_SQL = (
+    "WITH " + _WEB_NORM_CTES
+    + """,
+w AS (
+  SELECT doc_id, url_norm,
+         CAST((doc_id * 7919) % 100000 AS BIGINT) AS crawl_ts
+  FROM n)
+SELECT doc_id, url_norm,
+       crawl_ts AS valid_from,
+       LEAD(crawl_ts) OVER (PARTITION BY url_norm
+                            ORDER BY crawl_ts, doc_id) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY url_norm
+                               ORDER BY crawl_ts, doc_id) AS INT)
+         AS version,
+       CAST(CASE WHEN LEAD(crawl_ts) OVER (PARTITION BY url_norm
+                                           ORDER BY crawl_ts, doc_id)
+                      IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM w ORDER BY doc_id
+"""
+)
+
+_EXTRA_QUERIES["web_history"] = q_web_history
+_EXTRA_ORACLES["web_history"] = Q_WEB_HISTORY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

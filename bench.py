@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "geo_resample",
     "text_keywords",
     "graph_triangles_est",
+    "web_history",
 ]
 
 

@@ -356,3 +356,33 @@ def anchor_text_stats(pages: DataFrame, src_url_col: str = "url",
             .alias("top_anchor_cnt"),
         )
     )
+
+
+def scd2_history(pages: DataFrame, key_col: str = "url_norm",
+                 ts_col: str = "crawl_ts",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Slowly-changing-dimension (type 2) recrawl history: every fetch of
+    a canonical URL becomes a VERSIONED row with a validity interval —
+    ``(id, key, valid_from, valid_to, version, is_current)`` where
+    ``valid_to`` is the next fetch's timestamp (null while current) and
+    ``version`` counts from 1 in (ts, id) order.
+
+    This is the warehouse-side complement of ``keep_latest``: keep_latest
+    answers "what is the page now", the SCD-2 table answers "what did the
+    crawler believe at time T" (point-in-time joins via
+    ``valid_from <= T < valid_to`` — the ``asof_join`` input shape).
+
+    ONE shuffle: the per-key window; partitions are recrawl-sized (the
+    handful of fetches per URL), never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return pages.select(
+        F.col(id_col), F.col(key_col),
+        F.col(ts_col).cast("long").alias("valid_from"),
+        F.lead(F.col(ts_col).cast("long")).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.when(F.lead(F.col(ts_col)).over(w).isNull(), 1).otherwise(0)
+        .cast("int").alias("is_current"),
+    )

@@ -318,3 +318,23 @@ def test_extract_coordinates_empty_and_clean(spark):
     clean = spark.createDataFrame([(1, "plain words only")],
                                   "doc_id long, text string")
     assert extract_coordinates(clean).count() == 0
+
+
+def test_scd2_history_intervals(spark):
+    from picogeojson_spark.operators.web import scd2_history
+
+    rows = [
+        (1, "a.com/x", 100), (2, "a.com/x", 300), (3, "a.com/x", 200),
+        (4, "b.com/y", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url_norm string, crawl_ts long")
+    out = {r.doc_id: r for r in scd2_history(df).collect()}
+    # versions in ts order: 100 -> 200 -> 300
+    assert (out[1].version, out[3].version, out[2].version) == (1, 2, 3)
+    assert out[1].valid_to == 200 and out[3].valid_to == 300
+    assert out[2].valid_to is None and out[2].is_current == 1
+    assert out[1].is_current == 0 and out[3].is_current == 0
+    assert out[4] == out[4].__class__(
+        doc_id=4, url_norm="b.com/y", valid_from=50, valid_to=None,
+        version=1, is_current=1)
