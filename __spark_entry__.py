@@ -6099,6 +6099,70 @@ _EXTRA_QUERIES["web_history"] = q_web_history
 _EXTRA_ORACLES["web_history"] = Q_WEB_HISTORY_SQL
 
 
+def q_sample_epochs(spark, sf_dir):
+    """Training-mixture epoch allocation (the Llama/DoReMi planning
+    step): given per-source mixture weights (ppm) and a total token
+    budget, each source's allocation is budget * weight and its EPOCH
+    count (how many passes over the source, x1000 fixed-point) is
+    alloc div tokens, capped at 4 epochs — upweighted small sources
+    repeat, oversized sources subsample (epochs < 1000). Corpus work is
+    ONE token-count aggregate; everything after is sources-sized. All
+    integer arithmetic; weights and budget are plan literals."""
+    budget = 2_000_000  # whitespace tokens
+    cap_x1000 = 4_000
+    d = _t(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    src = d.groupBy("source").agg(
+        F.sum(toks.cast("long")).alias("tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    # deterministic per-source weight: 10000..109999 ppm band by md5
+    w_ppm = (F.conv(F.substring(F.md5(F.concat(F.lit("mix:"),
+                                               F.col("source"))), 1, 8),
+                    16, 10).cast("long") % 100_000 + 10_000)
+    alloc = F.expr("({b} * w_ppm) div 1000000".format(b=budget))
+    return (
+        src.withColumn("w_ppm", w_ppm)
+        .withColumn("alloc_tokens", alloc.cast("long"))
+        .select(
+            "source", "tokens", "n_docs", "w_ppm", "alloc_tokens",
+            F.least(
+                F.expr("(alloc_tokens * 1000) div greatest(tokens, 1)"),
+                F.lit(cap_x1000).cast("long")).cast("long")
+            .alias("epochs_x1000"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_SAMPLE_EPOCHS_SQL = r"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, tokens, n_docs,
+         CAST(('0x' || substring(md5('mix:' || source), 1, 8)) AS BIGINT)
+           % 100000 + 10000 AS w_ppm
+  FROM src)
+SELECT source, tokens, n_docs, CAST(w_ppm AS BIGINT) AS w_ppm,
+       CAST((2000000 * w_ppm) // 1000000 AS BIGINT) AS alloc_tokens,
+       CAST(LEAST(((2000000 * w_ppm) // 1000000 * 1000)
+                  // GREATEST(tokens, 1), 4000) AS BIGINT)
+         AS epochs_x1000
+FROM w ORDER BY source
+"""
+
+
+_EXTRA_QUERIES["sample_epochs"] = q_sample_epochs
+_EXTRA_ORACLES["sample_epochs"] = Q_SAMPLE_EPOCHS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "text_keywords",
     "graph_triangles_est",
     "web_history",
+    "sample_epochs",
 ]
 
 
