@@ -6163,6 +6163,58 @@ _EXTRA_QUERIES["sample_epochs"] = q_sample_epochs
 _EXTRA_ORACLES["sample_epochs"] = Q_SAMPLE_EPOCHS_SQL
 
 
+def q_geo_hexbin(spark, sf_dir):
+    """Hexagonal binning raster: every clumped point assigned to its
+    nearest center of two staggered integer lattices (the exact hexbin
+    construction — the union lattice with h ~ sqrt(3)w is triangular, so
+    Voronoi cells are regular hexagons), then ONE map-side-combined hash
+    aggregate.  Assignment is pure integer codegen riding the scan; the
+    oracle replays the whole nearest-center arithmetic, so hash-equality
+    proves the candidate-pair shortcut (nearest-A vs nearest-B) finds the
+    true nearest center for every point."""
+    from picogeojson_spark.operators.hexbin import hex_histogram
+
+    pts = _clumped_points(spark, sf_dir)
+    return hex_histogram(pts, width_udeg=2_000_000).orderBy("hx", "hy")
+
+
+Q_GEO_HEXBIN_SQL = """
+WITH pts AS ({points}),
+u AS (
+  SELECT CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+  FROM pts),
+c AS (
+  SELECT x, y,
+         CAST(floor((x + 1000000) / 2000000.0) AS BIGINT) AS ia,
+         CAST(floor((y + 1732000) / 3464000.0) AS BIGINT) AS ja,
+         CAST(floor(x / 2000000.0) AS BIGINT) AS ib,
+         CAST(floor(y / 3464000.0) AS BIGINT) AS jb
+  FROM u),
+a AS (
+  SELECT x, y, ia, ja, ib, jb,
+         (x - ia * 2000000) * (x - ia * 2000000)
+           + (y - ja * 3464000) * (y - ja * 3464000) AS da,
+         (x - (ib * 2000000 + 1000000)) * (x - (ib * 2000000 + 1000000))
+           + (y - (jb * 3464000 + 1732000)) * (y - (jb * 3464000 + 1732000))
+           AS db
+  FROM c),
+h AS (
+  SELECT CASE WHEN da <= db THEN ia * 2 ELSE ib * 2 + 1 END AS hx,
+         CASE WHEN da <= db THEN ja * 2 ELSE jb * 2 + 1 END AS hy
+  FROM a)
+SELECT CAST(hx AS BIGINT) AS hx, CAST(hy AS BIGINT) AS hy,
+       CAST(hx * 1000000 AS BIGINT) AS hex_cx_udeg,
+       CAST(hy * 1732000 AS BIGINT) AS hex_cy_udeg,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM h GROUP BY hx, hy ORDER BY hx, hy
+""".format(points=_CLUMPED_POINTS_SQL)
+
+
+_EXTRA_QUERIES["geo_hexbin"] = q_geo_hexbin
+_EXTRA_ORACLES["geo_hexbin"] = Q_GEO_HEXBIN_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

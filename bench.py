@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "graph_triangles_est",
     "web_history",
     "sample_epochs",
+    "geo_hexbin",
 ]
 
 
