@@ -6215,6 +6215,88 @@ _EXTRA_QUERIES["geo_hexbin"] = q_geo_hexbin
 _EXTRA_ORACLES["geo_hexbin"] = Q_GEO_HEXBIN_SQL
 
 
+def q_geo_lisa(spark, sf_dir):
+    """Local spatial autocorrelation (LISA) over the 2-degree occupied-
+    cell raster, queen weights: per cell the exact-integer deviation
+    dev_n = N*cnt - S (N-scaled so the mean never becomes a float), the
+    neighbor lag, and local = dev_n * lag — the hotspot/outlier
+    statistic.  ONE corpus shuffle (the histogram); globals are a 1-row
+    broadcast scalar (allowlisted bm25 shape); adjacency is an 8-offset
+    explode of the CELL table."""
+    from picogeojson_spark.operators.spatial_cluster import local_moran
+
+    pts = _clumped_points(spark, sf_dir)
+    return local_moran(pts, cell_udeg=2_000_000).orderBy("cx", "cy")
+
+
+_MORAN_LOC_CTES = """
+pts AS ({points}),
+pc AS (
+  SELECT CAST(floor(CAST(floor(lon * 1000000.0) AS BIGINT) / 2000000.0)
+              AS BIGINT) AS cx,
+         CAST(floor(CAST(floor(lat * 1000000.0) AS BIGINT) / 2000000.0)
+              AS BIGINT) AS cy
+  FROM pts),
+cells AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pc GROUP BY 1, 2),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(cnt) AS BIGINT) AS total_pts FROM cells),
+d AS (SELECT cx, cy, cnt,
+             CAST(g.n_cells * cnt - g.total_pts AS BIGINT) AS dev_n
+      FROM cells CROSS JOIN g),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                        (1,-1),(1,0),(1,1)),
+nb AS (SELECT a.cx + o.dx AS cx, a.cy + o.dy AS cy,
+              CAST(SUM(a.dev_n) AS BIGINT) AS lag,
+              CAST(COUNT(*) AS BIGINT) AS n_nbrs
+       FROM d a CROSS JOIN offs o GROUP BY 1, 2),
+loc AS (
+  SELECT d.cx, d.cy, d.cnt,
+         CAST(COALESCE(nb.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+         d.dev_n,
+         CAST(COALESCE(nb.lag, 0) AS BIGINT) AS lag,
+         CAST(d.dev_n * COALESCE(nb.lag, 0) AS BIGINT) AS local
+  FROM d LEFT JOIN nb ON nb.cx = d.cx AND nb.cy = d.cy)
+""".format(points=_CLUMPED_POINTS_SQL)
+
+
+Q_GEO_LISA_SQL = (
+    "WITH " + _MORAN_LOC_CTES
+    + "SELECT * FROM loc ORDER BY cx, cy"
+)
+
+
+_EXTRA_QUERIES["geo_lisa"] = q_geo_lisa
+_EXTRA_ORACLES["geo_lisa"] = Q_GEO_LISA_SQL
+
+
+def q_geo_moran(spark, sf_dir):
+    """Global Moran's I building blocks as ONE exact-integer row
+    (n_cells, total_pts, w_pairs, num, den); I = (n_cells/w_pairs) *
+    num/den — the N-scaling of dev_n cancels, and emitting the exact
+    integers keeps the contract engine-deterministic (no float division
+    in either engine)."""
+    from picogeojson_spark.operators.spatial_cluster import moran_summary
+
+    pts = _clumped_points(spark, sf_dir)
+    return moran_summary(pts, cell_udeg=2_000_000)
+
+
+Q_GEO_MORAN_SQL = (
+    "WITH " + _MORAN_LOC_CTES
+    + """SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cnt) AS BIGINT) AS total_pts,
+       CAST(SUM(n_nbrs) AS BIGINT) AS w_pairs,
+       CAST(SUM(local) AS BIGINT) AS num,
+       CAST(SUM(dev_n * dev_n) AS BIGINT) AS den
+FROM loc"""
+)
+
+
+_EXTRA_QUERIES["geo_moran"] = q_geo_moran
+_EXTRA_ORACLES["geo_moran"] = Q_GEO_MORAN_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

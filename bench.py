@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "web_history",
     "sample_epochs",
     "geo_hexbin",
+    "geo_lisa",
+    "geo_moran",
 ]
 
 

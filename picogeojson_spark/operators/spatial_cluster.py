@@ -315,3 +315,81 @@ def adaptive_quadbin(
                  F.col("ly").alias("y"))
         .agg(F.sum("cnt").cast("long").alias("n_points"))
     )
+
+
+def local_moran(
+    points: DataFrame,
+    cell_udeg: int = 2_000_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Local spatial autocorrelation (LISA / local Moran's I numerators)
+    over the occupied-cell raster, queen (8-neighbor) binary weights.
+
+    Exact integer contract: with N = occupied cells and S = total points,
+    ``dev_n = N*cnt - S`` is exactly N*(cnt - mean) — the mean never
+    becomes a float, so both engines compute identical integers.  Per
+    cell: ``n_nbrs`` (occupied neighbors), ``lag`` (sum of neighbor
+    dev_n), ``local = dev_n * lag`` (the LISA hotspot statistic, positive
+    = value like its neighbors, negative = spatial outlier).
+
+    Scale shape: ONE corpus-sized shuffle (the cell histogram).  The
+    (N, S) globals are a 1-row aggregate attached by broadcast
+    nested-loop (the bm25 scalar shape, allowlisted); adjacency is an
+    8-offset explode of the CELL table re-aggregated on the packed
+    target key — shuffle volume 8x the occupied-cell count, independent
+    of the point count.  Never a theta join.
+    """
+    cells = cell_histogram(points, cell_udeg, lon_col, lat_col) \
+        .withColumn("k", _pack(F.col("cx"), F.col("cy")))
+    g = cells.agg(F.count("*").cast("long").alias("n_cells"),
+                  F.sum("cnt").cast("long").alias("total_pts"))
+    d = cells.crossJoin(F.broadcast(g)).withColumn(
+        "dev_n",
+        (F.col("n_cells") * F.col("cnt") - F.col("total_pts"))
+        .cast("long"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _NEIGHBOR_OFFSETS
+    ])
+    contrib = (
+        d.select("dev_n", F.explode(offs).alias("o"), "cx", "cy")
+        .select(_pack(F.col("cx") + F.col("o.dx"),
+                      F.col("cy") + F.col("o.dy")).alias("k"), "dev_n")
+        .groupBy("k")
+        .agg(F.sum("dev_n").cast("long").alias("lag"),
+             F.count("*").cast("long").alias("n_nbrs"))
+    )
+    return (
+        d.join(contrib, on="k", how="left")
+        .select(
+            "cx", "cy", F.col("cnt").cast("long").alias("cnt"),
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).cast("long")
+            .alias("n_nbrs"),
+            "dev_n",
+            F.coalesce(F.col("lag"), F.lit(0)).cast("long").alias("lag"),
+            (F.col("dev_n") * F.coalesce(F.col("lag"), F.lit(0)))
+            .cast("long").alias("local"),
+        )
+    )
+
+
+def moran_summary(
+    points: DataFrame,
+    cell_udeg: int = 2_000_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Global Moran's I building blocks as ONE exact-integer row:
+    ``(n_cells, total_pts, w_pairs, num, den)`` where
+    I = (n_cells / w_pairs) * num / den (the N-scaling of dev_n cancels).
+    Emitting the exact integers instead of the float ratio keeps the
+    contract engine-exact; the division is a trivial post-step."""
+    loc = local_moran(points, cell_udeg, lon_col, lat_col)
+    return loc.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("cnt").cast("long").alias("total_pts"),
+        F.sum("n_nbrs").cast("long").alias("w_pairs"),
+        F.sum("local").cast("long").alias("num"),
+        F.sum(F.col("dev_n") * F.col("dev_n")).cast("long").alias("den"),
+    )

@@ -327,7 +327,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     # text_surprisal shape)
                     "text_keywords",
                     # two 1-row sampled-count scalars (DOULION estimate)
-                    "graph_triangles_est"}
+                    "graph_triangles_est",
+                    # 1-row (N cells, total points) scalar broadcast onto
+                    # the occupied-cell raster (Moran dev_n = N*cnt - S)
+                    "geo_lisa", "geo_moran"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
