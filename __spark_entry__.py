@@ -6297,6 +6297,60 @@ _EXTRA_QUERIES["geo_moran"] = q_geo_moran
 _EXTRA_ORACLES["geo_moran"] = Q_GEO_MORAN_SQL
 
 
+def q_geo_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix mined from travelogue text: each
+    doc's consecutive valid mentions are movements, endpoints snap to
+    10-degree cells, same-cell dwell drops, flows aggregate with trip and
+    distinct-doc counts.  The planted mid-path 999.5 trap matters here
+    too: a dropped mention must SPLICE the flow (prev valid -> next
+    valid), not break it — the oracle replays the splice."""
+    from picogeojson_spark.operators.geotext import od_flows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _traj_text_col().alias("text"))
+    return od_flows(docs, cell_udeg=10_000_000).orderBy(
+        "from_cx", "from_cy", "to_cx", "to_cy")
+
+
+Q_GEO_OD_FLOWS_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(CAST(floor(lon * 1000000.0) AS BIGINT) / 10000000.0)
+              AS BIGINT) AS cx,
+         CAST(floor(CAST(floor(lat * 1000000.0) AS BIGINT) / 10000000.0)
+              AS BIGINT) AS cy
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+seg AS (
+  SELECT doc_id, cx, cy,
+         lag(cx) OVER (PARTITION BY doc_id ORDER BY j) AS pcx,
+         lag(cy) OVER (PARTITION BY doc_id ORDER BY j) AS pcy
+  FROM ok),
+mv AS (
+  SELECT * FROM seg
+  WHERE pcx IS NOT NULL AND (pcx <> cx OR pcy <> cy))
+SELECT pcx AS from_cx, pcy AS from_cy, cx AS to_cx, cy AS to_cy,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM mv GROUP BY 1, 2, 3, 4
+ORDER BY from_cx, from_cy, to_cx, to_cy
+""".format(txt=_TRAJ_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_od_flows"] = q_geo_od_flows
+_EXTRA_ORACLES["geo_od_flows"] = Q_GEO_OD_FLOWS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

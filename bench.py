@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "geo_hexbin",
     "geo_lisa",
     "geo_moran",
+    "geo_od_flows",
 ]
 
 

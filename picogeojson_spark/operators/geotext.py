@@ -129,3 +129,47 @@ def trajectory_measures(
         .cast("long").alias("disp_u"),
         "lat_min_u", "lat_max_u", "lon_min_u", "lon_max_u",
     )
+
+
+def od_flows(
+    docs: DataFrame,
+    cell_udeg: int = 10_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Origin-destination flow matrix from text-mined trajectories: each
+    document's consecutive valid coordinate mentions are movements; both
+    endpoints snap to a coarse cell and flows aggregate to
+    ``(from_cx, from_cy, to_cx, to_cy, n_trips, n_docs)`` (same-cell
+    hops dropped — they are dwell, not flow).
+
+    Scale shape: mentions are mention-sized, never text-sized; ONE
+    per-doc window shuffle orders the polyline (trajectory partitions
+    are waypoint-sized), then ONE map-side-combined aggregate on the
+    flow key whose reduce side is OD-matrix-sized.  ``n_docs`` is a
+    COUNT(DISTINCT doc) inside the same aggregate (Spark plans a
+    two-phase partial-distinct — still no extra corpus pass).
+    """
+    from pyspark.sql import Window
+
+    m = extract_coordinates(docs, id_col=id_col, text_col=text_col)
+    cx = F.floor(F.floor(F.col("lon") * 1e6).cast("long")
+                 / F.lit(float(cell_udeg))).cast("long")
+    cy = F.floor(F.floor(F.col("lat") * 1e6).cast("long")
+                 / F.lit(float(cell_udeg))).cast("long")
+    w = Window.partitionBy(id_col).orderBy("idx")
+    cells = (
+        m.select(id_col, "idx", cx.alias("cx"), cy.alias("cy"))
+        .withColumn("pcx", F.lag("cx").over(w))
+        .withColumn("pcy", F.lag("cy").over(w))
+    )
+    mv = cells.filter(
+        F.col("pcx").isNotNull()
+        & ((F.col("pcx") != F.col("cx")) | (F.col("pcy") != F.col("cy"))))
+    return (
+        mv.groupBy(
+            F.col("pcx").alias("from_cx"), F.col("pcy").alias("from_cy"),
+            F.col("cx").alias("to_cx"), F.col("cy").alias("to_cy"))
+        .agg(F.count("*").cast("long").alias("n_trips"),
+             F.countDistinct(id_col).cast("long").alias("n_docs"))
+    )

@@ -119,3 +119,25 @@ def test_stream_attribution_equals_batch(spark):
             .cast("long").alias("lag_us")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_od_flows_hand_computed_and_splice(spark):
+    from picogeojson_spark.operators.geotext import od_flows
+
+    docs = spark.createDataFrame(
+        [
+            # cell pitch 10 deg: (5.25,5.25)->cell(0,0); (15.25,5.25)->(1,0)
+            (1, "go 5.25, 5.25 then 5.25, 15.25 back to 5.25, 5.25"),
+            # dwell: both mentions in cell (0,0) -> no flow
+            (2, "at 5.25, 5.25 then 6.25, 6.25"),
+            # splice: invalid 999.5 mention mid-path must connect ends
+            (3, "a 5.25, 5.25 x 999.5, 12.25 b 5.25, 15.25"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {((r.from_cx, r.from_cy), (r.to_cx, r.to_cy)):
+            (r.n_trips, r.n_docs) for r in od_flows(docs).collect()}
+    # doc1 contributes both directions; doc3 splices into (0,0)->(1,0)
+    assert rows[((0, 0), (1, 0))] == (2, 2)
+    assert rows[((1, 0), (0, 0))] == (1, 1)
+    assert len(rows) == 2  # dwell dropped, nothing else
