@@ -6351,6 +6351,42 @@ _EXTRA_QUERIES["geo_od_flows"] = q_geo_od_flows
 _EXTRA_ORACLES["geo_od_flows"] = Q_GEO_OD_FLOWS_SQL
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease + FK grade per document as exact integer
+    milli-units (words / [.!?]+ sentences / [aeiouy]+ vowel-group
+    syllables, all codegen regex counts — zero shuffles/UDFs/joins)."""
+    from picogeojson_spark.operators.textstats import readability
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability(d).orderBy("doc_id")
+
+
+Q_TEXT_READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         GREATEST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT), 1) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                  AS BIGINT), 1) AS n_sentences,
+         GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT), 1) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015000 * n_words) // (1000 * n_sentences)
+                   - (84600 * n_syllables) // n_words AS BIGINT)
+         AS fre_milli,
+       CAST((390000 * n_words) // (1000 * n_sentences)
+            + (11800 * n_syllables) // n_words - 15590 AS BIGINT)
+         AS fkg_milli
+FROM c ORDER BY doc_id
+"""
+
+
+_EXTRA_QUERIES["text_readability"] = q_text_readability
+_EXTRA_ORACLES["text_readability"] = Q_TEXT_READABILITY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "geo_lisa",
     "geo_moran",
     "geo_od_flows",
+    "text_readability",
 ]
 
 

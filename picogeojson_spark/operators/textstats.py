@@ -804,3 +804,51 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
         schema=("doc_id long, raw_len long, comp_len long,"
                 " ratio_ppm long, low_entropy int"),
     )
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as exact integer
+    fixed-point (milli-units) — the classic web-text quality signal
+    pipelines gate on before expensive model scoring.
+
+    Heuristic contract (documented, cross-engine exact): words =
+    whitespace tokens; sentences = [.!?]+ runs (min 1); syllables =
+    [aeiouy]+ vowel groups in the lowercased text (min 1).  All three
+    ride the scan as pure codegen regex counts; both ratios use
+    non-negative integer division (div == // when everything is
+    positive, so the repo's truncate-vs-floor rule is moot by
+    construction):
+
+      fre_milli = 206835 - (1015000*words) div (1000*sentences)
+                         - (84600*syllables) div words
+      fkg_milli = (390000*words) div (1000*sentences)
+                  + (11800*syllables) div words - 15590
+
+    Zero shuffles, zero UDFs, zero joins."""
+    t = F.trim(F.col(text_col))
+    words = F.greatest(
+        F.when(F.length(t) == 0, F.lit(0)).otherwise(
+            F.size(F.split(t, r"\s+"))).cast("long"),
+        F.lit(1).cast("long"))
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"))
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)),
+                       F.lit(r"[aeiouy]+")).cast("long"),
+        F.lit(1).cast("long"))
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     words.alias("n_words"),
+                     sentences.alias("n_sentences"),
+                     syllables.alias("n_syllables")))
+    wps = F.expr("(1015000 * n_words) div (1000 * n_sentences)")
+    spw = F.expr("(84600 * n_syllables) div n_words")
+    return d.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        (F.lit(206835).cast("long") - wps - spw).cast("long")
+        .alias("fre_milli"),
+        (F.expr("(390000 * n_words) div (1000 * n_sentences)")
+         + F.expr("(11800 * n_syllables) div n_words")
+         - F.lit(15590)).cast("long").alias("fkg_milli"),
+    )

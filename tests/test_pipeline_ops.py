@@ -2264,3 +2264,28 @@ def test_stream_sessions_equals_batch(spark, tmp_path):
     bgot = {(r["user_id"], r["start_us"]): (r["n"], r["c"])
             for r in batch.collect()}
     assert bgot == got
+
+
+def test_readability_hand_computed(spark):
+    from picogeojson_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [
+            # "the cat sat." -> 3 words, 1 sentence, 3 syllable groups
+            (1, "the cat sat."),
+            # empty text -> all floors kick in (1,1,1)
+            (2, "   "),
+            # multi-sentence, shared punctuation run counts once
+            (3, "go!! stop? now."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+    # fre = 206835 - 1015000*3//1000 - 84600*3//3 = 206835 - 3045 - 84600
+    assert r1.fre_milli == 206835 - 3045 - 84600
+    assert r1.fkg_milli == 390000 * 3 // 1000 + 11800 * 3 // 3 - 15590
+    r2 = rows[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (1, 1, 1)
+    assert rows[3].n_sentences == 3
