@@ -6387,6 +6387,49 @@ _EXTRA_QUERIES["text_readability"] = q_text_readability
 _EXTRA_ORACLES["text_readability"] = Q_TEXT_READABILITY_SQL
 
 
+def q_graph_lpa(spark, sf_dir):
+    """Label-propagation communities over the market-basket co-occurrence
+    graph: synchronous min-tie-break variant (deterministic — the classic
+    async/random LPA is not), 4 rounds.  Per round one label⋈edges
+    equi-join + one map-side-combined (node,label) count + one top-1
+    WindowGroupLimit; one-round-late persist handoff."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return label_propagation(edges, rounds=4).orderBy("node")
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    head = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+sym AS MATERIALIZED (SELECT u, v FROM e
+                     UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    rnd = """,
+c{k} AS MATERIALIZED (
+  SELECT s.u AS node, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN l{p} l ON l.node = s.v GROUP BY 1, 2),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{k}) t WHERE rn = 1)"""
+    body = "".join(rnd.format(k=k, p=k - 1) for k in range(1, rounds + 1))
+    return (head + body
+            + "\nSELECT node, label FROM l{r} ORDER BY node".format(r=rounds))
+
+
+_EXTRA_QUERIES["graph_lpa"] = q_graph_lpa
+_EXTRA_ORACLES["graph_lpa"] = _lpa_oracle_sql(4)
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "geo_moran",
     "geo_od_flows",
     "text_readability",
+    "graph_lpa",
 ]
 
 

@@ -463,3 +463,64 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("core_degree"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    made deterministic: every node starts labeled with its own id; each
+    round every node adopts the MODAL label among its neighbors, ties
+    broken by the smallest label; all nodes update simultaneously for a
+    FIXED number of rounds (the async/random classic is explicitly
+    non-deterministic — the synchronous min-tie-break variant is a pure
+    function of the edge set, so the oracle can unroll it).
+
+    Scale shape: per round ONE equi-join of the label vector with the
+    symmetrized edge table (kept persisted, hash-partitioned on the
+    neighbor key so every round reuses the same layout), one map-side-
+    combined (node, label) count, and one per-node top-1 window
+    (WindowGroupLimit — partial rank before the shuffle).  Iteration
+    vectors use the one-round-late persist handoff (bounded at two
+    vectors, the pagerank/bpe pattern).  Labels never leave the JVM.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    prev = None
+    try:
+        for _ in range(rounds):
+            nb = sym.join(labels.withColumnRenamed("node", "v"), on="v")
+            cnt = (
+                nb.groupBy(F.col("u").alias("node"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            new = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .persist()
+            )
+            new.count()
+            if prev is not None:
+                prev.unpersist()
+            prev, labels = labels, new
+        out = labels.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        labels.unpersist()
+    return out
