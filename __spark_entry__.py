@@ -6430,6 +6430,44 @@ _EXTRA_QUERIES["graph_lpa"] = q_graph_lpa
 _EXTRA_ORACLES["graph_lpa"] = _lpa_oracle_sql(4)
 
 
+def q_text_phrase(spark, sf_dir):
+    """Exact phrase search ("batch batch" — a repeated-token phrase, the
+    adversarial case: overlapping matches must count) via the positional
+    set-intersection plan: isin-filtered posexplode, ONE groupBy(doc)
+    building shifted position sets, array_intersect merge.  The oracle is
+    the INDEPENDENT formulation — a positional self-join — so
+    hash-equality proves the set plan against the classic one."""
+    from picogeojson_spark.operators.retrieval import phrase_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(d, ["batch", "batch"]).orderBy("doc_id")
+
+
+Q_TEXT_PHRASE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, j, toks[j] AS w
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS j) s),
+f AS (
+  SELECT doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS pos
+  FROM e WHERE w <> ''),
+m AS (
+  SELECT a.doc_id, a.pos
+  FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.w = 'batch' AND b.w = 'batch')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_EXTRA_QUERIES["text_phrase"] = q_text_phrase
+_EXTRA_ORACLES["text_phrase"] = Q_TEXT_PHRASE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "geo_od_flows",
     "text_readability",
     "graph_lpa",
+    "text_phrase",
 ]
 
 

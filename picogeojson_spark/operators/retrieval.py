@@ -141,3 +141,59 @@ def _bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, scalars: DataFrame,
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "n_hit", "score_x1e6"
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a positional index built on the fly:
+    ``(doc_id, n_matches, first_pos)`` for every document containing the
+    token sequence ``phrase`` contiguously (0-based token positions;
+    overlapping matches count — "b b b" matches "b b" twice).
+
+    Tokenization matches bm25_topk / top_terms (lower, trim, whitespace
+    split, drop empties — empties dropped BEFORE positions are assigned,
+    so positions index the token sequence, not the raw string).
+
+    Plan: posexplode -> isin filter on the phrase's token set (pushed to
+    the scan; the corpus never shuffles untokenized), then ONE
+    groupBy(doc) building the per-offset position sets as collect_set
+    arrays shifted by -k, intersected with array_intersect — a k-way
+    positional merge with no self-joins at all (the classic SQL phrase
+    query is k-1 positional self-joins; the set-intersection form does
+    one shuffle regardless of phrase length).
+    """
+    phrase = [t.lower() for t in phrase]
+    if not phrase or any(not t for t in phrase):
+        raise ValueError("phrase_search needs non-empty tokens")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+        ).alias("pos", "word"),
+    )
+    hits = toks.filter(F.col("word").isin(sorted(set(phrase))))
+    aggs = [
+        F.collect_set(
+            F.when(F.col("word") == F.lit(t), F.col("pos") - F.lit(k))
+        ).alias("p{}".format(k))
+        for k, t in enumerate(phrase)
+    ]
+    per_doc = hits.groupBy("doc_id").agg(*aggs)
+    inter = F.col("p0")
+    for k in range(1, len(phrase)):
+        inter = F.array_intersect(inter, F.col("p{}".format(k)))
+    return (
+        per_doc.select("doc_id", inter.alias("m"))
+        .filter(F.size("m") > 0)
+        .select(
+            "doc_id",
+            F.size("m").cast("long").alias("n_matches"),
+            F.array_min("m").cast("long").alias("first_pos"),
+        )
+    )
