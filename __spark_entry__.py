@@ -6468,6 +6468,41 @@ _EXTRA_QUERIES["text_phrase"] = q_text_phrase
 _EXTRA_ORACLES["text_phrase"] = Q_TEXT_PHRASE_SQL
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Bottom-k (KMV) quantile sketch over document lengths: the k=64
+    smallest md5-of-key rows are a deterministic uniform sample
+    (TakeOrderedAndProject — per-partition k-heaps, no global sort);
+    exact order statistics over the bounded sample estimate the
+    percentiles.  Mergeable (union + re-bottom-k; pinned by test)."""
+    from picogeojson_spark.operators.sketches import quantile_sketch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+    return quantile_sketch(d, "n_chars", "doc_id", k=64).orderBy("pctl")
+
+
+Q_SKETCH_QUANTILES_SQL = """
+WITH s AS (
+  SELECT CAST(length(text) AS BIGINT) AS v,
+         CAST(('0x' || substring(md5('qs:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS hk
+  FROM documents ORDER BY hk LIMIT 64),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, hk) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s),
+p(pctl) AS (VALUES (1), (5), (25), (50), (75), (95), (99))
+SELECT CAST(p.pctl AS INT) AS pctl, r.v AS est_value,
+       CAST(r.n AS BIGINT) AS sample_n
+FROM p JOIN r ON r.rn = (p.pctl * r.n + 99) // 100
+ORDER BY pctl
+"""
+
+
+_EXTRA_QUERIES["sketch_quantiles"] = q_sketch_quantiles
+_EXTRA_ORACLES["sketch_quantiles"] = Q_SKETCH_QUANTILES_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "text_readability",
     "graph_lpa",
     "text_phrase",
+    "sketch_quantiles",
 ]
 
 

@@ -458,3 +458,67 @@ SELECT est_a, est_b, est_union,
        GREATEST(est_a + est_b - est_union, 0) AS est_inter, exact_inter
 FROM piv CROSS JOIN exact
 """
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    pcts: tuple = (1, 5, 25, 50, 75, 95, 99),
+    salt: str = "qs",
+) -> DataFrame:
+    """Bottom-k (KMV-style) quantile sketch: the k rows with the smallest
+    md5 key hashes are a DETERMINISTIC uniform sample of fixed size, and
+    exact order statistics over that sample estimate the percentiles.
+
+    Returns ``(pctl, est_value, sample_n)`` with ``est_value`` the sample
+    order statistic at 1-based rank ``(pctl * n + 99) div 100`` (ceil for
+    positive ints — the rfm quantile convention).
+
+    Why this shape: the sketch is MERGEABLE (union two bottom-k samples
+    and re-take the bottom k = the bottom-k of the union — see the test
+    pinning sketch(A∪B) == merge(sketch(A), sketch(B))), its memory is
+    bounded by k regardless of corpus size, and Spark plans the bottom-k
+    as TakeOrderedAndProject: every partition keeps only its k smallest
+    hashes, the driver merges k-sized heaps — no global sort, no corpus
+    shuffle.  The final order statistics run as pure expressions over ONE
+    collect_list row (bounded at k entries), so there is no window and no
+    1-row BNLJ anywhere.
+    """
+    if k < 1 or not pcts:
+        raise ValueError("k >= 1 and at least one percentile required")
+    if any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("percentiles must be in [1, 100]")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    samp = (
+        df.select(F.col(value_col).cast("long").alias("v"),
+                  hk.alias("hk"))
+        .orderBy("hk")
+        .limit(int(k))
+    )
+    one = samp.agg(
+        F.sort_array(F.collect_list(F.struct("v", "hk"))).alias("arr"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(int(p)).cast("int").alias("pctl"),
+            F.when(
+                F.col("n") > 0,
+                F.element_at(
+                    F.col("arr"),
+                    F.expr("({p} * n + 99) div 100".format(p=int(p)))
+                    .cast("int"))["v"]).alias("est_value"),
+            F.col("n").alias("sample_n"),
+        )
+        for p in sorted(pcts)
+    ])
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.pctl", "r.est_value", "r.sample_n")
+    )

@@ -329,3 +329,81 @@ def test_table_profile_numeric_min_is_native_not_lexicographic(spark):
     df = spark.createDataFrame([(9,), (10,), (100,)], "k long")
     r = table_profile(df, ["k"]).collect()[0]
     assert (r["min_s"], r["max_s"]) == ("9", "100")  # not "10"/"9"
+
+
+def _qs_expected(pairs, k, pcts=(1, 5, 25, 50, 75, 95, 99), salt="qs"):
+    import hashlib
+
+    hk = {key: int(hashlib.md5(
+        ("%s:%d" % (salt, key)).encode()).hexdigest()[:8], 16)
+        for _, key in pairs}
+    samp = sorted(pairs, key=lambda p: hk[p[1]])[:k]
+    byv = sorted((v, hk[key]) for v, key in samp)
+    n = len(byv)
+    return [(p, byv[(p * n + 99) // 100 - 1][0], n) for p in sorted(pcts)]
+
+
+def test_quantile_sketch_python_replay(spark):
+    from picogeojson_spark.operators.sketches import quantile_sketch
+
+    pairs = [((i * 37) % 1000 + 3, i) for i in range(500)]
+    df = spark.createDataFrame(pairs, "v long, key long")
+    out = [(r.pctl, r.est_value, r.sample_n)
+           for r in quantile_sketch(df, "v", "key", k=32)
+           .orderBy("pctl").collect()]
+    assert out == _qs_expected(pairs, 32)
+
+
+def test_quantile_sketch_small_corpus_exact(spark):
+    from picogeojson_spark.operators.sketches import quantile_sketch
+
+    pairs = [(v, v) for v in range(1, 11)]
+    df = spark.createDataFrame(pairs, "v long, key long")
+    out = {r.pctl: (r.est_value, r.sample_n)
+           for r in quantile_sketch(df, "v", "key", k=64).collect()}
+    # n=10 < k: the sketch is exact; rank(50) = (500+99)//100 = 5
+    assert out[50] == (5, 10)
+    assert out[99] == (10, 10)
+    assert out[1] == (1, 10)
+
+
+def test_quantile_sketch_mergeable(spark):
+    from picogeojson_spark.operators.sketches import quantile_sketch
+    import hashlib
+
+    pairs = [((i * 91) % 777, i) for i in range(400)]
+    hk = {key: int(hashlib.md5(b"qs:%d" % key).hexdigest()[:8], 16)
+          for _, key in pairs}
+    half1, half2 = pairs[:200], pairs[200:]
+    keep = set()
+    for half in (half1, half2):
+        keep |= {key for _, key in sorted(half,
+                                          key=lambda p: hk[p[1]])[:32]}
+    df_full = spark.createDataFrame(pairs, "v long, key long")
+    df_merged = spark.createDataFrame(
+        [p for p in pairs if p[1] in keep], "v long, key long")
+    a = quantile_sketch(df_full, "v", "key", k=32).orderBy("pctl").collect()
+    b = quantile_sketch(df_merged, "v", "key", k=32) \
+        .orderBy("pctl").collect()
+    assert a == b
+
+
+def test_quantile_sketch_plan_is_bottom_k(spark):
+    from picogeojson_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(1000).selectExpr("id as v", "id as key")
+    plan = quantile_sketch(df, "v", "key", k=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort anywhere
+
+
+def test_quantile_sketch_validation(spark):
+    from picogeojson_spark.operators.sketches import quantile_sketch
+    import pytest as _pytest
+
+    df = spark.range(3).selectExpr("id as v", "id as key")
+    with _pytest.raises(ValueError):
+        quantile_sketch(df, "v", "key", k=0)
+    with _pytest.raises(ValueError):
+        quantile_sketch(df, "v", "key", pcts=(0,))
