@@ -6503,6 +6503,56 @@ _EXTRA_QUERIES["sketch_quantiles"] = q_sketch_quantiles
 _EXTRA_ORACLES["sketch_quantiles"] = Q_SKETCH_QUANTILES_SQL
 
 
+def q_web_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (4 rounds = 16
+    hops): deterministic converging chains (u_i -> u_{i div 3}, depth ~6
+    at 500 docs) plus a PLANTED 2-CYCLE (c10 <-> c11) that can never
+    resolve — the oracle replays exactly 16 single steps with a
+    depth-capped recursive walk (doubling with identity-extension
+    composes exactly, so f^16 is f^16 either way)."""
+    from picogeojson_spark.operators.web import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    chain = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), F.expr("doc_id div 3").cast("string"))
+        .alias("dst"))
+    cyc = d.filter(F.col("doc_id").isin(10, 11)).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("c"), (F.lit(21) - F.col("doc_id")).cast("string"))
+        .alias("dst"))
+    return resolve_redirects(chain.unionAll(cyc), rounds=4).orderBy("src")
+
+
+Q_WEB_REDIRECTS_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         'u' || CAST(doc_id // 3 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'c' || CAST(doc_id AS VARCHAR),
+         'c' || CAST(21 - doc_id AS VARCHAR)
+  FROM documents WHERE doc_id IN (10, 11)),
+f AS (SELECT src AS node, MIN(dst) AS ptr FROM e GROUP BY src),
+walk(node, ptr, d) AS (
+  SELECT node, ptr, 1 FROM f
+  UNION ALL
+  SELECT w.node, COALESCE(f2.ptr, w.ptr), w.d + 1
+  FROM walk w LEFT JOIN f f2 ON f2.node = w.ptr
+  WHERE w.d < 16),
+fin AS (SELECT node, ptr FROM walk WHERE d = 16)
+SELECT fin.node AS src, fin.ptr AS final,
+       (f3.node IS NULL) AS resolved
+FROM fin LEFT JOIN f f3 ON f3.node = fin.ptr
+ORDER BY src
+"""
+
+
+_EXTRA_QUERIES["web_redirects"] = q_web_redirects
+_EXTRA_ORACLES["web_redirects"] = Q_WEB_REDIRECTS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

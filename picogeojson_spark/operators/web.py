@@ -386,3 +386,69 @@ def scd2_history(pages: DataFrame, key_col: str = "url_norm",
         F.when(F.lead(F.col(ts_col)).over(w).isNull(), 1).otherwise(0)
         .cast("int").alias("is_current"),
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP-redirect / rel=canonical chains to their terminal
+    target by POINTER DOUBLING: after round k every pointer has jumped
+    2^k hops, so ``rounds`` rounds resolve chains up to 2^rounds links —
+    O(log chain) corpus-sized equi-joins instead of O(chain) (the
+    chain-walk join is the naive plan; real redirect chains are short,
+    but a 100 TB crawl's *longest* chain sets the round count, and
+    doubling makes 65k-hop pathologies cost 16 rounds).
+
+    One redirect per source is enforced deterministically (min dst).
+    Returns ``(src, final, resolved)``: ``resolved`` false iff ``final``
+    still has an outgoing redirect after 2^rounds hops — i.e. the chain
+    is longer than the bound or ends in a CYCLE (a cycle can never
+    resolve, at any bound; the planted-cycle test pins this).
+
+    Exactness contract: with the pointer function extended as identity
+    on terminals, doubling composes exactly — f_{k+1} = f_k ∘ f_k — so
+    the result equals 2^rounds SINGLE steps and the oracle replays it
+    with a depth-capped recursive walk.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    f = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.min(F.col(dst_col)).alias("ptr"))
+        .repartition("node")
+        .persist()
+    )
+    f.count()
+    prev = None
+    try:
+        for _ in range(rounds):
+            g = f.select(F.col("node").alias("g_node"),
+                         F.col("ptr").alias("g_ptr"))
+            nxt = (
+                f.join(g, f["ptr"] == g["g_node"], "left")
+                .select("node",
+                        F.coalesce("g_ptr", "ptr").alias("ptr"))
+                .persist()
+            )
+            nxt.count()
+            if prev is not None:
+                prev.unpersist()
+            prev, f = f, nxt
+        srcs = f.select(F.col("node").alias("s")).distinct()
+        out = (
+            f.join(srcs, f["ptr"] == srcs["s"], "left")
+            .select(
+                F.col("node").alias("src"),
+                F.col("ptr").alias("final"),
+                F.col("s").isNull().alias("resolved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        f.unpersist()
+    return out

@@ -338,3 +338,48 @@ def test_scd2_history_intervals(spark):
     assert out[4] == out[4].__class__(
         doc_id=4, url_norm="b.com/y", valid_from=50, valid_to=None,
         version=1, is_current=1)
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    from picogeojson_spark.operators.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),          # chain -> d
+         ("x", "y"), ("y", "x"),                      # 2-cycle
+         ("dup", "z1"), ("dup", "z0")],               # min-dst rule
+        "src string, dst string")
+    out = {r.src: (r.final, r.resolved)
+           for r in resolve_redirects(edges, rounds=3).collect()}
+    assert out["a"] == ("d", True)
+    assert out["b"] == ("d", True)
+    assert out["c"] == ("d", True)
+    assert out["dup"] == ("z0", True)
+    # cycle members land back inside the cycle after 8 hops, unresolved
+    assert out["x"] == ("x", False)
+    assert out["y"] == ("y", False)
+
+
+def test_resolve_redirects_long_chain_needs_enough_rounds(spark):
+    from picogeojson_spark.operators.web import resolve_redirects
+
+    # chain of 9 hops: n0 -> n1 -> ... -> n9
+    edges = spark.createDataFrame(
+        [("n%d" % i, "n%d" % (i + 1)) for i in range(9)],
+        "src string, dst string")
+    # 3 rounds = 8 hops: n0 lands on n8 (still a source) -> unresolved
+    out3 = {r.src: (r.final, r.resolved)
+            for r in resolve_redirects(edges, rounds=3).collect()}
+    assert out3["n0"] == ("n8", False)
+    # 4 rounds = 16 hops: resolved to the terminal
+    out4 = {r.src: (r.final, r.resolved)
+            for r in resolve_redirects(edges, rounds=4).collect()}
+    assert out4["n0"] == ("n9", True)
+
+
+def test_resolve_redirects_cache_hygiene(spark):
+    from picogeojson_spark.operators.web import resolve_redirects
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    resolve_redirects(edges, rounds=2).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "resolve_redirects leaked persisted DataFrames"
