@@ -6553,6 +6553,102 @@ _EXTRA_QUERIES["web_redirects"] = q_web_redirects
 _EXTRA_ORACLES["web_redirects"] = Q_WEB_REDIRECTS_SQL
 
 
+def _stay_text_col():
+    """Deterministic dwell-heavy travelogue: 4-6 waypoints per doc in TWO
+    stay groups of 3 (same 10-degree cell within a group, 0.5-degree
+    jitter), plus the 999.5 trap planted MID-RUN for doc_id%4==1 so a
+    dropped mention must not break a same-cell run."""
+    i = F.col("doc_id")
+    parts = [F.col("text")]
+    for j in range(6):
+        g, off = j // 3, 0.25 + 0.5 * (j % 3)
+        lat = ((i * 61 + g * 53) % 340).cast("double") / 2 - 85 + F.lit(off)
+        lon = ((i * 37 + g * 101) % 700).cast("double") / 2 - 175 + F.lit(off)
+        word = F.concat(F.lit(" at "), lat.cast("string"), F.lit(", "),
+                        lon.cast("string"), F.lit("."))
+        parts.append(F.when(j < 4 + i % 3, word).otherwise(F.lit("")))
+        if j == 1:
+            parts.append(F.when(i % 4 == 1, F.lit(" stop 999.5, 12.25"))
+                         .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+_STAY_WAYPOINT_SQL = """
+    || CASE WHEN {j} < 4 + doc_id % 3 THEN ' at '
+      || CAST(CAST((doc_id * 61 + {gs}) % 340 AS DOUBLE) / 2 - 85 + {off}
+              AS VARCHAR)
+      || ', '
+      || CAST(CAST((doc_id * 37 + {gl}) % 700 AS DOUBLE) / 2 - 175 + {off}
+              AS VARCHAR)
+      || '.' ELSE '' END
+"""
+
+_STAY_TEXT_SQL = "text" + "".join(
+    _STAY_WAYPOINT_SQL.format(j=j, gs=(j // 3) * 53, gl=(j // 3) * 101,
+                              off=0.25 + 0.5 * (j % 3))
+    + (" || CASE WHEN doc_id % 4 = 1 THEN ' stop 999.5, 12.25'"
+       " ELSE '' END " if j == 1 else "")
+    for j in range(6)
+)
+
+
+def q_geo_staypoints(spark, sf_dir):
+    """Stay-point detection (run-length dwell) over text-mined
+    trajectories: maximal runs of consecutive same-10-degree-cell valid
+    mentions with >= 2 members.  The synthesis plants two 3-mention stay
+    groups per doc and the 999.5 trap MID-RUN (doc_id%4==1), so the hash
+    proves the bounds filter splices runs rather than breaking them."""
+    from picogeojson_spark.operators.geotext import staypoints
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _stay_text_col().alias("text"))
+    return staypoints(docs, cell_udeg=10_000_000, min_pts=2).orderBy(
+        "doc_id", "run_id")
+
+
+Q_GEO_STAYPOINTS_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(CAST(floor(lon * 1000000.0) AS BIGINT) / 10000000.0)
+              AS BIGINT) AS cx,
+         CAST(floor(CAST(floor(lat * 1000000.0) AS BIGINT) / 10000000.0)
+              AS BIGINT) AS cy
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+lagc AS (
+  SELECT doc_id, j, cx, cy,
+         lag(cx) OVER (PARTITION BY doc_id ORDER BY j) AS pcx,
+         lag(cy) OVER (PARTITION BY doc_id ORDER BY j) AS pcy
+  FROM ok),
+runs AS (
+  SELECT doc_id, j, cx, cy,
+         CAST(SUM(CASE WHEN pcx IS NULL OR pcx <> cx OR pcy <> cy
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS run_id
+  FROM lagc)
+SELECT doc_id, run_id, MIN(cx) AS cx, MIN(cy) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(MIN(j) - 1 AS INT) AS first_idx,
+       CAST(MAX(j) - 1 AS INT) AS last_idx
+FROM runs GROUP BY doc_id, run_id HAVING COUNT(*) >= 2
+ORDER BY doc_id, run_id
+""".format(txt=_STAY_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_staypoints"] = q_geo_staypoints
+_EXTRA_ORACLES["geo_staypoints"] = Q_GEO_STAYPOINTS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

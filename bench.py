@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "graph_lpa",
     "text_phrase",
     "sketch_quantiles",
+    "web_redirects",
+    "geo_staypoints",
 ]
 
 

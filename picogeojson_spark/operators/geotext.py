@@ -131,6 +131,62 @@ def trajectory_measures(
     )
 
 
+def staypoints(
+    docs: DataFrame,
+    cell_udeg: int = 10_000_000,
+    min_pts: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stay-point detection over text-mined trajectories (the dwell
+    complement of ``od_flows``): a maximal run of CONSECUTIVE valid
+    mentions that snap to the same coarse cell is a stay; runs with at
+    least ``min_pts`` mentions are emitted as
+    ``(doc_id, run_id, cx, cy, n_mentions, first_idx, last_idx)``.
+
+    Consecutive means consecutive among VALID mentions — a bounds-dropped
+    mention (the 999.5 trap) splices the sequence, so a stay is never
+    broken by a dropped mention between two same-cell neighbours.
+
+    Scale shape: extraction is scan-stage codegen; ONE shuffle total —
+    the per-doc window hash-partitions by doc_id, the second window
+    (running sum -> run ids) reuses the same partitioning AND sort, and
+    the (doc_id, run_id) groupBy is satisfied by the doc_id clustering.
+    Output is stay-sized, never mention- or text-sized.
+    """
+    from pyspark.sql import Window
+
+    m = extract_coordinates(docs, id_col=id_col, text_col=text_col)
+    cx = F.floor(F.floor(F.col("lon") * 1e6).cast("long")
+                 / F.lit(float(cell_udeg))).cast("long")
+    cy = F.floor(F.floor(F.col("lat") * 1e6).cast("long")
+                 / F.lit(float(cell_udeg))).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    cells = (
+        m.select("doc_id", "idx", cx.alias("cx"), cy.alias("cy"))
+        .withColumn("pcx", F.lag("cx").over(w))
+        .withColumn("pcy", F.lag("cy").over(w))
+    )
+    new_run = F.when(
+        F.col("pcx").isNull()
+        | (F.col("pcx") != F.col("cx")) | (F.col("pcy") != F.col("cy")),
+        1,
+    ).otherwise(0)
+    runs = cells.withColumn(
+        "run_id", F.sum(new_run).over(w).cast("long"))
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("cx").alias("cx"),
+            F.min("cy").alias("cy"),
+            F.count("*").cast("long").alias("n_mentions"),
+            F.min("idx").cast("int").alias("first_idx"),
+            F.max("idx").cast("int").alias("last_idx"),
+        )
+        .filter(F.col("n_mentions") >= int(min_pts))
+    )
+
+
 def od_flows(
     docs: DataFrame,
     cell_udeg: int = 10_000_000,

@@ -141,3 +141,51 @@ def test_od_flows_hand_computed_and_splice(spark):
     assert rows[((0, 0), (1, 0))] == (2, 2)
     assert rows[((1, 0), (0, 0))] == (1, 1)
     assert len(rows) == 2  # dwell dropped, nothing else
+
+
+def _stay_rows(spark, rows, **kw):
+    from picogeojson_spark.operators.geotext import staypoints
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return sorted(
+        staypoints(df, **kw).collect(),
+        key=lambda r: (r.doc_id, r.run_id))
+
+
+def test_staypoints_runs_and_min_pts(spark):
+    """Three mentions in cell (0,0), one hop to cell (2,1), two back-to-
+    back in (2,1): runs of 3 and 3? No — the hop and the two that follow
+    share cell (2,1) so it's runs of 3 then 3; with min_pts=2 both emit;
+    then a lone trailing cell -> filtered."""
+    txt = ("a 1.25, 2.25 b 3.25, 4.25 c 5.25, 6.25 "   # cell (0,0) x3
+           "d 15.25, 26.25 e 16.25, 27.25 f 17.25, 28.25 "  # cell (2,1) x3
+           "g 55.25, 66.25")                            # lone -> dropped
+    out = _stay_rows(spark, [(1, txt)])
+    assert [(r.cx, r.cy, r.n_mentions, r.first_idx, r.last_idx)
+            for r in out] == [(0, 0, 3, 0, 2), (2, 1, 3, 3, 5)]
+    # min_pts=1 keeps the lone trailing stay too
+    out1 = _stay_rows(spark, [(1, txt)], min_pts=1)
+    assert [(r.cx, r.cy, r.n_mentions) for r in out1] == [
+        (0, 0, 3), (2, 1, 3), (6, 5, 1)]
+
+
+def test_staypoints_trap_splices_run(spark):
+    """An out-of-range mention INSIDE a same-cell run is dropped and must
+    NOT break the run (its valid neighbours stay consecutive)."""
+    spliced = _stay_rows(spark, [
+        (1, "a 1.25, 2.25 bad 999.5, 12.25 b 3.25, 4.25 c 5.25, 6.25"),
+    ])
+    assert [(r.cx, r.cy, r.n_mentions) for r in spliced] == [(0, 0, 3)]
+
+
+def test_staypoints_revisit_is_new_run(spark):
+    """Leaving a cell and coming back is a NEW stay (run-length, not
+    groupBy-cell)."""
+    out = _stay_rows(spark, [
+        (1, "a 1.25, 2.25 b 3.25, 4.25 "      # (0,0) x2
+            "c 15.25, 26.25 d 16.25, 27.25 "  # (2,1) x2
+            "e 5.25, 6.25 f 7.25, 8.25"),     # (0,0) again x2
+    ])
+    assert [(r.cx, r.cy, r.n_mentions) for r in out] == [
+        (0, 0, 2), (2, 1, 2), (0, 0, 2)]
+    assert [r.run_id for r in out] == [1, 2, 3]
