@@ -6649,6 +6649,60 @@ _EXTRA_QUERIES["geo_staypoints"] = q_geo_staypoints
 _EXTRA_ORACLES["geo_staypoints"] = Q_GEO_STAYPOINTS_SQL
 
 
+def q_table_cdc(spark, sf_dir):
+    """CDC changelog apply (MERGE INTO semantics): snapshot = docs with
+    doc_id%5!=4; changes keyed doc_id div 2 (two change rows per key, so
+    latest-wins is exercised everywhere), op 'D' for seq%7==0 else 'U'
+    with a bumped n_chars payload.  Inserts (snapshot-absent keys),
+    updates, deletes, delete-then-reinsert orderings and pass-through
+    rows all occur in the synthesis."""
+    from picogeojson_spark.operators.cdc import apply_changes
+
+    d = _t(spark, sf_dir, "documents")
+    snap = d.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("key"), "lang", "source", "n_chars")
+    ch = d.filter(F.col("doc_id") % 3 != 2).select(
+        F.expr("doc_id div 2").alias("key"),
+        ((F.col("doc_id") * 37) % 97).cast("long").alias("ts"),
+        F.col("doc_id").alias("seq"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "lang", "source",
+        (F.col("n_chars") + 1000).alias("n_chars"))
+    return apply_changes(snap, ch, keys=("key",)).orderBy("key")
+
+
+Q_TABLE_CDC_SQL = """
+WITH snap AS (
+  SELECT doc_id AS key, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 <> 4),
+ch AS (
+  SELECT doc_id // 2 AS key,
+         CAST((doc_id * 37) % 97 AS BIGINT) AS ts,
+         doc_id AS seq,
+         CASE WHEN doc_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         lang, source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 3 <> 2),
+latest AS (
+  SELECT key, op, lang, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                 ORDER BY ts DESC, seq DESC) AS rn
+    FROM ch) WHERE rn = 1)
+SELECT COALESCE(l.key, s.key) AS key,
+       CASE WHEN l.op IS NULL THEN s.lang ELSE l.lang END AS lang,
+       CASE WHEN l.op IS NULL THEN s.source ELSE l.source END AS source,
+       CAST(CASE WHEN l.op IS NULL THEN s.n_chars ELSE l.n_chars END
+            AS BIGINT) AS n_chars
+FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+WHERE l.op IS NULL OR l.op <> 'D'
+ORDER BY key
+"""
+
+
+_EXTRA_QUERIES["table_cdc"] = q_table_cdc
+_EXTRA_ORACLES["table_cdc"] = Q_TABLE_CDC_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "sketch_quantiles",
     "web_redirects",
     "geo_staypoints",
+    "table_cdc",
 ]
 
 
