@@ -6703,6 +6703,86 @@ _EXTRA_QUERIES["table_cdc"] = q_table_cdc
 _EXTRA_ORACLES["table_cdc"] = Q_TABLE_CDC_SQL
 
 
+def q_web_robots(spark, sf_dir):
+    """Longest-prefix robots-rule matching: synthesized crawl URLs at
+    path depths 1-3 over 7 hosts vs a 25-row rule table mixing universal
+    '/' rules, depth-1 and depth-2 rules, allow and disallow.  Hosts
+    1/2/3 carry no root rule and rules cover only s0-s3, so the
+    no-matching-rule -> allowed-by-default arm is exercised alongside
+    longest-wins layering."""
+    from picogeojson_spark.operators.web import robots_match
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 7).cast("string"), F.lit(".com"))
+    path = F.concat(
+        F.lit("/s"), (i % 5).cast("string"),
+        F.when(i % 4 != 0,
+               F.concat(F.lit("/p"), (i % 3).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 3,
+               F.concat(F.lit("/x"), (i % 11).cast("string")))
+        .otherwise(F.lit("")))
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = d.filter(i < 25).select(
+        host.alias("host"),
+        F.when(i % 6 == 0, F.lit("/"))
+        .when(i % 2 == 1, F.concat(F.lit("/s"), (i % 4).cast("string")))
+        .otherwise(F.concat(F.lit("/s"), (i % 4).cast("string"),
+                            F.lit("/p"), (i % 3).cast("string")))
+        .alias("prefix"),
+        (i % 2 == 0).alias("allow"))
+    return robots_match(urls, rules).orderBy("doc_id")
+
+
+Q_WEB_ROBOTS_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         '/s' || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 4 <> 0
+                   THEN '/p' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 4 = 3
+                   THEN '/x' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END
+           AS path
+  FROM documents),
+r AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         CASE WHEN doc_id % 6 = 0 THEN '/'
+              WHEN doc_id % 2 = 1
+                THEN '/s' || CAST(doc_id % 4 AS VARCHAR)
+              ELSE '/s' || CAST(doc_id % 4 AS VARCHAR)
+                   || '/p' || CAST(doc_id % 3 AS VARCHAR) END AS prefix,
+         doc_id % 2 = 0 AS allow
+  FROM documents WHERE doc_id < 25),
+cand AS (
+  SELECT doc_id, host,
+         unnest(list_distinct(list_filter(
+           ['/',
+            regexp_extract(path, '^((?:/[^/]*){1})', 1),
+            regexp_extract(path, '^((?:/[^/]*){2})', 1),
+            regexp_extract(path, '^((?:/[^/]*){3})', 1)],
+           x -> x <> ''))) AS pfx
+  FROM u),
+hit AS (
+  SELECT c.doc_id, r.prefix, r.allow,
+         ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                            ORDER BY length(r.prefix) DESC,
+                                     CAST(r.allow AS INT) DESC) AS rn
+  FROM cand c JOIN r ON r.host = c.host AND r.prefix = c.pfx)
+SELECT u.doc_id, u.host, u.path,
+       h.prefix AS matched_prefix,
+       COALESCE(h.allow, TRUE) AS allowed
+FROM u LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h
+  ON h.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
+_EXTRA_QUERIES["web_robots"] = q_web_robots
+_EXTRA_ORACLES["web_robots"] = Q_WEB_ROBOTS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "web_redirects",
     "geo_staypoints",
     "table_cdc",
+    "web_robots",
 ]
 
 

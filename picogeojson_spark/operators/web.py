@@ -388,6 +388,71 @@ def scd2_history(pages: DataFrame, key_col: str = "url_norm",
     )
 
 
+def robots_match(
+    urls: DataFrame,
+    rules: DataFrame,
+    max_depth: int = 8,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+    prefix_col: str = "prefix",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """Longest-prefix robots-rule matching (the robots.txt decision,
+    Google semantics): each URL is governed by the LONGEST rule prefix
+    that matches its path on the same host; on equal length an allow
+    rule beats a disallow; URLs with no matching rule are allowed.
+
+    Rules prefixes are path-segment prefixes plus the universal ``/``
+    (the practical robots subset).  The corpus side never theta-joins against rules: each URL
+    explodes its at-most ``max_depth`` segment-boundary prefixes (a flat
+    chain of anchored regexp_extracts — pure codegen, no HOF-trap) and
+    equi-joins the broadcast rule table on (host, prefix); the winner is
+    ONE max-struct aggregate (longest, then allow); unmatched URLs come
+    back via the id-keyed left join, which reuses the aggregate's
+    partitioning on the match side.
+
+    Deterministic: two matched prefixes of one path with equal length are
+    the SAME string, so (length, allow) orders totally per URL.
+    """
+    prefs = [
+        F.regexp_extract(F.col(path_col), "^((?:/[^/]*){%d})" % k, 1)
+        for k in range(1, max_depth + 1)
+    ]
+    # "/" is the universal robots prefix (Disallow: /) — every path is
+    # governed by it, so it is always a candidate.
+    prefixes = F.array_distinct(
+        F.filter(F.concat(F.array(F.lit("/")), F.array(*prefs)),
+                 lambda x: x != F.lit("")))
+    cand = urls.select(
+        F.col(id_col).alias("_u_id"), F.col(host_col).alias("_u_host"),
+        F.explode(prefixes).alias("_u_pfx"))
+    r = rules.select(
+        F.col(host_col).alias("_r_host"),
+        F.col(prefix_col).alias("_r_pfx"),
+        F.col(allow_col).cast("int").alias("_r_allow"))
+    winner = (
+        cand.join(
+            F.broadcast(r),
+            (F.col("_u_host") == F.col("_r_host"))
+            & (F.col("_u_pfx") == F.col("_r_pfx")))
+        .groupBy("_u_id")
+        .agg(F.max(F.struct(
+            F.length("_r_pfx").alias("l"),
+            F.col("_r_allow").alias("a"),
+            F.col("_r_pfx").alias("p"))).alias("w"))
+    )
+    return (
+        urls.join(winner, urls[id_col] == winner["_u_id"], "left")
+        .select(
+            id_col, host_col, path_col,
+            F.col("w.p").alias("matched_prefix"),
+            F.when(F.col("w").isNull(), F.lit(True))
+            .otherwise(F.col("w.a") == 1).alias("allowed"),
+        )
+    )
+
+
 def resolve_redirects(
     edges: DataFrame,
     rounds: int = 4,

@@ -383,3 +383,50 @@ def test_resolve_redirects_cache_hygiene(spark):
     resolve_redirects(edges, rounds=2).collect()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "resolve_redirects leaked persisted DataFrames"
+
+
+def test_robots_match_longest_then_allow(spark):
+    from picogeojson_spark.operators.web import robots_match
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/s/p/x"),     # deep path, layered rules
+         (2, "a.com", "/s"),         # matches only the short rule
+         (3, "a.com", "/other"),     # no rule -> allowed
+         (4, "b.com", "/s/p"),       # same path, other host: no rule
+         (5, "a.com", "/tie/q")],    # equal-length allow vs disallow
+        "doc_id long, host string, path string")
+    rules = spark.createDataFrame(
+        [("a.com", "/s", False),
+         ("a.com", "/s/p", True),
+         ("a.com", "/tie", False),
+         ("a.com", "/tie", True)],
+        "host string, prefix string, allow boolean")
+    out = {r.doc_id: (r.matched_prefix, r.allowed)
+           for r in robots_match(urls, rules).collect()}
+    assert out[1] == ("/s/p", True)      # longest wins over /s disallow
+    assert out[2] == ("/s", False)
+    assert out[3] == (None, True)
+    assert out[4] == (None, True)
+    assert out[5] == ("/tie", True)      # allow beats disallow on tie
+
+
+def test_robots_match_root_rule_and_depth_cap(spark):
+    from picogeojson_spark.operators.web import robots_match
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/"), (2, "a.com", "/x/y/z/w/v/u/t/s/r/q")],
+        "doc_id long, host string, path string")
+    rules = spark.createDataFrame(
+        [("a.com", "/", False),
+         ("a.com", "/x/y/z/w/v/u/t/s/r", True)],
+        "host string, prefix string, allow boolean")
+    out = {r.doc_id: (r.matched_prefix, r.allowed)
+           for r in robots_match(urls, rules, max_depth=9).collect()}
+    assert out[1] == ("/", False)
+    assert out[2] == ("/x/y/z/w/v/u/t/s/r", True)
+    # with max_depth too small the deep allow rule is invisible and the
+    # URL falls back to the universal '/' disallow (robots semantics:
+    # 'Disallow: /' governs every path).
+    out3 = {r.doc_id: (r.matched_prefix, r.allowed)
+            for r in robots_match(urls, rules, max_depth=3).collect()}
+    assert out3[2] == ("/", False)
