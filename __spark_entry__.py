@@ -6783,6 +6783,66 @@ _EXTRA_QUERIES["web_robots"] = q_web_robots
 _EXTRA_ORACLES["web_robots"] = Q_WEB_ROBOTS_SQL
 
 
+def q_geo_cell_weights(spark, sf_dir):
+    """Area-weighted rasterization: deterministic micro-degree boxes
+    (0.13-4.8 degrees wide, 0.07-1.6 tall — sub-cell boxes, multi-cell
+    boxes and cell-aligned edges all occur; doc_id%29==0 plants
+    zero-width degenerates that must emit nothing) exploded into exact
+    integer per-cell overlap areas on the 10-degree grid."""
+    from picogeojson_spark.operators.tiling import bbox_cell_weights
+
+    i = F.col("doc_id")
+    lon0 = (((i * 37) % 250 - 150) * 1000000).cast("long")
+    lat0 = (((i * 53) % 140 - 80) * 1000000).cast("long")
+    wdt = F.when(i % 29 == 0, F.lit(0).cast("long")).otherwise(
+        ((1 + i % 37) * 1300000).cast("long"))
+    hgt = ((1 + i % 23) * 700000).cast("long")
+    boxes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        lon0.alias("lon_min_u"), lat0.alias("lat_min_u"),
+        (lon0 + wdt).alias("lon_max_u"), (lat0 + hgt).alias("lat_max_u"))
+    return bbox_cell_weights(boxes, cell_udeg=10_000_000).orderBy(
+        "id", "cx", "cy")
+
+
+Q_GEO_CELL_WEIGHTS_SQL = """
+WITH b AS (
+  SELECT doc_id AS id,
+         CAST(((doc_id * 37) % 250 - 150) * 1000000 AS BIGINT) AS lon0,
+         CAST(((doc_id * 53) % 140 - 80) * 1000000 AS BIGINT) AS lat0,
+         CAST(CASE WHEN doc_id % 29 = 0 THEN 0
+              ELSE (1 + doc_id % 37) * 1300000 END AS BIGINT) AS wdt,
+         CAST((1 + doc_id % 23) * 700000 AS BIGINT) AS hgt
+  FROM documents),
+bb AS (
+  SELECT id, lon0, lat0, lon0 + wdt AS lon1, lat0 + hgt AS lat1
+  FROM b WHERE wdt > 0 AND hgt > 0),
+g AS (
+  SELECT *,
+         CAST(floor(lon0 / 10000000.0) AS BIGINT) AS cx0,
+         CAST(floor((lon1 - 1) / 10000000.0) AS BIGINT) AS cx1,
+         CAST(floor(lat0 / 10000000.0) AS BIGINT) AS cy0,
+         CAST(floor((lat1 - 1) / 10000000.0) AS BIGINT) AS cy1
+  FROM bb),
+cov AS (
+  SELECT g.*, sx.cx, sy.cy
+  FROM g,
+       LATERAL (SELECT unnest(range(cx0, cx1 + 1)) AS cx) sx,
+       LATERAL (SELECT unnest(range(cy0, cy1 + 1)) AS cy) sy)
+SELECT id, cx, cy,
+       CAST((LEAST(lon1, (cx + 1) * 10000000)
+             - GREATEST(lon0, cx * 10000000))
+          * (LEAST(lat1, (cy + 1) * 10000000)
+             - GREATEST(lat0, cy * 10000000)) AS BIGINT) AS area_u2,
+       CAST((lon1 - lon0) * (lat1 - lat0) AS BIGINT) AS box_area_u2
+FROM cov ORDER BY id, cx, cy
+"""
+
+
+_EXTRA_QUERIES["geo_cell_weights"] = q_geo_cell_weights
+_EXTRA_ORACLES["geo_cell_weights"] = Q_GEO_CELL_WEIGHTS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

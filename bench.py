@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "geo_staypoints",
     "table_cdc",
     "web_robots",
+    "geo_cell_weights",
 ]
 
 
