@@ -6843,6 +6843,90 @@ _EXTRA_QUERIES["geo_cell_weights"] = q_geo_cell_weights
 _EXTRA_ORACLES["geo_cell_weights"] = Q_GEO_CELL_WEIGHTS_SQL
 
 
+def q_web_components(spark, sf_dir):
+    """Weakly-connected components of the inter-domain link graph — the
+    webgraph partitioning step (site clusters / crawl sharding): the
+    same messy-URL + markup synthesis as web_link_graph feeds
+    domain_link_graph, whose DOMAIN-sized edge set runs through the
+    large-star/small-star CC operator (O(log n) rounds, the
+    dedup_clusters engine reused on string node ids).  Oracle: recursive
+    min-over-transitive-closure on the replayed link graph."""
+    from picogeojson_spark.operators.dedup import duplicate_clusters
+    from picogeojson_spark.operators.web import domain_link_graph
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://WWW.'), F.col("lang"),
+        F.lit('-hub.ORG/'), i.cast("string"), F.lit('">t</a>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(' <a href="http://cdn.'), F.col("source"),
+            F.lit('.com:80/self">s</a>'))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" <a href='https://single."), F.col("lang"),
+            F.lit(".net/skip'>q</a>"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit(' <a href="https://news.'), F.col("source"),
+            F.lit('.io/x">n</a>'))).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", "source", "lang").withColumns(
+        {"url": _messy_url_col(), "html": html})
+    edges = domain_link_graph(pages)
+    cc = duplicate_clusters(edges, src="src_domain", dst="dst_domain")
+    return cc.select(
+        F.col("doc_id").alias("domain"),
+        F.col("rep_id").alias("component")).orderBy("domain")
+
+
+def _q_web_components_oracle():
+    html = """
+    '<p><a href="https://WWW.' || lang || '-hub.ORG/'
+      || CAST(doc_id AS VARCHAR) || '">t</a>'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' <a href="http://cdn.' || source || '.com:80/self">s</a>'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' <a href=''https://single.' || lang || '.net/skip''>q</a>'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' <a href="https://news.' || source || '.io/x">n</a>'
+            ELSE '' END
+    """
+    return """
+WITH RECURSIVE pages AS (
+  SELECT doc_id, source, lang, {url} AS url, {html} AS html
+  FROM documents),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, '{href}', 1)) AS dst_url
+  FROM pages),
+abs_links AS (
+  SELECT * FROM links
+  WHERE regexp_matches(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+doms AS (
+  SELECT {src_dom} AS src_domain, {dst_dom} AS dst_domain
+  FROM abs_links),
+g AS (
+  SELECT DISTINCT src_domain, dst_domain FROM doms
+  WHERE src_domain <> dst_domain),
+sym AS (
+  SELECT src_domain AS a, dst_domain AS b FROM g
+  UNION SELECT dst_domain, src_domain FROM g),
+reach(s, t) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN sym e ON r.t = e.a
+  WHERE e.b <> r.s)
+SELECT s AS domain, LEAST(s, MIN(t)) AS component
+FROM reach GROUP BY s ORDER BY domain
+""".format(url=_MESSY_URL_SQL, html=html, href='href="([^"]*)"',
+           src_dom=_domain_sql("src_url"), dst_dom=_domain_sql("dst_url"))
+
+
+_EXTRA_QUERIES["web_components"] = q_web_components
+_EXTRA_ORACLES["web_components"] = _q_web_components_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "table_cdc",
     "web_robots",
     "geo_cell_weights",
+    "web_components",
 ]
 
 
