@@ -6927,6 +6927,65 @@ _EXTRA_QUERIES["web_components"] = q_web_components
 _EXTRA_ORACLES["web_components"] = _q_web_components_oracle()
 
 
+_PPR_SEEDS = (1, 2, 7)
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) from a 3-customer seed set
+    over the purchase graph: restart mass concentrated on the seeds
+    (scale div 3 each, teleport base only to seeds), 4 rounds of the same
+    integer fixed point as graph_pagerank — the related-nodes /
+    retrieval-expansion primitive.  Oracle unrolls the seed-conditional
+    iterations in SQL."""
+    from picogeojson_spark.operators.graph import pagerank, purchase_graph
+
+    edges = purchase_graph(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+    return pagerank(edges, iterations=4, seeds=list(_PPR_SEEDS)).orderBy(
+        F.desc("rank"), F.asc("node"))
+
+
+def _ppr_sql(seeds=_PPR_SEEDS, iterations=4, damping_pct=85, scale=10**12):
+    seed_list = ", ".join(str(s) for s in sorted(set(seeds)))
+    r0_seed = scale // len(set(seeds))
+    base_seed = (r0_seed * (100 - damping_pct)) // 100
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node,
+              CAST(CASE WHEN node IN ({sl}) THEN {r0} ELSE 0 END
+                   AS BIGINT) AS rank
+       FROM nodes)""".format(sl=seed_list, r0=r0_seed)
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            """,
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node IN ({sl}) THEN {b} ELSE 0 END
+              + (COALESCE(c.contrib, 0) * {d}) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS contrib
+    FROM r{prev} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON n.node = c.node)""".format(
+                i=i, prev=i - 1, sl=seed_list, b=base_seed, d=damping_pct))
+    parts.append(
+        "\nSELECT node, rank FROM r{n} ORDER BY rank DESC, node ASC".format(
+            n=iterations))
+    return "".join(parts)
+
+
+_EXTRA_QUERIES["graph_ppr"] = q_graph_ppr
+_EXTRA_ORACLES["graph_ppr"] = _ppr_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

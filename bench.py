@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "web_robots",
     "geo_cell_weights",
     "web_components",
+    "graph_ppr",
 ]
 
 

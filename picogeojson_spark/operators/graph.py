@@ -38,6 +38,7 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds=None,
 ) -> DataFrame:
     """Run ``iterations`` rounds of fixed-point PageRank over the distinct
     directed edges of ``edges``. Returns one ``(node, rank)`` row per node
@@ -50,11 +51,26 @@ def pagerank(
         base    = (r0 * (100 - damping_pct)) div 100
         contrib = sum over in-edges of (r_src div outdeg_src)
         r_next  = base + (contrib * damping_pct) div 100
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002 — the
+    random-surfer restart concentrated on a query/topic seed set, the
+    retrieval-expansion and related-nodes primitive): initial mass and
+    the per-round teleport base go only to the listed seed nodes
+    (``scale div n_seeds`` each, 0 elsewhere); the iteration loop, the
+    caching discipline, and the integer determinism contract are shared
+    verbatim with the uniform variant.  ``seeds`` is a small in-driver
+    sequence (query-sized, not corpus-sized); seeds absent from the
+    graph lose their mass like dangling nodes do.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    seed_vals = None
+    if seeds is not None:
+        seed_vals = sorted(set(seeds))
+        if not seed_vals:
+            raise ValueError("seeds must be non-empty when given")
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -88,10 +104,21 @@ def pagerank(
         e_deg.unpersist()
         nodes.unpersist()
         return out
-    r0 = scale // n_nodes
-    base = (r0 * (100 - damping_pct)) // 100
+    if seed_vals is None:
+        r0 = scale // n_nodes
+        base = (r0 * (100 - damping_pct)) // 100
+        r0_col = F.lit(r0).cast("long")
+        base_col = F.lit(base).cast("long")
+    else:
+        r0_seed = scale // len(seed_vals)
+        base_seed = (r0_seed * (100 - damping_pct)) // 100
+        is_seed = F.col("node").isin(seed_vals)
+        r0_col = F.when(is_seed, F.lit(r0_seed)).otherwise(F.lit(0)) \
+            .cast("long")
+        base_col = F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0)) \
+            .cast("long")
 
-    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    ranks = nodes.withColumn("rank", r0_col)
     # Iteration results are PERSISTED, not localCheckpointed: a checkpoint
     # is an opaque RDD scan whose outputPartitioning Catalyst forgets, so
     # the next iteration's rank-vector join would re-exchange it by src.
@@ -125,7 +152,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base).cast("long")
+                    base_col
                     + F.expr(
                         "(coalesce(contrib, 0L) * {d}) div 100".format(
                             d=damping_pct

@@ -1835,6 +1835,55 @@ def test_pagerank_hub_and_dangling(spark):
     assert got[200] > got[2] == got[3] == got[4] == got[5]  # leaf sources
 
 
+def _ppr_replica(edges, seeds, iterations=4, damping_pct=85,
+                 scale=10**12):
+    """Pure-Python integer replica of personalized pagerank."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seeds = sorted(set(seeds))
+    r0 = scale // len(seeds)
+    base = (r0 * (100 - damping_pct)) // 100
+    ranks = {v: (r0 if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {v: (base if v in seeds else 0)
+                 + (contrib.get(v, 0) * damping_pct) // 100
+                 for v in nodes}
+    return ranks
+
+
+def test_personalized_pagerank_matches_replica(spark):
+    from picogeojson_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (1, 3), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r["rank"]
+           for r in pagerank(df, iterations=5, seeds=[1, 4]).collect()}
+    assert got == _ppr_replica(edges, [1, 4], iterations=5)
+    # mass is concentrated near the seeds; the disconnected 6->7 island
+    # gets exactly zero
+    assert got[6] == 0 and got[7] == 0
+
+
+def test_personalized_all_seeds_equals_uniform(spark):
+    """seeds == all nodes reduces EXACTLY to uniform pagerank (same r0,
+    same base, same integer updates)."""
+    from picogeojson_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    uni = {r.node: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    per = {r.node: r["rank"]
+           for r in pagerank(df, iterations=4,
+                             seeds=[1, 2, 3]).collect()}
+    assert uni == per
+
+
 # ------------------------------------------------------- unigram surprisal
 
 def test_unigram_surprisal_hand_computed(spark):
