@@ -6986,6 +6986,47 @@ _EXTRA_QUERIES["graph_ppr"] = q_graph_ppr
 _EXTRA_ORACLES["graph_ppr"] = _ppr_sql()
 
 
+def q_stream_cdc(spark, sf_dir):
+    """STREAMING CDC apply: the change stream reduces to latest-change-
+    per-key as a complete-mode max-struct aggregate (keyed state bounded
+    at one struct per key — (ts, seq) lexicographic pick is exactly the
+    batch window's DESC/DESC rank because seq is unique per key); the
+    snapshot MERGE folds in batch on the memory sink (merge_latest, the
+    shared tail of apply_changes).  Oracle is the SAME SQL as table_cdc —
+    the hash IS the stream==batch proof (stream_heatmap pattern)."""
+    from picogeojson_spark.operators.cdc import merge_latest
+
+    src = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    i = F.col("doc_id")
+    ch = src.filter(i % 3 != 2).select(
+        F.expr("doc_id div 2").alias("key"),
+        ((i * 37) % 97).cast("long").alias("ts"),
+        i.alias("seq"),
+        F.when(i % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "lang", "source",
+        (F.col("n_chars") + 1000).alias("n_chars"))
+    latest_s = ch.groupBy("key").agg(
+        F.max(F.struct("ts", "seq", "op", "lang", "source", "n_chars"))
+        .alias("w"))
+    sink = _run_stream(spark, latest_s, "stream_cdc", "complete")
+    latest = sink.select(
+        "key", F.col("w.op").alias("op"), F.col("w.lang").alias("lang"),
+        F.col("w.source").alias("source"),
+        F.col("w.n_chars").alias("n_chars"))
+    snap = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("key"), "lang", "source", "n_chars")
+    return merge_latest(snap, latest, keys=("key",)).orderBy("key")
+
+
+_EXTRA_QUERIES["stream_cdc"] = q_stream_cdc
+_EXTRA_ORACLES["stream_cdc"] = Q_TABLE_CDC_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "geo_cell_weights",
     "web_components",
     "graph_ppr",
+    "stream_cdc",
 ]
 
 

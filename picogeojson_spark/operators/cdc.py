@@ -56,7 +56,24 @@ def apply_changes(
         .filter(F.col("_rn") == 1)
         .select(*keys, op_col, *payload)
     )
+    return merge_latest(snapshot, latest, keys=keys, op_col=op_col,
+                        delete_op=delete_op)
 
+
+def merge_latest(
+    snapshot: DataFrame,
+    latest: DataFrame,
+    keys: Sequence[str] = ("key",),
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE an already-reduced change table (at most ONE row per key:
+    ``keys + op + payload``) into the snapshot — the tail of
+    ``apply_changes``, exposed so a STREAMING latest-per-key aggregate
+    (max-struct keyed state) can fold the same merge on its sink."""
+    keys = list(keys)
+    payload = [c for c in latest.columns
+               if c not in set(keys) | {op_col}]
     snap = snapshot.select(
         *keys, *[F.col(c).alias("_s_" + c) for c in payload])
     merged = snap.join(latest, on=keys, how="full")
