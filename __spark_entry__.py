@@ -7027,6 +7027,68 @@ _EXTRA_QUERIES["stream_cdc"] = q_stream_cdc
 _EXTRA_ORACLES["stream_cdc"] = Q_TABLE_CDC_SQL
 
 
+def q_sketch_kmv(spark, sf_dir):
+    """KMV bottom-k set-overlap sketch: audience overlap of two derived
+    user sets (A = u(doc_id%400), B = u(doc_id%400+150): union 550,
+    intersection 250) at k=64 — estimation mode, the direct-intersection
+    complement of sketch_hll_overlap.  Oracle replays the md5 bottom-k
+    samples and the integer estimator bit for bit."""
+    from picogeojson_spark.operators.sketches import kmv_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.concat(F.lit("u"), (F.col("doc_id") % 400)
+                          .cast("string")).alias("v"))
+    b = d.select(F.concat(F.lit("u"), (F.col("doc_id") % 400 + 150)
+                          .cast("string")).alias("v"))
+    return kmv_overlap(a, b, "v", k=64)
+
+
+Q_SKETCH_KMV_SQL = """
+WITH va AS (
+  SELECT DISTINCT 'u' || CAST(doc_id % 400 AS VARCHAR) AS v
+  FROM documents),
+vb AS (
+  SELECT DISTINCT 'u' || CAST(doc_id % 400 + 150 AS VARCHAR) AS v
+  FROM documents),
+sa AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || v), 1, 8)) AS BIGINT)
+           AS hk
+  FROM va ORDER BY 1 LIMIT 64),
+sb AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || v), 1, 8)) AS BIGINT)
+           AS hk
+  FROM vb ORDER BY 1 LIMIT 64),
+u AS (
+  SELECT hk, MAX(a) AS a, MAX(b) AS b
+  FROM (SELECT hk, 1 AS a, 0 AS b FROM sa
+        UNION ALL SELECT hk, 0, 1 FROM sb)
+  GROUP BY hk ORDER BY hk LIMIT 64),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
+         CAST(COALESCE(MAX(hk), 0) AS BIGINT) AS kth_hash,
+         CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS overlap_n
+  FROM u),
+e AS (
+  SELECT sample_n, kth_hash, overlap_n,
+         CAST(CASE WHEN sample_n < 64 OR kth_hash <= 0 THEN sample_n
+              ELSE (63 * 4294967296) // kth_hash END AS BIGINT)
+           AS union_est
+  FROM s)
+SELECT sample_n, kth_hash, overlap_n, union_est,
+       CAST(CASE WHEN sample_n > 0
+            THEN (overlap_n * union_est) // sample_n ELSE 0 END
+            AS BIGINT) AS inter_est,
+       CAST(CASE WHEN sample_n > 0
+            THEN (overlap_n * 1000000) // sample_n ELSE 0 END
+            AS BIGINT) AS jaccard_ppm
+FROM e
+"""
+
+
+_EXTRA_QUERIES["sketch_kmv"] = q_sketch_kmv
+_EXTRA_ORACLES["sketch_kmv"] = Q_SKETCH_KMV_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

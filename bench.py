@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "web_components",
     "graph_ppr",
     "stream_cdc",
+    "sketch_kmv",
 ]
 
 

@@ -522,3 +522,76 @@ def quantile_sketch(
         one.select(F.explode(rows).alias("r"))
         .select("r.pctl", "r.est_value", "r.sample_n")
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV (bottom-k) set-overlap sketch (Beyer et al. 2007): estimate
+    |A ∪ B|, |A ∩ B| and Jaccard(A, B) from each side's k smallest
+    DISTINCT md5 hashes — the direct-intersection complement of
+    ``hll_overlap`` (no inclusion–exclusion cancellation, so small
+    intersections of large sets estimate far better), and mergeable the
+    same way (union two bottom-k samples, re-take the bottom k).
+
+    Estimator (all integer arithmetic, deterministic cross-engine): with
+    the combined sample's k-th smallest hash ``kth`` over the 2^32 hash
+    space, ``union_est = ((k-1) * 2^32) div kth``;
+    ``jaccard_ppm = (overlap_in_sample * 1e6) div n``;
+    ``inter_est = (overlap_in_sample * union_est) div n``.  When the
+    combined sample is short (n < k) the sketch HOLDS the full union and
+    every output is exact (union_est = n).
+
+    Scale shape: each side is a partial-distinct + TakeOrderedAndProject
+    (per-partition k-heaps, no global sort); everything after the two
+    k-sized samples is 2k rows; the answer is ONE row.  Shuffle volume is
+    bounded by per-partition distinct counts, never row count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def bottom(df, a, b):
+        hk = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"),
+                               F.col(value_col).cast("string"))), 1, 8),
+            16, 10).cast("long")
+        return (
+            df.select(hk.alias("hk")).distinct()
+            .orderBy("hk").limit(int(k))
+            .select("hk", F.lit(a).alias("a"), F.lit(b).alias("b"))
+        )
+
+    u = (
+        bottom(df_a, 1, 0).union(bottom(df_b, 0, 1))
+        .groupBy("hk")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .orderBy("hk").limit(int(k))
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("sample_n"),
+        F.coalesce(F.max("hk"), F.lit(0)).cast("long").alias("kth_hash"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).cast("long")
+        .alias("overlap_n"),
+    )
+    union_est = F.when(
+        (F.col("sample_n") < k) | (F.col("kth_hash") <= 0),
+        F.col("sample_n"),
+    ).otherwise(
+        F.expr("(({k} - 1) * 4294967296L) div kth_hash".format(k=int(k))))
+    return s.select(
+        "sample_n", "kth_hash", "overlap_n",
+        union_est.alias("union_est"),
+    ).select(
+        "sample_n", "kth_hash", "overlap_n", "union_est",
+        F.when(F.col("sample_n") > 0,
+               F.expr("(overlap_n * union_est) div sample_n"))
+        .otherwise(F.lit(0)).cast("long").alias("inter_est"),
+        F.when(F.col("sample_n") > 0,
+               F.expr("(overlap_n * 1000000L) div sample_n"))
+        .otherwise(F.lit(0)).cast("long").alias("jaccard_ppm"),
+    )
