@@ -7089,6 +7089,66 @@ _EXTRA_QUERIES["sketch_kmv"] = q_sketch_kmv
 _EXTRA_ORACLES["sketch_kmv"] = Q_SKETCH_KMV_SQL
 
 
+def q_web_path_stats(spark, sf_dir):
+    """Sitemap-tree rollup over the web_robots URL synthesis (depths
+    1-3, 7 hosts): page counts + n_chars totals at every path-segment
+    prefix — the crawl-budgeting table."""
+    from picogeojson_spark.operators.web import path_prefix_stats
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 7).cast("string"), F.lit(".com"))
+    path = F.concat(
+        F.lit("/s"), (i % 5).cast("string"),
+        F.when(i % 4 != 0,
+               F.concat(F.lit("/p"), (i % 3).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 3,
+               F.concat(F.lit("/x"), (i % 11).cast("string")))
+        .otherwise(F.lit("")))
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"),
+                    "n_chars")
+    return path_prefix_stats(urls, max_depth=4,
+                             weight_col="n_chars").orderBy(
+        "host", "prefix", "depth")
+
+
+Q_WEB_PATH_STATS_SQL = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         '/s' || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 4 <> 0
+                   THEN '/p' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 4 = 3
+                   THEN '/x' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END
+           AS path
+  FROM documents),
+p AS (
+  SELECT host, n_chars, 1 AS depth,
+         regexp_extract(path, '^((?:/[^/]*){1})', 1) AS prefix FROM u
+  UNION ALL
+  SELECT host, n_chars, 2,
+         regexp_extract(path, '^((?:/[^/]*){2})', 1) FROM u
+  UNION ALL
+  SELECT host, n_chars, 3,
+         regexp_extract(path, '^((?:/[^/]*){3})', 1) FROM u
+  UNION ALL
+  SELECT host, n_chars, 4,
+         regexp_extract(path, '^((?:/[^/]*){4})', 1) FROM u)
+SELECT host, prefix, CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS weight_sum
+FROM p WHERE prefix <> ''
+GROUP BY host, prefix, depth
+ORDER BY host, prefix, depth
+"""
+
+
+_EXTRA_QUERIES["web_path_stats"] = q_web_path_stats
+_EXTRA_ORACLES["web_path_stats"] = Q_WEB_PATH_STATS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 4).
 #

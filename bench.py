@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "graph_ppr",
     "stream_cdc",
     "sketch_kmv",
+    "web_path_stats",
 ]
 
 

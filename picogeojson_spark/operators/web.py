@@ -388,6 +388,44 @@ def scd2_history(pages: DataFrame, key_col: str = "url_norm",
     )
 
 
+def path_prefix_stats(
+    urls: DataFrame,
+    max_depth: int = 4,
+    host_col: str = "host",
+    path_col: str = "path",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sitemap-tree rollup (crawl budgeting / site structure): page and
+    optional weight totals at EVERY path-segment prefix of every URL up
+    to ``max_depth`` — ``(host, prefix, depth, n_pages[, weight_sum])``,
+    e.g. /docs -> /docs/api -> /docs/api/v2 counts at each level.
+
+    Scale shape: prefixes come from the same anchored-regex chain as
+    ``robots_match`` (pure codegen, no HOF trap), the posexplode emits at
+    most ``max_depth`` rows per page, and ONE map-side-combined hash
+    aggregate reduces to the prefix-tree-sized output — no joins, no
+    windows.
+    """
+    prefs = F.array(*[
+        F.regexp_extract(F.col(path_col), "^((?:/[^/]*){%d})" % k, 1)
+        for k in range(1, max_depth + 1)
+    ])
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    e = urls.select(
+        F.col(host_col).alias("host"), w.alias("_w"),
+        F.posexplode(prefs).alias("_k", "prefix"),
+    ).filter(F.col("prefix") != "")
+    aggs = [F.count("*").cast("long").alias("n_pages")]
+    if weight_col is not None:
+        aggs.append(F.sum("_w").cast("long").alias("weight_sum"))
+    return (
+        e.groupBy("host", "prefix",
+                  (F.col("_k") + 1).cast("int").alias("depth"))
+        .agg(*aggs)
+    )
+
+
 def robots_match(
     urls: DataFrame,
     rules: DataFrame,

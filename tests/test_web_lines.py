@@ -430,3 +430,35 @@ def test_robots_match_root_rule_and_depth_cap(spark):
     out3 = {r.doc_id: (r.matched_prefix, r.allowed)
             for r in robots_match(urls, rules, max_depth=3).collect()}
     assert out3[2] == ("/", False)
+
+
+def test_path_prefix_stats_tree(spark):
+    from picogeojson_spark.operators.web import path_prefix_stats
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/d/api/v2", 10),
+         (2, "a.com", "/d/api", 20),
+         (3, "a.com", "/d", 30),
+         (4, "a.com", "/", 40),
+         (5, "b.com", "/d", 50)],
+        "doc_id long, host string, path string, n_chars long")
+    out = {(r.host, r.prefix, r.depth): (r.n_pages, r.weight_sum)
+           for r in path_prefix_stats(urls, weight_col="n_chars")
+           .collect()}
+    assert out[("a.com", "/d", 1)] == (3, 60)       # all three /d pages
+    assert out[("a.com", "/d/api", 2)] == (2, 30)
+    assert out[("a.com", "/d/api/v2", 3)] == (1, 10)
+    assert out[("a.com", "/", 1)] == (1, 40)
+    assert out[("b.com", "/d", 1)] == (1, 50)
+    assert len(out) == 5
+
+
+def test_path_prefix_stats_depth_cap_and_no_weight(spark):
+    from picogeojson_spark.operators.web import path_prefix_stats
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/a/b/c/d/e")], "doc_id long, host string, path string")
+    rows = path_prefix_stats(urls, max_depth=2).collect()
+    assert sorted((r.prefix, r.depth, r.n_pages) for r in rows) == [
+        ("/a", 1, 1), ("/a/b", 2, 1)]
+    assert "weight_sum" not in rows[0].asDict()
