@@ -4060,6 +4060,41 @@ _EXTRA_QUERIES["geo_zorder_key"] = q_geo_zorder_key
 _EXTRA_ORACLES["geo_zorder_key"] = _q_geo_zorder_key_sql()
 
 
+def q_geo_hilbert(spark, sf_dir):
+    """Hilbert-curve clustering key (``operators/layout.py``): the
+    locality-optimal sibling of geo_zorder_key (Databricks liquid
+    clustering / Iceberg hilbert sort). The per-level swap/reflect loop is
+    folded into a 4-state automaton so the key is an O(bits^2) pure-codegen
+    expression; the oracle replays the identical quantize + table lookups,
+    so hash-equality proves the automaton on every lattice point. Same
+    bits=8 grid and curve bucket as the Morton query — the two outputs are
+    directly comparable clusterings of the same cells."""
+    from picogeojson_spark.operators.layout import hilbert_key
+
+    pts = _points_from_customer(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        hilbert_key(F.col("lon"), F.col("lat"), bits=8).alias("hkey"),
+        (hilbert_key(F.col("lon"), F.col("lat"), bits=8) / 256)
+        .cast("long").alias("hbucket"),
+    ).orderBy("point_id")
+
+
+def _q_geo_hilbert_sql():
+    from picogeojson_spark.operators.layout import hilbert_key_sql
+
+    h = hilbert_key_sql("lon", "lat", bits=8)
+    return """
+SELECT point_id, {h} AS hkey,
+       CAST(floor(({h}) / 256) AS BIGINT) AS hbucket
+FROM ({points}) ORDER BY point_id
+""".format(h=h, points=_POINTS_SQL)
+
+
+_EXTRA_QUERIES["geo_hilbert"] = q_geo_hilbert
+_EXTRA_ORACLES["geo_hilbert"] = _q_geo_hilbert_sql()
+
+
 # Simplification fixtures: rectangles with an outward bump at each edge
 # midpoint. Every bump triangle's 2-area (W/4 or H/4) sits under the 2.0
 # threshold while every corner's stays above it, so Visvalingam removes
