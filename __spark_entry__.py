@@ -4839,6 +4839,80 @@ _EXTRA_QUERIES["geo_trajectory"] = q_geo_trajectory
 _EXTRA_ORACLES["geo_trajectory"] = Q_GEO_TRAJECTORY_SQL
 
 
+def q_geo_turns(spark, sf_dir):
+    """Turn classification over the same text-mined trajectories as
+    geo_trajectory: each interior waypoint classifies left / right /
+    straight / reversal by the SIGN of exact 64-bit integer cross and dot
+    products on micro-degree coordinates — no floats touch the
+    classification, so both engines branch identically even off the
+    lattice (operators/geotext.py:trajectory_turns).  The 999.5 mid-path
+    trap again proves dropped mentions splice the polyline (changing which
+    triples exist).  ONE shuffle: dedup-lag window, lag/lead window and
+    groupBy(doc_id) all share one hash partitioning (plan-asserted in
+    tests/test_turns.py)."""
+    from picogeojson_spark.operators.geotext import trajectory_turns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _traj_text_col().alias("text"))
+    return trajectory_turns(docs).orderBy("doc_id")
+
+
+Q_GEO_TURNS_SQL = r"""
+WITH d AS (SELECT doc_id, {txt} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{re}', 1) AS lats,
+         regexp_extract_all(text, '{re}', 2) AS lons
+  FROM d),
+men AS (
+  SELECT doc_id, j,
+         CAST(lats[j] AS DOUBLE) AS lat, CAST(lons[j] AS DOUBLE) AS lon
+  FROM ex, LATERAL (SELECT unnest(range(1, len(lats) + 1)) AS j) s),
+ok AS (
+  SELECT doc_id, j,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS lat_u,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS lon_u
+  FROM men WHERE abs(lat) < 90 AND abs(lon) < 180),
+dd AS (
+  SELECT doc_id, j, lat_u, lon_u
+  FROM (SELECT doc_id, j, lat_u, lon_u,
+               lag(lat_u) OVER w AS dlat, lag(lon_u) OVER w AS dlon
+        FROM ok WINDOW w AS (PARTITION BY doc_id ORDER BY j))
+  WHERE dlat IS NULL OR dlat <> lat_u OR dlon <> lon_u),
+t AS (
+  SELECT doc_id, lat_u, lon_u,
+         lag(lat_u)  OVER w AS plat, lag(lon_u)  OVER w AS plon,
+         lead(lat_u) OVER w AS nlat, lead(lon_u) OVER w AS nlon
+  FROM dd WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+k AS (
+  SELECT doc_id,
+         (lon_u - plon) * (nlat - lat_u)
+           - (lat_u - plat) * (nlon - lon_u) AS cross_p,
+         (lon_u - plon) * (nlon - lon_u)
+           + (lat_u - plat) * (nlat - lat_u) AS dot_p
+  FROM t WHERE plat IS NOT NULL AND nlat IS NOT NULL)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(CASE WHEN cross_p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left,
+       CAST(SUM(CASE WHEN cross_p < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right,
+       CAST(SUM(CASE WHEN cross_p = 0 AND dot_p > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straight,
+       CAST(SUM(CASE WHEN cross_p = 0 AND dot_p <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reversal,
+       CAST(SUM(CASE WHEN cross_p > 0 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN cross_p < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS net_turns
+FROM k GROUP BY doc_id ORDER BY doc_id
+""".format(txt=_TRAJ_TEXT_SQL,
+           re=r"(-?[0-9]{1,3}\.[0-9]+)\s*,\s*(-?[0-9]{1,3}\.[0-9]+)")
+
+
+_EXTRA_QUERIES["geo_turns"] = q_geo_turns
+_EXTRA_ORACLES["geo_turns"] = Q_GEO_TURNS_SQL
+
+
 def q_events_transitions(spark, sf_dir):
     """Markov next-event transition matrix (clickstream sequence mining):
     lag(event_type) per user in (ts, event_id) order, then counts and

@@ -229,3 +229,89 @@ def od_flows(
         .agg(F.count("*").cast("long").alias("n_trips"),
              F.countDistinct(id_col).cast("long").alias("n_docs"))
     )
+
+
+def trajectory_turns(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn-classification statistics over text-mined trajectories: every
+    interior waypoint P_i of a document's polyline classifies by the sign
+    of the integer cross product (P_i - P_{i-1}) x (P_{i+1} - P_i) —
+    ``left`` (> 0), ``right`` (< 0), and for collinear segments the dot
+    product splits ``straight`` (> 0) from ``reversal`` (U-turn, < 0).
+
+    Determinism contract: coordinates are ``floor(lat * 1e6)``
+    micro-degree BIGINTs (the trajectory_measures rule), so cross and dot
+    are EXACT 64-bit integer arithmetic on both engines — differences are
+    < 2^29 micro-degrees, products < 2^58, sums < 2^59.  No floats touch
+    the classification, so it is bit-identical cross-engine even off the
+    test lattice.  Consecutive duplicate points are collapsed first
+    (zero-length segments have no direction); cross = 0 AND dot = 0 is
+    impossible for the surviving non-zero segments.
+
+    Output (docs with >= 3 distinct-consecutive points):
+    ``doc_id, n_interior, n_left, n_right, n_straight, n_reversal,
+    net_turns`` (= n_left - n_right, the winding tendency).
+
+    Scale shape: extraction is scan-stage codegen; ONE shuffle total —
+    the per-doc window hash-partitions by doc_id; the dedup filter
+    preserves that partitioning AND sort, so the lag/lead window and the
+    final groupBy(doc_id) both reuse the exchange.  Output is
+    document-sized.
+    """
+    from pyspark.sql import Window
+
+    m = extract_coordinates(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "idx",
+        F.floor(F.col("lat") * 1000000.0).cast("long").alias("lat_u"),
+        F.floor(F.col("lon") * 1000000.0).cast("long").alias("lon_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    dd = (
+        m.withColumn("dlat", F.lag("lat_u").over(w))
+        .withColumn("dlon", F.lag("lon_u").over(w))
+        .filter(
+            F.col("dlat").isNull()
+            | (F.col("dlat") != F.col("lat_u"))
+            | (F.col("dlon") != F.col("lon_u"))
+        )
+        .select("doc_id", "idx", "lat_u", "lon_u")
+    )
+    t = (
+        dd.withColumn("plat", F.lag("lat_u").over(w))
+        .withColumn("plon", F.lag("lon_u").over(w))
+        .withColumn("nlat", F.lead("lat_u").over(w))
+        .withColumn("nlon", F.lead("lon_u").over(w))
+        .filter(F.col("plat").isNotNull() & F.col("nlat").isNotNull())
+    )
+    v1x = F.col("lon_u") - F.col("plon")
+    v1y = F.col("lat_u") - F.col("plat")
+    v2x = F.col("nlon") - F.col("lon_u")
+    v2y = F.col("nlat") - F.col("lat_u")
+    cross = v1x * v2y - v1y * v2x
+    dot = v1x * v2x + v1y * v2y
+    kind = (
+        F.when(cross > 0, F.lit("left"))
+        .when(cross < 0, F.lit("right"))
+        .when(dot > 0, F.lit("straight"))
+        .otherwise(F.lit("reversal"))
+    )
+    out = (
+        t.withColumn("kind", kind)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_interior"),
+            F.sum(F.when(F.col("kind") == "left", 1).otherwise(0))
+            .cast("long").alias("n_left"),
+            F.sum(F.when(F.col("kind") == "right", 1).otherwise(0))
+            .cast("long").alias("n_right"),
+            F.sum(F.when(F.col("kind") == "straight", 1).otherwise(0))
+            .cast("long").alias("n_straight"),
+            F.sum(F.when(F.col("kind") == "reversal", 1).otherwise(0))
+            .cast("long").alias("n_reversal"),
+        )
+    )
+    return out.withColumn(
+        "net_turns", (F.col("n_left") - F.col("n_right")).cast("long"))
