@@ -92,3 +92,59 @@ def merge_latest(
             ],
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str] = ("key",),
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two snapshots of a keyed table into a minimal changelog —
+    the INVERSE of :func:`apply_changes`: keys only in ``new`` emit
+    ``I`` (insert, new payload), keys only in ``old`` emit ``D``
+    (delete, old payload for reference), keys in both whose payload
+    differs emit ``U`` (update, new payload); identical rows emit
+    nothing.  Column comparison is NULL-safe (``IS DISTINCT FROM``):
+    NULL == NULL is unchanged, NULL vs value is an update — the trap
+    ``coalesce``-based diffs get wrong.
+
+    Replaying the output through ``apply_changes(old, diff)`` reproduces
+    ``new`` exactly (pinned by the round-trip test) — the snapshot-diff /
+    changelog-apply pair is closed.
+
+    Scale shape: ONE full-outer equi-join on the keys (one exchange per
+    side; AQE broadcasts a small side), then pure-codegen NULL-safe
+    comparisons; output is change-sized.  No windows, no collects — this
+    is the table-format incremental-maintenance primitive (Delta CDF /
+    Iceberg changelog scan) computed from plain snapshots.
+    """
+    keys = list(keys)
+    payload = [c for c in new.columns if c not in keys]
+    if [c for c in old.columns if c not in keys] != payload:
+        raise ValueError("old/new payload columns must match")
+    o = old.select(*keys, *[F.col(c).alias("_o_" + c) for c in payload],
+                   F.lit(1).alias("_in_o"))
+    n = new.select(*keys, *[F.col(c).alias("_n_" + c) for c in payload],
+                   F.lit(1).alias("_in_n"))
+    j = o.join(n, on=keys, how="full")
+    changed = None
+    for c in payload:
+        d = ~F.col("_o_" + c).eqNullSafe(F.col("_n_" + c))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(F.col("_in_o").isNull(), F.lit("I"))
+        .when(F.col("_in_n").isNull(), F.lit("D"))
+        .when(changed if changed is not None else F.lit(False),
+              F.lit("U"))
+    )
+    out_cols = [
+        F.when(op == "D", F.col("_o_" + c)).otherwise(F.col("_n_" + c))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*keys, op_col, *out_cols)
+    )
