@@ -91,3 +91,57 @@ def rfm_segments(events: DataFrame, ts_us_col: str = "ts_us",
         r.alias("r_bucket"), f.alias("f_bucket"), mo.alias("m_bucket"),
         (r * 100 + f * 10 + mo).cast("int").alias("rfm_code"),
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    ref_ts: str,
+    half_life_us: int = 3 * 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Exponentially time-decayed engagement score per user — the
+    streaming-free spelling of a decayed counter (Song et al. style
+    half-life scoring): an event ``age`` half-lives old contributes
+    ``2^scale_bits >> age``, so a user's score halves every
+    ``half_life_us`` of inactivity.
+
+    Exactness contract: ``age = (ref - ts) // half_life`` in PURE NTZ
+    microsecond arithmetic (``timestampdiff`` against a TIMESTAMP_NTZ
+    literal — session-timezone-independent, the ``_ntz_epoch_us`` rule);
+    the decay is an integer shift (``scale // (1 << age)``), never a
+    float ``pow`` — both engines branch and round identically.  Events
+    after ``ref_ts`` are dropped (a decayed score is a statement about a
+    reference instant).  Ages beyond 62 clamp (contribution is already 0
+    past ``scale_bits``).
+
+    Output: ``user_id, n_events, decayed_score`` (scaled by
+    ``2^scale_bits``), ``newest_age`` (half-lives since last activity —
+    the recency signal).
+
+    Scale shape: pure per-row codegen + ONE map-side-combined aggregate;
+    no joins, no windows, no scalar subqueries (the reference instant is
+    a parameter, not a data-dependent max).
+    """
+    if not 1 <= scale_bits <= 62:
+        raise ValueError("scale_bits must be in [1, 62]")
+    scale = 1 << scale_bits
+    age = F.expr(
+        "least(div(timestampdiff(MICROSECOND, {c}, "
+        "TIMESTAMP_NTZ '{r}'), {h}), 62L)".format(
+            c=ts_col, r=ref_ts, h=int(half_life_us))
+    )
+    contrib = F.expr(
+        "div({s}L, shiftleft(1L, cast(_age as int)))".format(s=scale))
+    return (
+        events.withColumn("_age", age)
+        .filter(F.col("_age") >= 0)
+        .withColumn("_contrib", contrib)
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_contrib").cast("long").alias("decayed_score"),
+            F.min("_age").cast("long").alias("newest_age"),
+        )
+    )

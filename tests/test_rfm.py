@@ -59,3 +59,64 @@ def test_no_user_table_global_sort(spark):
     # the only BNLJs are the 1-row cutoff scalar attaches
     assert plan.count("BroadcastNestedLoopJoin") <= 3
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- decayed_activity
+
+def test_decayed_activity_hand_values(spark):
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    # half-life 1 day, ref 2024-01-10: ages 0, 1, 3; plus a future event
+    rows = [
+        (1, "2024-01-09 12:00:00"),   # age 0 -> 1024
+        (1, "2024-01-08 12:00:00"),   # age 1 -> 512
+        (1, "2024-01-06 12:00:00"),   # age 3 -> 128
+        (2, "2024-01-10 00:00:00"),   # age 0 (boundary) -> 1024
+        (2, "2024-01-11 00:00:00"),   # future -> dropped
+        (3, "2024-01-12 00:00:00"),   # all-future user -> no row
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").selectExpr(
+        "user_id", "cast(s as timestamp_ntz) as ts")
+    got = {r.user_id: r for r in decayed_activity(
+        df, ref_ts="2024-01-10 00:00:00",
+        half_life_us=86_400_000_000, scale_bits=10).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_events, got[1].decayed_score, got[1].newest_age) == (
+        3, 1024 + 512 + 128, 0)
+    assert (got[2].n_events, got[2].decayed_score, got[2].newest_age) == (
+        1, 1024, 0)
+
+
+def test_decayed_activity_deep_age_clamps_to_zero(spark):
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    df = spark.createDataFrame(
+        [(1, "1924-01-01 00:00:00")], "user_id long, s string"
+    ).selectExpr("user_id", "cast(s as timestamp_ntz) as ts")
+    r = decayed_activity(df, ref_ts="2024-01-10 00:00:00",
+                         half_life_us=86_400_000_000,
+                         scale_bits=10).collect()[0]
+    assert r.decayed_score == 0 and r.n_events == 1
+
+
+def test_decayed_activity_no_join_no_window_plan(spark):
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-09 00:00:00")], "user_id long, s string"
+    ).selectExpr("user_id", "cast(s as timestamp_ntz) as ts")
+    plan = decayed_activity(df, ref_ts="2024-01-10 00:00:00")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_decayed_activity_scale_bits_bounds(spark):
+    import pytest as _pytest
+
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-09 00:00:00")], "user_id long, s string"
+    ).selectExpr("user_id", "cast(s as timestamp_ntz) as ts")
+    with _pytest.raises(ValueError):
+        decayed_activity(df, ref_ts="2024-01-10 00:00:00", scale_bits=63)
