@@ -2621,6 +2621,60 @@ _EXTRA_QUERIES["graph_pagerank"] = q_graph_pagerank
 _EXTRA_ORACLES["graph_pagerank"] = _pagerank_sql()
 
 
+def q_graph_linkpred(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell &
+    Kleinberg) over a deterministic slice of the customer-supplier
+    purchase graph (operators/graph.py:link_prediction): candidate pairs
+    from ONE wedge self-join on the middle vertex (never all-pairs),
+    existing edges removed by a left-anti equi-join, degrees via two
+    node-sized joins; jaccard_ppm is integer division so both engines
+    round identically.  On the bipartite graph the output is the
+    "customers with overlapping supplier sets / suppliers with shared
+    customers" similarity table.  Top-200 by (common_n, jaccard) with a
+    full (u, v) tie-break -> deterministic LIMIT."""
+    from picogeojson_spark.operators.graph import link_prediction, \
+        purchase_graph
+
+    edges = purchase_graph(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0),
+        _t(spark, sf_dir, "lineitem"),
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return link_prediction(edges).orderBy(
+        F.desc("common_n"), F.desc("jaccard_ppm"), "u", "v").limit(200)
+
+
+Q_GRAPH_LINKPRED_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 10 = 0),
+sym AS (SELECT u AS a, v AS m FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+pairs AS (
+  SELECT l.a AS u, r.a AS v, CAST(COUNT(*) AS BIGINT) AS common_n
+  FROM sym l JOIN sym r ON l.m = r.m
+  WHERE l.a < r.a
+  GROUP BY l.a, r.a),
+fresh AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.u AND e.v = p.v))
+SELECT f.u, f.v, f.common_n,
+       du.deg AS deg_u, dv.deg AS deg_v,
+       CAST((f.common_n * 1000000)
+            // (du.deg + dv.deg - f.common_n) AS BIGINT) AS jaccard_ppm
+FROM fresh f
+JOIN deg du ON du.a = f.u
+JOIN deg dv ON dv.a = f.v
+ORDER BY f.common_n DESC, jaccard_ppm DESC, f.u, f.v
+LIMIT 200
+"""
+
+
+_EXTRA_QUERIES["graph_linkpred"] = q_graph_linkpred
+_EXTRA_ORACLES["graph_linkpred"] = Q_GRAPH_LINKPRED_SQL
+
+
 # ---------------------------------------------------------------------------
 # round-3 late batch B: line-level cleaning, mixture balancing, hashed
 # linear quality, URL canonicalization
@@ -5398,6 +5452,45 @@ _EXTRA_QUERIES["events_rfm"] = q_events_rfm
 _EXTRA_ORACLES["events_rfm"] = _q_events_rfm_sql()
 
 
+def q_events_decay(spark, sf_dir):
+    """Half-life time-decayed engagement score per user
+    (operators/rfm.py:decayed_activity): an event k half-lives before the
+    reference instant contributes 2^20 >> k, so scores halve per 3 days
+    of inactivity.  Exactness: age is a pure-NTZ integer microsecond
+    division (no session-tz cast), decay is an integer shift — never a
+    float pow — so both engines round identically.  Pure codegen + ONE
+    map-side-combined aggregate; the reference instant is a parameter,
+    not a data-dependent scalar subquery."""
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_activity(
+        ev, ref_ts="2024-02-01 00:00:00",
+        half_life_us=3 * 86_400_000_000).orderBy("user_id")
+
+
+Q_EVENTS_DECAY_SQL = """
+WITH aged AS (
+  SELECT user_id,
+         LEAST(date_diff('microsecond', ts,
+                         TIMESTAMP '2024-02-01 00:00:00')
+               // 259200000000, 62) AS age
+  FROM events
+  WHERE date_diff('microsecond', ts,
+                  TIMESTAMP '2024-02-01 00:00:00') >= 0)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1048576 // (CAST(1 AS BIGINT) << age)) AS BIGINT)
+         AS decayed_score,
+       CAST(MIN(age) AS BIGINT) AS newest_age
+FROM aged GROUP BY user_id ORDER BY user_id
+"""
+
+
+_EXTRA_QUERIES["events_decay"] = q_events_decay
+_EXTRA_ORACLES["events_decay"] = Q_EVENTS_DECAY_SQL
+
+
 def _local_traj_text_col():
     """LOCALIZED travelogues: each doc's 2-4 waypoints sit within +/-5
     degrees of one of 24 anchor regions (crossings happen between
@@ -6810,6 +6903,70 @@ ORDER BY key
 
 _EXTRA_QUERIES["table_cdc"] = q_table_cdc
 _EXTRA_ORACLES["table_cdc"] = Q_TABLE_CDC_SQL
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff — the INVERSE of table_cdc's changelog apply
+    (operators/cdc.py:snapshot_diff; Delta CDF / Iceberg changelog scan
+    computed from plain snapshots): two derived document snapshots diff
+    into a minimal I/U/D changelog via ONE full-outer key join + NULL-safe
+    (IS DISTINCT FROM) payload comparison.  The synthesis plants every
+    classification: inserts (keys absent from old), deletes (absent from
+    new), value updates, value->NULL and NULL->value updates (the
+    coalesce trap), NULL==NULL unchanged rows, and plain unchanged rows —
+    both engines must omit exactly the same rows."""
+    from picogeojson_spark.operators.cdc import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    old = d.filter(i % 10 != 0).select(
+        "doc_id",
+        F.when(i % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("val"),
+        F.col("n_chars").alias("n"),
+    )
+    new = d.filter(i % 7 != 0).select(
+        "doc_id",
+        F.when(i % 11 == 0, F.lit(None).cast("string"))
+        .when(i % 3 == 0, F.upper(F.col("lang")))
+        .otherwise(F.col("lang")).alias("val"),
+        (F.col("n_chars") + F.when(i % 9 == 0, 5).otherwise(0))
+        .cast("long").alias("n"),
+    )
+    return snapshot_diff(old, new, keys=["doc_id"]).orderBy("doc_id")
+
+
+Q_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS val,
+         n_chars AS n
+  FROM documents WHERE doc_id % 10 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN upper(lang)
+              ELSE lang END AS val,
+         CAST(n_chars + CASE WHEN doc_id % 9 = 0 THEN 5 ELSE 0 END
+              AS BIGINT) AS n
+  FROM documents WHERE doc_id % 7 <> 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'I'
+              WHEN n.doc_id IS NULL THEN 'D'
+              WHEN (o.val IS DISTINCT FROM n.val)
+                OR (o.n IS DISTINCT FROM n.n) THEN 'U'
+         END AS op,
+         CASE WHEN n.doc_id IS NULL THEN o.val ELSE n.val END AS val,
+         CASE WHEN n.doc_id IS NULL THEN o.n ELSE n.n END AS n
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id, op, val, CAST(n AS BIGINT) AS n
+FROM j WHERE op IS NOT NULL ORDER BY doc_id
+"""
+
+
+_EXTRA_QUERIES["table_diff"] = q_table_diff
+_EXTRA_ORACLES["table_diff"] = Q_TABLE_DIFF_SQL
 
 
 def q_web_robots(spark, sf_dir):
