@@ -393,3 +393,104 @@ def moran_summary(
         F.sum("local").cast("long").alias("num"),
         F.sum(F.col("dev_n") * F.col("dev_n")).cast("long").alias("den"),
     )
+
+
+_KM_LAT_SHIFT = 90_000_000
+_KM_LON_SHIFT = 180_000_000
+
+
+def kmeans_points(
+    points: DataFrame,
+    seeds,
+    rounds: int = 4,
+    lat_col: str = "lat_u",
+    lon_col: str = "lon_u",
+) -> DataFrame:
+    """Deterministic integer Lloyd's k-means over a micro-degree point
+    table — the mllib-KMeans shape re-derived under the engine's
+    exactness contract so a SQL oracle can replay every round.
+
+    Determinism: distances are EXACT int64 squared planar micro-degrees
+    (coords shift to non-negative space first, so the centroid update's
+    ``sum // n`` floor-division agrees between Spark's truncating ``div``
+    and DuckDB's flooring ``//``); ties in assignment break to the
+    smaller centroid id via lexicographic (dist, cid) struct-min; empty
+    clusters keep their previous centroid.  Floats appear only inside
+    ``floor(sqrt(int))`` for the reported inertia (correctly-rounded IEEE
+    — the trajectory_measures rule).
+
+    Scale shape per round: the k centroids are collected to the driver
+    (k rows — the bounded-collect pattern of ann_index/bpe; exactly what
+    mllib broadcasts) and embedded as LITERALS, so assignment is pure
+    whole-stage codegen with NO join and the update is ONE map-side-
+    combined aggregate over k groups.  The projected point table persists
+    once; total work is O(rounds * n * k) with zero per-round shuffles
+    beyond the k-group aggregate.
+
+    Output (k rows): ``cid, c_lat_u, c_lon_u, n_points, inertia_u``
+    (final-round centroids; counts and summed floor(sqrt(d)) under the
+    final assignment).
+    """
+    k = len(seeds)
+    if k < 1 or rounds < 1:
+        raise ValueError("need >= 1 seed and >= 1 round")
+    pts = points.select(
+        (F.col(lat_col) + F.lit(_KM_LAT_SHIFT)).cast("long").alias("lat_s"),
+        (F.col(lon_col) + F.lit(_KM_LON_SHIFT)).cast("long").alias("lon_s"),
+    ).persist()
+    try:
+        cur = [(int(a) + _KM_LAT_SHIFT, int(o) + _KM_LON_SHIFT)
+               for a, o in seeds]
+
+        def assign(cents):
+            structs = []
+            for j, (clat, clon) in enumerate(cents):
+                dy = F.col("lat_s") - F.lit(clat)
+                dx = F.col("lon_s") - F.lit(clon)
+                structs.append(F.struct(
+                    (dy * dy + dx * dx).alias("d"),
+                    F.lit(j).alias("cid")))
+            return F.array_min(F.array(*structs))
+
+        for _ in range(rounds):
+            got = {
+                r.cid: r
+                for r in pts.groupBy(
+                    assign(cur)["cid"].alias("cid"))
+                .agg(F.count("*").alias("n"),
+                     F.sum("lat_s").alias("sa"),
+                     F.sum("lon_s").alias("so"))
+                .collect()
+            }
+            cur = [
+                (int(got[j].sa) // int(got[j].n),
+                 int(got[j].so) // int(got[j].n)) if j in got else cur[j]
+                for j in range(k)
+            ]
+
+        m = assign(cur)
+        final = (
+            pts.select(m["cid"].alias("cid"),
+                       F.floor(F.sqrt(m["d"].cast("double")))
+                       .cast("long").alias("dist_u"))
+            .groupBy("cid")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.sum("dist_u").cast("long").alias("inertia_u"))
+        )
+        cents = points.sparkSession.createDataFrame(
+            [(j, cur[j][0] - _KM_LAT_SHIFT, cur[j][1] - _KM_LON_SHIFT)
+             for j in range(k)],
+            "cid int, c_lat_u long, c_lon_u long")
+        out = (
+            cents.join(final, on="cid", how="left")
+            .select("cid", "c_lat_u", "c_lon_u",
+                    F.coalesce("n_points", F.lit(0)).cast("long")
+                    .alias("n_points"),
+                    F.coalesce("inertia_u", F.lit(0)).cast("long")
+                    .alias("inertia_u"))
+        )
+        # materialize before unpersist so the cached points back the agg
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()
+    return out
