@@ -5217,6 +5217,90 @@ _EXTRA_QUERIES["geo_grid_cluster"] = q_geo_grid_cluster
 _EXTRA_ORACLES["geo_grid_cluster"] = Q_GEO_GRID_CLUSTER_SQL
 
 
+_KMEANS_SEEDS = [((j * 20 - 70) * 10**6, (j * 40 - 140) * 10**6)
+                 for j in range(8)]
+_KMEANS_ROUNDS = 4
+
+
+def q_geo_kmeans(spark, sf_dir):
+    """Deterministic integer Lloyd's k-means over the customer lattice
+    (operators/spatial_cluster.py:kmeans_points — the mllib-KMeans shape
+    with exact int64 distances, floor-division centroid updates in
+    shifted non-negative space, (dist, cid) struct-min tie-breaks, and
+    empty clusters holding their centroid).  Per round the k=8 centroids
+    collect to the driver (bounded-collect pattern, what mllib
+    broadcasts) and assignment is pure codegen with NO join; the oracle
+    unrolls all 4 rounds with MATERIALIZED CTEs (the pagerank/LPA proof
+    shape), so hash-equality proves every round's assignment AND update."""
+    from picogeojson_spark.operators.spatial_cluster import kmeans_points
+
+    pts = _points_from_customer(spark, sf_dir).select(
+        F.floor(F.col("lat") * 1000000.0).cast("long").alias("lat_u"),
+        F.floor(F.col("lon") * 1000000.0).cast("long").alias("lon_u"),
+    )
+    return kmeans_points(pts, seeds=_KMEANS_SEEDS,
+                         rounds=_KMEANS_ROUNDS).orderBy("cid")
+
+
+def _kmeans_sql(seeds=_KMEANS_SEEDS, rounds=_KMEANS_ROUNDS):
+    """Unrolled-round replay of kmeans_points: MATERIALIZED CTEs per
+    round (plain CTEs inline per reference -> exponential), list-min
+    lexicographic assignment, BIGINT-cast sums (DuckDB SUM->HUGEINT
+    rule), COALESCE empty-cluster hold."""
+    k = len(seeds)
+    shifted = [(a + 90_000_000, o + 180_000_000) for a, o in seeds]
+    vals = ", ".join("({}, {}, {})".format(j, a, o)
+                     for j, (a, o) in enumerate(shifted))
+    parts = ["""
+WITH pts AS MATERIALIZED (
+  SELECT point_id,
+         CAST(floor(lat * 1000000.0) AS BIGINT) + 90000000 AS lat_s,
+         CAST(floor(lon * 1000000.0) AS BIGINT) + 180000000 AS lon_s
+  FROM ({points})),
+c0(cid, clat, clon) AS (VALUES {vals})""".format(points=_POINTS_SQL,
+                                                 vals=vals)]
+    assign = ("MIN([(lat_s - clat) * (lat_s - clat)"
+              " + (lon_s - clon) * (lon_s - clon), CAST(cid AS BIGINT)])")
+    for r in range(1, rounds + 1):
+        parts.append(""",
+a{r} AS MATERIALIZED (
+  SELECT point_id, lat_s, lon_s, ({asg})[2] AS cid
+  FROM pts CROSS JOIN c{p}
+  GROUP BY point_id, lat_s, lon_s),
+c{r} AS MATERIALIZED (
+  SELECT c.cid,
+         COALESCE(n.sa // n.n, c.clat) AS clat,
+         COALESCE(n.so // n.n, c.clon) AS clon
+  FROM c{p} c LEFT JOIN (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lat_s) AS BIGINT) AS sa,
+           CAST(SUM(lon_s) AS BIGINT) AS so
+    FROM a{r} GROUP BY cid) n USING (cid))""".format(
+            r=r, p=r - 1, asg=assign))
+    parts.append(""",
+af AS MATERIALIZED (
+  SELECT point_id, ({asg})[2] AS cid, ({asg})[1] AS d
+  FROM pts CROSS JOIN c{R}
+  GROUP BY point_id, lat_s, lon_s),
+s AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(floor(sqrt(CAST(d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS inertia_u
+  FROM af GROUP BY cid)
+SELECT CAST(c.cid AS INT) AS cid,
+       CAST(c.clat - 90000000 AS BIGINT) AS c_lat_u,
+       CAST(c.clon - 180000000 AS BIGINT) AS c_lon_u,
+       COALESCE(s.n_points, 0) AS n_points,
+       COALESCE(s.inertia_u, 0) AS inertia_u
+FROM c{R} c LEFT JOIN s USING (cid) ORDER BY cid""".format(
+        asg=assign, R=rounds))
+    return "".join(parts)
+
+
+_EXTRA_QUERIES["geo_kmeans"] = q_geo_kmeans
+_EXTRA_ORACLES["geo_kmeans"] = _kmeans_sql()
+
+
 def q_geo_heatmap(spark, sf_dir):
     """Spatial hotspot raster: 2-degree cell histogram + 3x3 box-smoothed
     density over the clumped field.  ONE corpus shuffle; the smoothing
@@ -5489,6 +5573,151 @@ FROM aged GROUP BY user_id ORDER BY user_id
 
 _EXTRA_QUERIES["events_decay"] = q_events_decay
 _EXTRA_ORACLES["events_decay"] = Q_EVENTS_DECAY_SQL
+
+
+def q_events_attribution(spark, sf_dir):
+    """Linear multi-touch attribution (operators/attribution.py) — the
+    batch complement of stream_attribution's interval join: each purchase
+    splits 1e6 ppm of credit equally (integer division, remainder
+    dropped) across the same user's click/view/signup touches in the
+    prior 2 days; untouched purchases land in the '(none)' direct
+    bucket at full credit.  Pure-NTZ microsecond deltas; ONE user-keyed
+    equi-join, conversion-sized aggregate + window, touch-type-sized
+    output."""
+    from picogeojson_spark.operators.attribution import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, window_us=2 * 86_400_000_000).orderBy("touch_type")
+
+
+Q_EVENTS_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, event_type AS touch_type, ts AS touch_ts
+  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+j AS (
+  SELECT c.conv_id, t.touch_type
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE date_diff('microsecond', t.touch_ts, c.conv_ts) > 0
+    AND date_diff('microsecond', t.touch_ts, c.conv_ts)
+        <= 172800000000),
+per_ct AS (
+  SELECT conv_id, touch_type, CAST(COUNT(*) AS BIGINT) AS n_ct
+  FROM j GROUP BY 1, 2),
+cr AS (
+  SELECT conv_id, touch_type, n_ct,
+         n_ct * (1000000 // SUM(n_ct) OVER (PARTITION BY conv_id))
+           AS credit
+  FROM per_ct),
+att AS (
+  SELECT touch_type,
+         CAST(SUM(n_ct) AS BIGINT) AS n_touches,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         CAST(SUM(credit) AS BIGINT) AS credit_ppm_sum
+  FROM cr GROUP BY touch_type),
+direct AS (
+  SELECT '(none)' AS touch_type, CAST(0 AS BIGINT) AS n_touches,
+         CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm_sum
+  FROM conv
+  WHERE conv_id NOT IN (SELECT conv_id FROM per_ct)
+  HAVING COUNT(*) > 0)
+SELECT * FROM att UNION ALL SELECT * FROM direct ORDER BY touch_type
+"""
+
+
+_EXTRA_QUERIES["events_attribution"] = q_events_attribution
+_EXTRA_ORACLES["events_attribution"] = Q_EVENTS_ATTRIBUTION_SQL
+
+
+def q_events_bots(spark, sf_dir):
+    """Behavioral bot detection (operators/bots.py): exact integer
+    signals — metronome regularity (min_gap == max_gap > 0), sub-second
+    bursts, sustained event rate — over real events UNIONed with three
+    planted bot users derived from documents (a 60-s metronome, a
+    50-event same-instant burst, a 100-event irregular fast crawler),
+    so every classification branch fires and the human users stay
+    negative.  Pure-NTZ gap arithmetic; ONE shuffle (user window reused
+    by the groupBy)."""
+    from picogeojson_spark.operators.bots import bot_scores
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def planted(filt, user, secs, etype):
+        return d.filter(filt).select(
+            (F.lit(1_000_000_000) + i).cast("long").alias("event_id"),
+            F.lit(user).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+                   " + make_dt_interval(0, 0, 0, {})".format(secs))
+            .alias("ts"),
+        )
+
+    bots = (
+        planted(i <= 20, 9001, "doc_id * 60", "view")
+        .unionByName(planted((i > 20) & (i <= 70), 9002, "0", "click"))
+        .unionByName(planted(
+            (i > 70) & (i <= 170), 9003,
+            "2 * (doc_id - 71) + (doc_id - 71) % 2", "view"))
+    )
+    return bot_scores(ev.unionByName(bots)).orderBy("user_id")
+
+
+Q_EVENTS_BOTS_SQL = """
+WITH uni AS (
+  SELECT event_id, user_id, event_type, ts FROM events
+  UNION ALL
+  SELECT 1000000000 + doc_id, 9001, 'view',
+         TIMESTAMP '2024-01-15 00:00:00' + to_seconds(doc_id * 60)
+  FROM documents WHERE doc_id <= 20
+  UNION ALL
+  SELECT 1000000000 + doc_id, 9002, 'click',
+         TIMESTAMP '2024-01-15 00:00:00'
+  FROM documents WHERE doc_id > 20 AND doc_id <= 70
+  UNION ALL
+  SELECT 1000000000 + doc_id, 9003, 'view',
+         TIMESTAMP '2024-01-15 00:00:00'
+           + to_seconds(2 * (doc_id - 71) + (doc_id - 71) % 2)
+  FROM documents WHERE doc_id > 70 AND doc_id <= 170),
+g AS (
+  SELECT user_id, ts, event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS gap_us
+  FROM uni),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+              AS BIGINT) AS span_s,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+  FROM g GROUP BY user_id),
+sig AS (
+  SELECT *,
+         CAST(CASE WHEN span_s > 0
+              THEN (n_events * 3600000) // span_s ELSE 0 END AS BIGINT)
+           AS rate_milli,
+         (n_events >= 5 AND min_gap_us > 0
+          AND min_gap_us = max_gap_us) AS is_regular
+  FROM agg)
+SELECT user_id, n_events, span_s, rate_milli, n_types,
+       min_gap_us, max_gap_us, is_regular,
+       (is_regular OR rate_milli > 60000
+        OR (span_s = 0 AND n_events >= 10)) AS is_bot
+FROM sig ORDER BY user_id
+"""
+
+
+_EXTRA_QUERIES["events_bots"] = q_events_bots
+_EXTRA_ORACLES["events_bots"] = Q_EVENTS_BOTS_SQL
 
 
 def _local_traj_text_col():
