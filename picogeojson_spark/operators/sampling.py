@@ -181,3 +181,43 @@ def temperature_sample(df: DataFrame, source_col: str = "source",
         .filter(hash_bucket(id_col, salt, buckets) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards,
+    key_col: str = "doc_id",
+    salt: str = "hrw",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1996) — the consistent-routing primitive: each key goes
+    to the shard with the greatest ``md5(salt:shard:key)`` score, so
+    REMOVING a shard remaps ONLY that shard's keys (~1/n of the table)
+    and ADDING one steals ~1/(n+1) from each — no global reshuffle, the
+    property hash-mod sharding lacks (pinned by the minimal-disruption
+    test).
+
+    Determinism: scores are the repo-standard 60-bit md5 construction
+    (15 hex chars -> BIGINT) — identical in both engines; ties (never
+    observed at 60 bits, but defined) break to the lexicographically
+    larger shard name via (score, shard) struct-max.
+
+    Scale shape: the shard list is a LITERAL array folded per row —
+    pure codegen, NO explode, NO join, NO shuffle; the k-way score
+    fan-out rides the scan.  At 100 TB this is a free column.
+    """
+    shards = [str(s) for s in shards]
+    if not shards:
+        raise ValueError("need at least one shard")
+    key = F.col(key_col).cast("string")
+    scored = [
+        F.struct(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(salt + ":" + s + ":"), key)),
+                1, 15), 16, 10).cast("long").alias("score"),
+            F.lit(s).alias("name"),
+        )
+        for s in shards
+    ]
+    return df.withColumn(out_col, F.array_max(F.array(*scored))["name"])
