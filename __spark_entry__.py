@@ -5720,6 +5720,136 @@ _EXTRA_QUERIES["events_bots"] = q_events_bots
 _EXTRA_ORACLES["events_bots"] = Q_EVENTS_BOTS_SQL
 
 
+def q_table_shards(spark, sf_dir):
+    """Rendezvous / highest-random-weight sharding
+    (operators/sampling.py:rendezvous_assign): every document routes to
+    the shard with the greatest 60-bit md5 score — a pure-codegen literal
+    fold, no explode/join/shuffle.  The query emits the assignment under
+    5 shards AND under 4 (shard n4 dropped) plus the moved flag, so the
+    HRW minimal-disruption guarantee (moved <=> previously on n4) is
+    itself part of the hash-checked contract."""
+    from picogeojson_spark.operators.sampling import rendezvous_assign
+
+    five = ["n0", "n1", "n2", "n3", "n4"]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = rendezvous_assign(d, five, out_col="shard")
+    out = rendezvous_assign(out, five[:4], out_col="shard_after_drop")
+    return out.select(
+        "doc_id", "shard", "shard_after_drop",
+        (F.col("shard") != F.col("shard_after_drop")).alias("moved"),
+    ).orderBy("doc_id")
+
+
+def _q_table_shards_sql():
+    def pick(shards):
+        vals = ", ".join("('{}')".format(s) for s in shards)
+        return """
+  SELECT doc_id, (MAX(struct_pack(
+           score := CAST(('0x' || substring(
+             md5('hrw:' || s.name || ':' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT),
+           name := s.name))).name AS pick
+  FROM documents CROSS JOIN (VALUES {vals}) s(name)
+  GROUP BY doc_id""".format(vals=vals)
+
+    return """
+WITH five AS ({five}),
+four AS ({four})
+SELECT five.doc_id, five.pick AS shard,
+       four.pick AS shard_after_drop,
+       five.pick <> four.pick AS moved
+FROM five JOIN four ON five.doc_id = four.doc_id
+ORDER BY five.doc_id
+""".format(five=pick(["n0", "n1", "n2", "n3", "n4"]),
+           four=pick(["n0", "n1", "n2", "n3"]))
+
+
+_EXTRA_QUERIES["table_shards"] = q_table_shards
+_EXTRA_ORACLES["table_shards"] = _q_table_shards_sql()
+
+
+def q_table_quality(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py) over a
+    deliberately dirtied orders table: clean orders UNION four planted
+    corruption families (NULL custkey, dangling customer FK, duplicate
+    order keys, negative totals + bogus status).  All row-level rules +
+    uniqueness fold into ONE map-side-combined scan (plan-asserted in
+    tests); the FK rule is one broadcastable left-join probe against the
+    customer key set.  Every output is a count — hash-exact by
+    construction."""
+    from picogeojson_spark.operators.expectations import expectation_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    k = F.col("o_orderkey")
+    bad = o.filter(k % 97 == 0)
+    dirty = (
+        o.unionByName(bad.withColumn(
+            "o_custkey", F.lit(None).cast("long")))
+        .unionByName(bad.withColumn("o_custkey", F.lit(-12345)))
+        .unionByName(bad.withColumn("o_orderstatus", F.lit("Z"))
+                     .withColumn("cents", F.lit(-100)))
+    )
+    rep = expectation_report(
+        dirty,
+        not_null=["o_custkey"],
+        in_range={"cents": (1, 100_000_000)},
+        in_set={"o_orderstatus": ["O", "F", "P"]},
+        unique=[["o_orderkey"]],
+        fks=[("customer", "o_custkey",
+              _t(spark, sf_dir, "customer"), "c_custkey")],
+    )
+    return rep.orderBy("rule")
+
+
+Q_TABLE_QUALITY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+bad AS (SELECT * FROM base WHERE o_orderkey % 97 = 0),
+dirty AS (
+  SELECT * FROM base
+  UNION ALL SELECT o_orderkey, NULL, o_orderstatus, cents FROM bad
+  UNION ALL SELECT o_orderkey, -12345, o_orderstatus, cents FROM bad
+  UNION ALL SELECT o_orderkey, o_custkey, 'Z', -100 FROM bad),
+row_rules AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_null,
+         CAST(SUM(CASE WHEN cents IS NOT NULL
+                        AND (cents < 1 OR cents > 100000000)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+  FROM dirty),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM dirty d LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON d.o_custkey = c.c_custkey
+  WHERE d.o_custkey IS NOT NULL),
+rules AS (
+  SELECT 'not_null:o_custkey' AS rule, n AS n_checked,
+         v_null AS n_violations FROM row_rules
+  UNION ALL SELECT 'in_range:cents', n, v_range FROM row_rules
+  UNION ALL SELECT 'in_set:o_orderstatus', n, v_set FROM row_rules
+  UNION ALL SELECT 'unique:o_orderkey', n, v_uniq FROM row_rules
+  UNION ALL SELECT 'fk:customer', n_checked, n_violations FROM fk)
+SELECT rule, n_checked, n_violations,
+       n_violations = 0 AS passed
+FROM rules ORDER BY rule
+"""
+
+
+_EXTRA_QUERIES["table_quality"] = q_table_quality
+_EXTRA_ORACLES["table_quality"] = Q_TABLE_QUALITY_SQL
+
+
 def _local_traj_text_col():
     """LOCALIZED travelogues: each doc's 2-4 waypoints sit within +/-5
     degrees of one of 24 anchor regions (crossings happen between

@@ -151,6 +151,15 @@ BENCH_QUERIES = [
     "stream_cdc",
     "sketch_kmv",
     "web_path_stats",
+    # fourth-continuation-session additions (SURVEY.md section 2.18)
+    "geo_hilbert",
+    "geo_turns",
+    "table_diff",
+    "events_decay",
+    "graph_linkpred",
+    "geo_kmeans",
+    "events_attribution",
+    "events_bots",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Declarative data-quality expectations over a DataFrame.
+
+The pipeline-gate step (Great Expectations / Delta constraints / dbt
+tests): declare rules, get back one row per rule with checked and
+violation counts.  A 100 TB table cannot afford one scan per rule, so
+all ROW-LEVEL rules (not-null, range, set-membership, regex) fold into
+ONE map-side-combined aggregate — a single pass regardless of rule
+count; uniqueness rides the SAME aggregate as
+``count - countDistinct`` (Spark plans multi-distinct with one Expand,
+still one scan); only referential-integrity rules pay a join each, and
+that join is a broadcastable anti-probe against the (dimension-sized)
+referenced key set.
+
+Exactness: every output is a count — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    in_range: Mapping[str, tuple] = None,
+    in_set: Mapping[str, Sequence] = None,
+    matches: Mapping[str, str] = None,
+    unique: Sequence[Sequence[str]] = (),
+    fks: Sequence[tuple] = (),
+) -> DataFrame:
+    """Evaluate expectations and return
+    ``(rule, n_checked, n_violations, passed)`` per rule.
+
+    - ``not_null``: column names that must not be NULL;
+    - ``in_range``: ``{col: (lo, hi)}`` inclusive bounds (NULL passes —
+      pair with not_null to forbid);
+    - ``in_set``: ``{col: [allowed, ...]}`` (NULL passes);
+    - ``matches``: ``{col: regex}`` full-match (NULL passes);
+    - ``unique``: key column lists; violations = rows beyond the first
+      per duplicate key;
+    - ``fks``: ``(name, col, dim_df, dim_col)`` — rows whose non-NULL
+      ``col`` has no match in ``dim_df[dim_col]``.
+    """
+    in_range = dict(in_range or {})
+    in_set = dict(in_set or {})
+    matches = dict(matches or {})
+    viol: list[tuple[str, Column]] = []
+    for c in not_null:
+        viol.append(("not_null:" + c,
+                     F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))))
+    for c, (lo, hi) in in_range.items():
+        bad = F.col(c).isNotNull() & ~F.col(c).between(F.lit(lo), F.lit(hi))
+        viol.append(("in_range:" + c, F.sum(bad.cast("int"))))
+    for c, allowed in in_set.items():
+        bad = F.col(c).isNotNull() & ~F.col(c).isin(list(allowed))
+        viol.append(("in_set:" + c, F.sum(bad.cast("int"))))
+    for c, rx in matches.items():
+        bad = F.col(c).isNotNull() & ~F.col(c).rlike(rx)
+        viol.append(("matches:" + c, F.sum(bad.cast("int"))))
+    for cols in unique:
+        cols = list(cols)
+        viol.append(("unique:" + ",".join(cols),
+                     F.count("*") - F.countDistinct(*cols)))
+
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i, (_, expr) in enumerate(viol):
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("long")
+                    .alias("_v{}".format(i)))
+    one = df.agg(*aggs)
+    if viol:
+        stack = ", ".join(
+            "'{}', _v{}".format(name.replace("'", ""), i)
+            for i, (name, _) in enumerate(viol))
+        rows = one.selectExpr(
+            "_n", "stack({}, {}) as (rule, n_violations)".format(
+                len(viol), stack)
+        ).select("rule", F.col("_n").alias("n_checked"), "n_violations")
+    else:
+        rows = None
+
+    fk_parts = []
+    for name, col, dim, dim_col in fks:
+        keys = dim.select(F.col(dim_col).alias(col)).distinct() \
+            .withColumn("_hit", F.lit(1))
+        marked = (
+            df.select(col).filter(F.col(col).isNotNull())
+            .join(keys, on=col, how="left")
+        )
+        fk_parts.append(marked.agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.col("_hit").isNull().cast("long")).cast("long")
+            .alias("n_violations"),
+        ).select(F.lit("fk:" + name).alias("rule"), "n_checked",
+                 F.coalesce("n_violations", F.lit(0)).cast("long")
+                 .alias("n_violations")))
+
+    parts = ([rows] if rows is not None else []) + fk_parts
+    if not parts:
+        raise ValueError("no expectations declared")
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.withColumn("passed", F.col("n_violations") == 0)
