@@ -2561,6 +2561,60 @@ _EXTRA_ORACLES["bm25_search"] = _bm25_sql(
 )
 
 
+def q_search_fusion(spark, sf_dir):
+    """Hybrid-search reciprocal-rank fusion (Cormack et al. 2009;
+    operators/retrieval.py:rrf_fuse): the BM25 arm and the raw-tf arm
+    (top-30 each, both integer-exact rankings) fuse via
+    1e6 // (60 + rank) milli-points per system — integer division, so
+    both engines round identically; docs in one arm only keep the other
+    rank NULL.  The arms reduce the corpus before fusion, so the
+    full-outer join and final sort run on top-k-sized tables."""
+    from picogeojson_spark.operators.retrieval import (
+        bm25_topk, rrf_fuse, tf_topk)
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector", "stream"]
+    bm = bm25_topk(docs, terms, k=30)
+    tf = tf_topk(docs, terms, k=30)
+    return rrf_fuse([("bm25", bm), ("tf", tf)],
+                    top_k=20).orderBy("rank_fused")
+
+
+def _q_search_fusion_sql():
+    terms = ["hash", "join", "vector", "stream"]
+    tlist = ", ".join("'%s'" % t for t in sorted(set(terms)))
+    return r"""
+WITH bm AS (SELECT * FROM ({bm})),
+tfw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+tfa AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_sum
+  FROM tfw WHERE word IN ({tlist}) GROUP BY doc_id),
+tfq AS (
+  SELECT CAST(row_number() OVER (ORDER BY tf_sum DESC, doc_id)
+              AS BIGINT) AS rank, doc_id
+  FROM tfa QUALIFY rank <= 30),
+f AS (
+  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         CAST(b.rank AS BIGINT) AS rank_bm25,
+         CAST(t.rank AS BIGINT) AS rank_tf,
+         CAST(COALESCE(1000000 // (60 + b.rank), 0)
+              + COALESCE(1000000 // (60 + t.rank), 0) AS BIGINT)
+           AS rrf_milli
+  FROM bm b FULL OUTER JOIN tfq t ON b.doc_id = t.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_milli DESC, doc_id)
+            AS BIGINT) AS rank_fused,
+       doc_id, rrf_milli, rank_bm25, rank_tf
+FROM f QUALIFY rank_fused <= 20 ORDER BY rank_fused
+""".format(bm=_bm25_sql(terms, 30).strip(), tlist=tlist)
+
+
+_EXTRA_QUERIES["search_fusion"] = q_search_fusion
+_EXTRA_ORACLES["search_fusion"] = _q_search_fusion_sql()
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank (8 iterations, d=0.85) over the
     customer->supplier purchase graph (distinct (o_custkey, l_suppkey)

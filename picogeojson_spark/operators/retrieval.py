@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def bm25_score_expr_sql(k1: float = 1.2, b: float = 0.75) -> str:
@@ -196,4 +197,81 @@ def phrase_search(
             F.size("m").cast("long").alias("n_matches"),
             F.array_min("m").cast("long").alias("first_pos"),
         )
+    )
+
+
+def tf_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw term-frequency top-``k`` — the boolean/tf baseline ranking
+    (and the determinism-safe stand-in for a vector arm in hybrid-search
+    fusion): rank by total query-term occurrences, doc-id tie-break.
+    Same tokenizer as :func:`bm25_topk`.  Output: ``(rank, doc_id,
+    tf_sum)``."""
+    if not terms:
+        raise ValueError("tf_topk needs at least one query term")
+    term_list = sorted(set(t.lower() for t in terms))
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word").isin(term_list))
+    agg = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("tf_sum"))
+    w = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", "doc_id", "tf_sum")
+    )
+
+
+def rrf_fuse(
+    rankings,
+    k_rrf: int = 60,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — how hybrid search
+    combines BM25 with a vector arm: each system contributes
+    ``1e6 // (k_rrf + rank)`` milli-points per doc (integer division, so
+    both engines round identically); docs absent from a system get 0.
+
+    ``rankings`` is ``[(name, df), ...]`` where each df carries
+    ``id_col`` and ``rank_col``.  Output: ``(rank_fused, doc_id,
+    rrf_milli, rank_<name>...)`` top-``top_k`` by (score desc, doc_id).
+
+    Scale shape: the inputs are top-k-sized by construction, so the
+    (len-1) full-outer joins and the final sort are all on tiny tables —
+    the corpus was already reduced by each arm's own plan."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    parts = []
+    for name, df in rankings:
+        parts.append(df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("rank_" + name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, on="doc_id", how="full")
+    score = None
+    for name, _ in rankings:
+        c = F.when(
+            F.col("rank_" + name).isNotNull(),
+            F.expr("div(1000000L, {} + rank_{})".format(int(k_rrf), name)),
+        ).otherwise(F.lit(0)).cast("long")
+        score = c if score is None else (score + c)
+    w = Window.orderBy(F.desc("rrf_milli"), F.asc("doc_id"))
+    return (
+        out.withColumn("rrf_milli", score.cast("long"))
+        .withColumn("rank_fused", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_fused") <= int(top_k))
+        .select("rank_fused", "doc_id", "rrf_milli",
+                *["rank_" + name for name, _ in rankings])
     )

@@ -330,7 +330,10 @@ PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
                     "graph_triangles_est",
                     # 1-row (N cells, total points) scalar broadcast onto
                     # the occupied-cell raster (Moran dev_n = N*cnt - S)
-                    "geo_lisa", "geo_moran"}
+                    "geo_lisa", "geo_moran",
+                    # the BM25 arm's 1-row corpus-scalar attach (same
+                    # allowance as bm25_search; fusion adds no new cross)
+                    "search_fusion"}
 
 # Measured on the synthetic embeddings (uniform-random — the adversarial
 # case for clustering-based ANN, since there IS no cluster structure):
