@@ -5687,6 +5687,31 @@ _EXTRA_QUERIES["events_attribution"] = q_events_attribution
 _EXTRA_ORACLES["events_attribution"] = Q_EVENTS_ATTRIBUTION_SQL
 
 
+def q_stream_decay(spark, sf_dir):
+    """STREAMING decayed counters — the classic streaming-feature shape:
+    the SAME decayed_activity operator runs unchanged over a readStream
+    source (per-row age/shift expressions + one keyed aggregate fold in
+    complete mode; state bounded at one row per user).  Oracle is the
+    SAME SQL as events_decay — the hash IS the stream==batch proof
+    (stream_cdc pattern)."""
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    agg = decayed_activity(
+        src, ref_ts="2024-02-01 00:00:00",
+        half_life_us=3 * 86_400_000_000)
+    return _run_stream(spark, agg, "stream_decay",
+                       "complete").orderBy("user_id")
+
+
+_EXTRA_QUERIES["stream_decay"] = q_stream_decay
+_EXTRA_ORACLES["stream_decay"] = Q_EVENTS_DECAY_SQL
+
+
 def q_events_bots(spark, sf_dir):
     """Behavioral bot detection (operators/bots.py): exact integer
     signals — metronome regularity (min_gap == max_gap > 0), sub-second
