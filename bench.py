@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "geo_kmeans",
     "events_attribution",
     "events_bots",
+    "table_shards",
+    "table_quality",
+    "search_fusion",
+    "stream_decay",
 ]
 
 
