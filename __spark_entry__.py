@@ -5712,6 +5712,69 @@ _EXTRA_QUERIES["stream_decay"] = q_stream_decay
 _EXTRA_ORACLES["stream_decay"] = Q_EVENTS_DECAY_SQL
 
 
+def q_events_forecast(spark, sf_dir):
+    """Holt linear-trend forecast per event type
+    (operators/forecast.py:holt_forecast): the hourly count series folds
+    through the double-exponential-smoothing recurrence in MILLI fixed
+    point with EXPLICIT floor division (div+pmod on the Spark side — the
+    trend goes negative, where Spark's truncating div and DuckDB's
+    flooring // would diverge).  Corpus reduces to the (key, hour) rollup
+    in one map-side-combined aggregate; each key's bounded series folds
+    in one HOF whose lambda touches only its own variables (the
+    CollapseProject-safe category); the oracle replays the identical
+    fold with DuckDB list_reduce."""
+    from picogeojson_spark.operators.forecast import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_forecast(ev).orderBy("key")
+
+
+def _q_events_forecast_sql(a=300, b=100):
+    # Two DuckDB traps force this shape (probed in-session, DuckDB 1.0.0):
+    # (1) list_reduce evaluates struct_pack fields SEQUENTIALLY with acc
+    #     rebound in place — the b field would see the NEW l; a recursive
+    #     CTE evaluates the whole row against the OLD row, like Spark's
+    #     named_struct.  (2) integer `//` TRUNCATES toward zero (probe:
+    #     -7 // 2 = -3), so floor must be spelled explicitly — same
+    #     pmod construction as the Spark side.
+    def fd(v):
+        return ("((({v}) - ((({v}) % 1000 + 1000) % 1000)) // 1000)"
+                .format(v=v))
+
+    x = "sr.s[r.i + 1] * 1000"
+    lp = fd("{a} * ({x}) + {na} * (r.l + r.b)".format(a=a, na=1000 - a,
+                                                      x=x))
+    bp = fd("{b} * (({lp}) - r.l) + {nb} * r.b".format(
+        b=b, nb=1000 - b, lp=lp))
+    return """
+WITH RECURSIVE hourly AS (
+  SELECT event_type AS key,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           // 3600000000 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT key, list(n ORDER BY hour) AS s FROM hourly GROUP BY key),
+r AS (
+  SELECT key, 1 AS i, CAST(s[1] * 1000 AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b
+  FROM series
+  UNION ALL
+  SELECT r.key, r.i + 1, CAST({lp} AS BIGINT), CAST({bp} AS BIGINT)
+  FROM r JOIN series sr ON sr.key = r.key
+  WHERE r.i < len(sr.s))
+SELECT r.key, CAST(len(s.s) AS BIGINT) AS n_hours,
+       r.l AS level_milli, r.b AS trend_milli,
+       CAST(r.l + r.b AS BIGINT) AS forecast_next_milli
+FROM r JOIN series s ON s.key = r.key
+WHERE r.i = len(s.s) ORDER BY r.key
+""".format(lp=lp, bp=bp)
+
+
+_EXTRA_QUERIES["events_forecast"] = q_events_forecast
+_EXTRA_ORACLES["events_forecast"] = _q_events_forecast_sql()
+
+
 def q_events_bots(spark, sf_dir):
     """Behavioral bot detection (operators/bots.py): exact integer
     signals — metronome regularity (min_gap == max_gap > 0), sub-second

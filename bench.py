@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "table_quality",
     "search_fusion",
     "stream_decay",
+    "events_forecast",
 ]
 
 
