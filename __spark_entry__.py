@@ -5775,6 +5775,87 @@ _EXTRA_QUERIES["events_forecast"] = q_events_forecast
 _EXTRA_ORACLES["events_forecast"] = _q_events_forecast_sql()
 
 
+def _eval_scored(spark, sf_dir):
+    """Deterministic scored/labelled corpus for the eval family: an
+    integer length-plus-hash-noise score against a length-threshold
+    label — partially separable with real ties."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.expr("div(n_chars, 10)") + F.col("doc_id") % 7).cast("long")
+        .alias("score"),
+        (F.col("n_chars") >= 300).alias("label"),
+    )
+
+
+_EVAL_SCORED_SQL = ("SELECT CAST(n_chars // 10 + doc_id % 7 AS BIGINT)"
+                    " AS score, n_chars >= 300 AS label FROM documents")
+
+
+def q_eval_auc(spark, sf_dir):
+    """Exact ROC-AUC at corpus scale (operators/evals.py:auc_exact): the
+    Mann-Whitney statistic with tie correction, computed from the score
+    HISTOGRAM — one corpus aggregate + a score-cardinality-sized running
+    window — never a global row sort; the doubled-U spelling keeps
+    everything integer so both engines round identically."""
+    from picogeojson_spark.operators.evals import auc_exact
+
+    return auc_exact(_eval_scored(spark, sf_dir))
+
+
+Q_EVAL_AUC_SQL = """
+WITH sc AS ({scored}),
+hist AS (
+  SELECT score AS s,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0
+  FROM sc GROUP BY score),
+r AS (
+  SELECT *, CAST(SUM(n0) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - n0
+                 AS BIGINT) AS n0_below
+  FROM hist)
+SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+       CAST(SUM(n0) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN SUM(n1) > 0 AND SUM(n0) > 0
+            THEN SUM(n1 * (2 * n0_below + n0)) * 1000000
+                 // (2 * SUM(n1) * SUM(n0))
+            ELSE NULL END AS BIGINT) AS auc_ppm
+FROM r
+""".format(scored=_EVAL_SCORED_SQL)
+
+
+def q_eval_calibration(spark, sf_dir):
+    """Reliability-diagram bins (operators/evals.py:calibration_bins):
+    clamped integer binning + per-bin counts / positive rate / mean
+    score, all integer floor arithmetic on shifted non-negative operands;
+    ONE map-side-combined aggregate."""
+    from picogeojson_spark.operators.evals import calibration_bins
+
+    return calibration_bins(_eval_scored(spark, sf_dir), lo=0, hi=63,
+                            n_bins=8).orderBy("bin")
+
+
+Q_EVAL_CALIBRATION_SQL = """
+WITH sc AS ({scored}),
+c AS (
+  SELECT GREATEST(0, LEAST(63, score)) AS s0,
+         label AS y
+  FROM sc)
+SELECT CAST((s0 * 8) // 64 AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST((SUM(s0) * 1000) // COUNT(*) AS BIGINT) AS mean_score_milli,
+       CAST((SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS pos_rate_ppm
+FROM c GROUP BY 1 ORDER BY bin
+""".format(scored=_EVAL_SCORED_SQL)
+
+
+_EXTRA_QUERIES["eval_auc"] = q_eval_auc
+_EXTRA_ORACLES["eval_auc"] = Q_EVAL_AUC_SQL
+_EXTRA_QUERIES["eval_calibration"] = q_eval_calibration
+_EXTRA_ORACLES["eval_calibration"] = Q_EVAL_CALIBRATION_SQL
+
+
 def q_events_bots(spark, sf_dir):
     """Behavioral bot detection (operators/bots.py): exact integer
     signals — metronome regularity (min_gap == max_gap > 0), sub-second
@@ -7958,7 +8039,7 @@ _POST_WINDOW = frozenset([
     "geo_hilbert", "geo_turns", "table_diff", "events_decay",
     "graph_linkpred", "geo_kmeans", "events_attribution", "events_bots",
     "table_shards", "table_quality", "search_fusion", "stream_decay",
-    "events_forecast",
+    "events_forecast", "eval_auc", "eval_calibration",
 ])
 
 
