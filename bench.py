@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "search_fusion",
     "stream_decay",
     "events_forecast",
+    "eval_auc",
+    "eval_calibration",
 ]
 
 
