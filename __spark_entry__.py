@@ -5856,6 +5856,50 @@ _EXTRA_QUERIES["eval_calibration"] = q_eval_calibration
 _EXTRA_ORACLES["eval_calibration"] = Q_EVAL_CALIBRATION_SQL
 
 
+def q_events_paths(spark, sf_dir):
+    """Session path mining (operators/paths.py:session_paths): 30-min
+    gap sessions, first-3 event types joined '>' per session, counted by
+    sessions and distinct users.  ONE corpus shuffle (the user window's
+    partitioning + sort reused by the running-sum window and the
+    session groupBy); the HOF chain touches only its own lambda vars;
+    (tus, event_id) total order makes the path strings deterministic.
+    Output is path-space-sized (<= 5^3 + shorter prefixes)."""
+    from picogeojson_spark.operators.paths import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(ev, gap_us=1_800_000_000, k=3).orderBy(
+        F.desc("n_sessions"), "path")
+
+
+Q_EVENTS_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM g),
+p AS (
+  SELECT user_id, sidx,
+         array_to_string(
+           list_slice(list(event_type ORDER BY tus, event_id), 1, 3),
+           '>') AS path
+  FROM s GROUP BY user_id, sidx)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_sessions DESC, path
+"""
+
+
+_EXTRA_QUERIES["events_paths"] = q_events_paths
+_EXTRA_ORACLES["events_paths"] = Q_EVENTS_PATHS_SQL
+
+
 def q_events_bots(spark, sf_dir):
     """Behavioral bot detection (operators/bots.py): exact integer
     signals — metronome regularity (min_gap == max_gap > 0), sub-second
@@ -8039,7 +8083,7 @@ _POST_WINDOW = frozenset([
     "geo_hilbert", "geo_turns", "table_diff", "events_decay",
     "graph_linkpred", "geo_kmeans", "events_attribution", "events_bots",
     "table_shards", "table_quality", "search_fusion", "stream_decay",
-    "events_forecast", "eval_auc", "eval_calibration",
+    "events_forecast", "eval_auc", "eval_calibration", "events_paths",
 ])
 
 

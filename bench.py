@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "events_forecast",
     "eval_auc",
     "eval_calibration",
+    "events_paths",
 ]
 
 
