@@ -5900,6 +5900,72 @@ _EXTRA_QUERIES["events_paths"] = q_events_paths
 _EXTRA_ORACLES["events_paths"] = Q_EVENTS_PATHS_SQL
 
 
+def q_table_skew(spark, sf_dir):
+    """Join-key skew diagnostic (operators/stats.py:key_skew_report) —
+    the pre-flight "salt this join?" report: key cardinality, heaviest
+    key + share, exact p50/p99 per-key counts via the counts-of-counts
+    histogram (no window ever sees the key table), and the max/median
+    skew ratio.  Run over three lineitem keys: the near-uniform
+    l_suppkey, the ~4-rows-per-key l_orderkey, and a planted hot column
+    putting a third of all rows on one key — the case the report must
+    flag.  The two 1-row summaries merge by union + aggregate (a literal
+    join would constant-fold into the forbidden scalar BNLJ)."""
+    from picogeojson_spark.operators.stats import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("l_orderkey").cast("string")))
+        .alias("hotcol"),
+    )
+    return key_skew_report(
+        li, ["l_suppkey", "l_orderkey", "hotcol"]).orderBy("col_name")
+
+
+def _q_table_skew_sql():
+    src = ("SELECT l_suppkey, l_orderkey, "
+           "CASE WHEN l_orderkey % 3 = 0 THEN 'hot' "
+           "ELSE 'k' || CAST(l_orderkey AS VARCHAR) END AS hotcol "
+           "FROM lineitem")
+    blocks, selects = [], []
+    for i, c in enumerate(["l_suppkey", "l_orderkey", "hotcol"]):
+        blocks.append("""
+kc{i} AS (
+  SELECT COALESCE(CAST({c} AS VARCHAR), '(null)') AS key,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM src GROUP BY 1),
+base{i} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n,
+         (MAX(struct_pack(n := n, k := key))).k AS max_key
+  FROM kc{i}),
+r{i} AS (
+  SELECT n, SUM(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM (SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM kc{i} GROUP BY n)),
+q{i} AS (
+  SELECT CAST(MIN(CASE WHEN cum >= (50 * total + 99) // 100 THEN n END)
+              AS BIGINT) AS p50_n,
+         CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN n END)
+              AS BIGINT) AS p99_n
+  FROM r{i})""".format(i=i, c=c))
+        selects.append(
+            "SELECT '{c}' AS col_name, n_rows, n_keys, max_key, max_n,"
+            " CAST((max_n * 1000000) // n_rows AS BIGINT)"
+            " AS max_share_ppm, p50_n, p99_n,"
+            " CAST((max_n * 1000000) // p50_n AS BIGINT)"
+            " AS skew_ratio_ppm FROM base{i}, q{i}".format(c=c, i=i))
+    return ("WITH src AS ({src}),{blocks}\n{sel}\nORDER BY col_name"
+            .format(src=src, blocks=",".join(blocks),
+                    sel="\nUNION ALL\n".join(selects)))
+
+
+_EXTRA_QUERIES["table_skew"] = q_table_skew
+_EXTRA_ORACLES["table_skew"] = _q_table_skew_sql()
+
+
 def q_events_bots(spark, sf_dir):
     """Behavioral bot detection (operators/bots.py): exact integer
     signals — metronome regularity (min_gap == max_gap > 0), sub-second
@@ -8084,6 +8150,7 @@ _POST_WINDOW = frozenset([
     "graph_linkpred", "geo_kmeans", "events_attribution", "events_bots",
     "table_shards", "table_quality", "search_fusion", "stream_decay",
     "events_forecast", "eval_auc", "eval_calibration", "events_paths",
+    "table_skew",
 ])
 
 

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "eval_auc",
     "eval_calibration",
     "events_paths",
+    "table_skew",
 ]
 
 

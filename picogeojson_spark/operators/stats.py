@@ -78,3 +78,82 @@ FROM ranked
 GROUP BY {group_col}
 ORDER BY {group_col}
 """
+
+
+def key_skew_report(df: DataFrame, cols) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the pre-flight check before
+    keying a 100 TB shuffle: for each candidate key column, the key
+    cardinality, the heaviest key and its share, and exact p50/p99 of
+    the per-key row counts, plus ``skew_ratio_ppm`` (heaviest key vs the
+    median key, x1e6) — the number that says "salt this join".
+
+    Scale shape per column: ONE map-side-combined groupBy(key) to the
+    key-sized count table; everything after runs on the COUNTS-OF-COUNTS
+    histogram (bounded by distinct count values — the auc_exact/RFM
+    percentile pattern), so no window ever sees the key table, let alone
+    rows.  The two 1-row summaries merge by UNION + one 2-row aggregate
+    — a join on the literal column name would constant-fold into the
+    scalar BNLJ shape the plan invariant forbids.  All quantities
+    integer; ``max_key`` ties break to the lexicographically largest key
+    string.  NULL keys count under the sentinel ``(null)``.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    parts = []
+    for c in cols:
+        key = F.coalesce(F.col(c).cast("string"), F.lit("(null)"))
+        kc = df.select(key.alias("key")).groupBy("key").agg(
+            F.count("*").cast("long").alias("n"))
+        base = kc.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_n"),
+            F.max_by("key", F.struct("n", "key")).alias("max_key"),
+        ).select(F.lit(c).alias("col_name"), "n_keys", "n_rows",
+                 "max_n", "max_key",
+                 F.lit(None).cast("long").alias("p50_n"),
+                 F.lit(None).cast("long").alias("p99_n"))
+        hist = kc.groupBy("n").agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = hist.select(
+            "n",
+            F.sum("cnt").over(w).cast("long").alias("cum"),
+            F.sum("cnt").over(
+                Window.orderBy("n").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long").alias("total"),
+        )
+        qs = ranked.agg(
+            F.min(F.when(
+                F.col("cum") >= F.expr("(50 * total + 99) div 100"),
+                F.col("n"))).cast("long").alias("p50_n"),
+            F.min(F.when(
+                F.col("cum") >= F.expr("(99 * total + 99) div 100"),
+                F.col("n"))).cast("long").alias("p99_n"),
+        ).select(F.lit(c).alias("col_name"),
+                 F.lit(None).cast("long").alias("n_keys"),
+                 F.lit(None).cast("long").alias("n_rows"),
+                 F.lit(None).cast("long").alias("max_n"),
+                 F.lit(None).cast("string").alias("max_key"),
+                 "p50_n", "p99_n")
+        parts.append(base.unionByName(qs))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    out = merged.groupBy("col_name").agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("max_n").cast("long").alias("max_n"),
+        F.max("max_key").alias("max_key"),
+        F.max("p50_n").cast("long").alias("p50_n"),
+        F.max("p99_n").cast("long").alias("p99_n"),
+    )
+    return out.select(
+        "col_name", "n_rows", "n_keys", "max_key", "max_n",
+        F.expr("div(max_n * 1000000, n_rows)").cast("long")
+        .alias("max_share_ppm"),
+        "p50_n", "p99_n",
+        F.expr("div(max_n * 1000000, p50_n)").cast("long")
+        .alias("skew_ratio_ppm"),
+    )
