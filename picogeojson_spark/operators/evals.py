@@ -49,6 +49,16 @@ def auc_exact(
             .alias("n0"),
         )
     )
+    return auc_from_histogram(hist)
+
+
+def auc_from_histogram(hist: DataFrame) -> DataFrame:
+    """Finalize AUC from a ``(s, n1, n0)`` score histogram (positives /
+    negatives per score value).  Split out of :func:`auc_exact` so that
+    pre-aggregated or MERGED histograms (the mergeable-sketch shape:
+    union per-shard histograms, re-groupBy ``s``, sum) finalize through
+    the same exact integer path — and so the >int64 count regime is
+    directly testable."""
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
     ranked = hist.withColumn(
         "n0_below", (F.sum("n0").over(w) - F.col("n0")).cast("long"))
@@ -60,11 +70,18 @@ def auc_exact(
         F.sum(F.col("n1") * (2 * F.col("n0_below") + F.col("n0")))
         .cast("long").alias("u2"),
     )
+    # The scaled division runs in decimal(38,0): u2 <= 2*n_pos*n_neg, so
+    # u2 * 1e6 overflows int64 once n_pos*n_neg exceeds ~4.6e12 (about
+    # 2.1M x 2.1M) — far below this module's scale claim.  Spark's div on
+    # decimals returns the exact bigint integral quotient (probed), which
+    # is the same floor DuckDB computes on its HUGEINT side, so the
+    # engines stay exact up to the int64 bound of 2*n_pos*n_neg itself.
     return out.select(
         "n_pos", "n_neg",
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr("div(u2 * 1000000L, 2 * n_pos * n_neg)"),
+            F.expr("div(cast(u2 as decimal(38,0)) * 1000000, "
+                   "2 * cast(n_pos as decimal(38,0)) * n_neg)"),
         ).otherwise(F.lit(None)).cast("long").alias("auc_ppm"),
     )
 

@@ -41,7 +41,10 @@ def expectation_report(
     - ``in_set``: ``{col: [allowed, ...]}`` (NULL passes);
     - ``matches``: ``{col: regex}`` full-match (NULL passes);
     - ``unique``: key column lists; violations = rows beyond the first
-      per duplicate key;
+      per duplicate key, NULL-safe (NULL key components compare equal to
+      each other, so two all-NULL keys are ONE duplicate pair — the
+      ``count(*) - count(distinct struct(...))`` spelling, which unlike
+      a bare ``countDistinct(cols)`` does not drop NULL-keyed rows);
     - ``fks``: ``(name, col, dim_df, dim_col)`` — rows whose non-NULL
       ``col`` has no match in ``dim_df[dim_col]``.
     """
@@ -63,8 +66,14 @@ def expectation_report(
         viol.append(("matches:" + c, F.sum(bad.cast("int"))))
     for cols in unique:
         cols = list(cols)
+        # count_distinct over a STRUCT of the key columns: the struct is
+        # never NULL even when its fields are, so NULL-keyed rows are
+        # grouped (NULL == NULL within the struct's ordering) instead of
+        # silently dropped the way countDistinct(*cols) drops any row
+        # with a NULL component — which would count every NULL-keyed row
+        # as a violation rather than "rows beyond the first per key".
         viol.append(("unique:" + ",".join(cols),
-                     F.count("*") - F.countDistinct(*cols)))
+                     F.count("*") - F.count_distinct(F.struct(*cols))))
 
     aggs = [F.count("*").cast("long").alias("_n")]
     for i, (_, expr) in enumerate(viol):

@@ -240,12 +240,12 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) — how hybrid search
     combines BM25 with a vector arm: each system contributes
-    ``1e6 // (k_rrf + rank)`` milli-points per doc (integer division, so
+    ``1e6 // (k_rrf + rank)`` ppm-points per doc (integer division, so
     both engines round identically); docs absent from a system get 0.
 
     ``rankings`` is ``[(name, df), ...]`` where each df carries
     ``id_col`` and ``rank_col``.  Output: ``(rank_fused, doc_id,
-    rrf_milli, rank_<name>...)`` top-``top_k`` by (score desc, doc_id).
+    rrf_ppm, rank_<name>...)`` top-``top_k`` by (score desc, doc_id).
 
     Scale shape: the inputs are top-k-sized by construction, so the
     (len-1) full-outer joins and the final sort are all on tiny tables —
@@ -267,11 +267,11 @@ def rrf_fuse(
             F.expr("div(1000000L, {} + rank_{})".format(int(k_rrf), name)),
         ).otherwise(F.lit(0)).cast("long")
         score = c if score is None else (score + c)
-    w = Window.orderBy(F.desc("rrf_milli"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
     return (
-        out.withColumn("rrf_milli", score.cast("long"))
+        out.withColumn("rrf_ppm", score.cast("long"))
         .withColumn("rank_fused", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_fused") <= int(top_k))
-        .select("rank_fused", "doc_id", "rrf_milli",
+        .select("rank_fused", "doc_id", "rrf_ppm",
                 *["rank_" + name for name, _ in rankings])
     )

@@ -127,16 +127,22 @@ def decayed_activity(
     if not 1 <= scale_bits <= 62:
         raise ValueError("scale_bits must be in [1, 62]")
     scale = 1 << scale_bits
-    age = F.expr(
-        "least(div(timestampdiff(MICROSECOND, {c}, "
-        "TIMESTAMP_NTZ '{r}'), {h}), 62L)".format(
-            c=ts_col, r=ref_ts, h=int(half_life_us))
+    # Filter on the RAW microsecond delta, not the truncated age: Spark's
+    # div truncates toward zero, so an event in (ref_ts, ref_ts + h) has
+    # delta in (-h, 0) -> truncated age 0, and an age-based filter would
+    # keep a FUTURE event at full weight (the oracle filters the raw
+    # delta, and the contract is "events after ref_ts are dropped").
+    delta = F.expr(
+        "timestampdiff(MICROSECOND, {c}, TIMESTAMP_NTZ '{r}')".format(
+            c=ts_col, r=ref_ts)
     )
+    age = F.expr("least(div(_delta, {h}), 62L)".format(h=int(half_life_us)))
     contrib = F.expr(
         "div({s}L, shiftleft(1L, cast(_age as int)))".format(s=scale))
     return (
-        events.withColumn("_age", age)
-        .filter(F.col("_age") >= 0)
+        events.withColumn("_delta", delta)
+        .filter(F.col("_delta") >= 0)
+        .withColumn("_age", age)
         .withColumn("_contrib", contrib)
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(

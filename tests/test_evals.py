@@ -93,3 +93,53 @@ def test_calibration_mean_negative_range(spark):
 def test_calibration_validates(spark):
     with pytest.raises(ValueError):
         calibration_bins(_df(spark, [(1, True)]), lo=5, hi=5)
+
+
+def test_histogram_finalize_beyond_int64_scale(spark):
+    # ADVICE r4 (medium): u2 * 1e6 overflowed int64 once n_pos * n_neg
+    # exceeded ~4.6e12.  Feed a merged histogram with 10^9-scale counts
+    # (n_pos * n_neg = 1e18, u2 near 2e18) through the decimal path and
+    # check against exact python integer math.
+    from picogeojson_spark.operators.evals import auc_from_histogram
+
+    n = 1_000_000_000
+    hist = spark.createDataFrame(
+        [(1, 0, n), (2, n // 2, n // 4), (3, n - n // 2, 0)],
+        "s long, n1 long, n0 long")
+    r = auc_from_histogram(hist).collect()[0]
+    # python replay on the histogram
+    rows = [(1, 0, n), (2, n // 2, n // 4), (3, n - n // 2, 0)]
+    n0_below = 0
+    u2 = 0
+    for s, n1, n0 in rows:  # already score-ascending
+        u2 += n1 * (2 * n0_below + n0)
+        n0_below += n0
+    n_pos = sum(r_[1] for r_ in rows)
+    n_neg = sum(r_[2] for r_ in rows)
+    assert u2 * 1_000_000 > 2**63  # the old spelling would overflow/throw
+    assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
+    assert r.auc_ppm == u2 * 1_000_000 // (2 * n_pos * n_neg)
+
+
+def test_histogram_merge_then_finalize(spark):
+    # mergeable-sketch shape: per-shard histograms union + re-agg ==
+    # whole-corpus auc_exact
+    from picogeojson_spark.operators.evals import auc_from_histogram
+
+    rows = [((i * 5) % 11, i % 4 == 0) for i in range(120)]
+    whole = auc_exact(_df(spark, rows)).collect()[0]
+    half_a, half_b = rows[:60], rows[60:]
+
+    def hist(part):
+        return (_df(spark, part).groupBy(F.col("score").alias("s")).agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long")
+            .alias("n0")))
+
+    merged = (hist(half_a).unionByName(hist(half_b)).groupBy("s")
+              .agg(F.sum("n1").cast("long").alias("n1"),
+                   F.sum("n0").cast("long").alias("n0")))
+    got = auc_from_histogram(merged).collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc_ppm) == (
+        whole.n_pos, whole.n_neg, whole.auc_ppm)

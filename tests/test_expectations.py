@@ -72,3 +72,22 @@ def test_row_rules_single_scan(spark):
 def test_no_rules_raises(spark):
     with pytest.raises(ValueError):
         expectation_report(_df(spark))
+
+
+def test_unique_rule_null_keys_are_grouped_not_violations(spark):
+    # ADVICE r4 (low): countDistinct(*cols) drops NULL-keyed rows, making
+    # every NULL-keyed row a violation; the struct spelling groups them.
+    from picogeojson_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 1), (None, 2), (7, 1), (7, 1), (8, 1)],
+        "a int, b int")
+    rep = {r.rule: r for r in expectation_report(
+        df, unique=[("a", "b")]).collect()}
+    r = rep["unique:a,b"]
+    # duplicates beyond-first: one extra (None,1) and one extra (7,1)
+    assert (r.n_checked, r.n_violations, r.passed) == (6, 2, False)
+    # single NULL-keyed rows are NOT violations
+    df2 = spark.createDataFrame([(None, 1), (None, 2), (3, 1)], "a int, b int")
+    r2 = expectation_report(df2, unique=[("a", "b")]).collect()[0]
+    assert (r2.n_violations, bool(r2.passed)) == (0, True)

@@ -120,3 +120,24 @@ def test_decayed_activity_scale_bits_bounds(spark):
     ).selectExpr("user_id", "cast(s as timestamp_ntz) as ts")
     with _pytest.raises(ValueError):
         decayed_activity(df, ref_ts="2024-01-10 00:00:00", scale_bits=63)
+
+
+def test_decayed_activity_drops_sub_halflife_future_events(spark):
+    # ADVICE r4 (high): an event AFTER ref_ts but within one half-life
+    # has raw delta in (-h, 0) -> truncated age 0; the old age-based
+    # filter kept it at FULL weight.  The contract (and the oracle)
+    # filter the raw delta.
+    from picogeojson_spark.operators.rfm import decayed_activity
+
+    rows = [
+        (1, "2024-01-10 12:00:00"),   # 0.5 half-lives AFTER ref -> drop
+        (1, "2024-01-09 12:00:00"),   # age 0 -> 1024
+        (2, "2024-01-10 00:00:01"),   # 1s after ref -> drop, user 2 gone
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").selectExpr(
+        "user_id", "cast(s as timestamp_ntz) as ts")
+    got = {r.user_id: r for r in decayed_activity(
+        df, ref_ts="2024-01-10 00:00:00",
+        half_life_us=86_400_000_000, scale_bits=10).collect()}
+    assert set(got) == {1}
+    assert (got[1].n_events, got[1].decayed_score) == (1, 1024)

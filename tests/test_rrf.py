@@ -19,12 +19,12 @@ def test_hand_computed_fusion(spark):
     got = {r.doc_id: r for r in rrf_fuse(
         [("a", a), ("b", b)], k_rrf=60, top_k=10).collect()}
     # doc 20: 1e6//62 + 1e6//61 = 16129 + 16393 = 32522
-    assert got[20].rrf_milli == 1000000 // 62 + 1000000 // 61
+    assert got[20].rrf_ppm == 1000000 // 62 + 1000000 // 61
     assert got[20].rank_fused == 1
     # doc 10: arm a only
-    assert got[10].rrf_milli == 1000000 // 61 and got[10].rank_b is None
+    assert got[10].rrf_ppm == 1000000 // 61 and got[10].rank_b is None
     # doc 40: arm b only
-    assert got[40].rrf_milli == 1000000 // 62 and got[40].rank_a is None
+    assert got[40].rrf_ppm == 1000000 // 62 and got[40].rank_a is None
 
 
 def test_tie_breaks_by_doc_id(spark):
@@ -71,7 +71,7 @@ def test_fusion_over_real_arms_python_replay(spark):
         exp[d] = s
     order = sorted(exp, key=lambda d: (-exp[d], d))[:10]
     assert [r.doc_id for r in fused] == order
-    assert all(r.rrf_milli == exp[r.doc_id] for r in fused)
+    assert all(r.rrf_ppm == exp[r.doc_id] for r in fused)
 
 
 def test_validates(spark):
