@@ -6847,9 +6847,12 @@ def q_text_keywords(spark, sf_dir):
     bitlen(N div df) (the repo's whole-bit log idiom — no float ln) ->
     score = tf * idf_bits -> per-doc top-3 via WindowGroupLimit (map-side
     rank pruning), ties lexicographic. The 1-row corpus-count scalar
-    attaches to the VOCAB (text_surprisal shape, allowlisted); the corpus
+    attaches to the VOCAB via attach_scalar (text_surprisal shape — the
+    gate's structurally-verified scalar-attach BNLJ); the corpus
     pays one (doc, token) aggregate and one broadcastable token join."""
     from pyspark.sql import Window
+
+    from picogeojson_spark.operators._util import attach_scalar
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -6862,7 +6865,7 @@ def q_text_keywords(spark, sf_dir):
     df_tbl = dt.groupBy("tok").agg(
         F.countDistinct("doc_id").cast("long").alias("df"))
     n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
-    vocab = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+    vocab = attach_scalar(df_tbl, n_docs).select(
         "tok",
         F.length(F.bin(F.expr("n_docs div df"))).cast("long")
         .alias("idf_bits"),

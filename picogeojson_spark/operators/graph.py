@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._util import attach_scalar
+
 
 def pagerank(
     edges: DataFrame,
@@ -437,7 +439,7 @@ def triangle_count_estimate(edges: DataFrame, q: int = 8) -> DataFrame:
         F.count("*").cast("long").alias("n_sampled_edges"))
     n_tri = tri.agg(
         F.count("*").cast("long").alias("n_sampled_triangles"))
-    return n_edges.crossJoin(F.broadcast(n_tri)).select(
+    return attach_scalar(n_edges, n_tri).select(
         "n_sampled_edges", "n_sampled_triangles",
         (F.col("n_sampled_triangles") * F.lit(int(q) ** 3))
         .cast("long").alias("est_triangles"),

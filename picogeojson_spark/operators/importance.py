@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 PPM = 1_000_000
 H30 = 1 << 30
 
@@ -87,7 +89,7 @@ def bucket_rates(docs: DataFrame, n_buckets: int = 256, salt: str = "ir0",
     total = dense.agg(F.sum("cnt").alias("t")).select(
         (F.col("t") + F.lit(int(n_buckets))).alias("denom")
     )
-    return dense.crossJoin(F.broadcast(total)).select(
+    return attach_scalar(dense, total).select(
         "bucket",
         F.expr("((cnt + 1) * {ppm}) div denom".format(ppm=PPM))
         .cast("long").alias("ppm"),

@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 
 def bm25_score_expr_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """The per-term BM25 partial score as ONE SQL scalar expression over the
@@ -121,9 +123,8 @@ def _bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, scalars: DataFrame,
     ).format(k1=repr(float(k1)), b=repr(float(b)))
 
     scored = (
-        tf.join(F.broadcast(df_), "word")
-        .join(dl, "doc_id")
-        .join(F.broadcast(scalars))
+        attach_scalar(
+            tf.join(F.broadcast(df_), "word").join(dl, "doc_id"), scalars)
         .withColumn("term_score_x1e6", F.expr(score_sql))
     )
     per_doc = scored.groupBy("doc_id").agg(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 _DAY_US = 86_400_000_000
 _QUINTILES = (20, 40, 60, 80)
 
@@ -84,7 +86,7 @@ def rfm_segments(events: DataFrame, ts_us_col: str = "ts_us",
     users = users.localCheckpoint(eager=False)
     out = users
     for m in ("last_day", "freq", "monetary"):
-        out = out.crossJoin(F.broadcast(_cutoffs(users, m)))
+        out = attach_scalar(out, _cutoffs(users, m))
     r, f, mo = _bucket("last_day"), _bucket("freq"), _bucket("monetary")
     return out.select(
         "user_id", "last_day", "freq", "monetary",

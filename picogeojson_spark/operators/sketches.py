@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 _TOKEN_RE = r"\s+"
 
 
@@ -387,7 +389,7 @@ def hll_overlap(df_a: DataFrame, df_b: DataFrame, value_col: str,
         .join(df_b.select(F.col(value_col).alias("v")).distinct(), on="v")
         .agg(F.count("*").cast("long").alias("exact_inter"))
     )
-    return piv.crossJoin(F.broadcast(exact)).select(
+    return attach_scalar(piv, exact).select(
         "est_a", "est_b", "est_union",
         F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_union"),
                    F.lit(0).cast("long")).alias("est_inter"),

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 from .dedup import duplicate_clusters
 
 # packed key = (cx + _B) * 2 * _B + (cy + _B); |cx|,|cy| < _B asserted by
@@ -344,7 +346,7 @@ def local_moran(
         .withColumn("k", _pack(F.col("cx"), F.col("cy")))
     g = cells.agg(F.count("*").cast("long").alias("n_cells"),
                   F.sum("cnt").cast("long").alias("total_pts"))
-    d = cells.crossJoin(F.broadcast(g)).withColumn(
+    d = attach_scalar(cells, g).withColumn(
         "dev_n",
         (F.col("n_cells") * F.col("cnt") - F.col("total_pts"))
         .cast("long"))

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import attach_scalar
+
 # marker words per language (space-padded substring counts; matches the
 # oracle's replace() arithmetic exactly)
 LANG_MARKERS = {
@@ -362,7 +364,7 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
         F.count("*").cast("long").alias("m"))
     vocab = mult.groupBy("tok").agg(F.sum("m").cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
-    vocab_s = vocab.join(F.broadcast(total)).select(
+    vocab_s = attach_scalar(vocab, total).select(
         "tok",
         (F.length(F.bin(F.col("total")))
          - F.length(F.bin(F.col("cnt")))).cast("long").alias("surp"),
@@ -573,9 +575,8 @@ def token_drift(corpus_a: DataFrame, corpus_b: DataFrame, k: int = 50,
     tot_a = ca.agg(F.sum("cnt_a").alias("tot_a"))
     tot_b = cb.agg(F.sum("cnt_b").alias("tot_b"))
     joined = (
-        ca.join(cb, "tok", "full_outer")
-        .join(F.broadcast(tot_a))
-        .join(F.broadcast(tot_b))
+        attach_scalar(attach_scalar(
+            ca.join(cb, "tok", "full_outer"), tot_a), tot_b)
         .select(
             "tok",
             F.coalesce("cnt_a", F.lit(0).cast("long")).alias("cnt_a"),

@@ -11,6 +11,7 @@ Env:   GATE_MASTER (default local[8]), GATE_SHUFFLE (default engine pick) —
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -197,9 +198,12 @@ def main():
             # and demoted to small-scale oracle duty.
             if name not in PLAN_ALLOW_CROSS:
                 plan = df._jdf.queryExecution().executedPlan().toString()
-                bad = [op for op in ("CartesianProduct",
-                                     "BroadcastNestedLoopJoin")
-                       if op in plan]
+                bad = []
+                if "CartesianProduct" in plan:
+                    bad.append("CartesianProduct")
+                if ("BroadcastNestedLoopJoin" in plan
+                        and not bnlj_all_scalar_attach(plan)):
+                    bad.append("non-scalar-attach BroadcastNestedLoopJoin")
                 if bad:
                     print("FAIL {:24s} plan contains {}".format(name, bad))
                     failures.append(name)
@@ -288,59 +292,124 @@ def main():
 
 KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
 
-#: queries allowed to carry CartesianProduct / BroadcastNestedLoopJoin;
-#: every other contract plan must be free of both. Each entry's build side
-#: is bounded by construction:
+#: queries allowed to carry CartesianProduct / BroadcastNestedLoopJoin
+#: UNCONDITIONALLY; every other contract plan must be free of
+#: CartesianProduct, and may carry a BroadcastNestedLoopJoin ONLY in the
+#: structurally-verified scalar-attach shape (see bnlj_all_scalar_attach:
+#: the broadcast build side must resolve to a keys=[] global aggregate —
+#: the operators/_util.attach_scalar contract, which additionally asserts
+#: Catalyst maxRows()<=1 at plan-build time). Remaining entries are the
+#: genuine bounded all-pairs tails:
 #:   embed_cosine_pairs — by-definition-exact all-pairs oracle, documented
 #:       small-scale-only (the LSH variant is the scale path);
 #:   geo_knn — the adaptive tail's brute remnant: unsettled queries only,
 #:       admitted under an explicit pair budget (knn.py), otherwise the
 #:       ring-doubling path runs instead;
-#:   bm25_search — corpus scalars (N, avgdl: ONE row) attached by broadcast
-#:       nested-loop; the alternative is a driver collect the operator
-#:       deliberately avoids.
-PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "bm25_search",
-                    # haversine kNN's exact brute tail: the per-query guard
-                    # provably cannot settle polar queries (meridians
-                    # converge), so the polar remnant cross-joins the
-                    # candidate table — unsettled side only, same rationale
-                    # as geo_knn
-                    "geo_knn_haversine",
-                    # 1-row corpus-total scalar broadcast onto the vocab
-                    # (same shape as bm25's scalar attach)
-                    "text_surprisal",
-                    # two 1-row token-total scalars onto the bucket-rate
-                    # tables (bounded: n_buckets rows)
-                    "sample_importance",
-                    # two 1-row snapshot-total scalars onto the vocab join
-                    "text_drift",
-                    # three 1-row quintile-cutoff scalars broadcast onto
-                    # the user table (histogram-percentile RFM bucketing)
-                    "events_rfm",
-                    # 1-row exact-intersection scalar onto the 1-row
-                    # pivoted HLL estimates
-                    "sketch_hll_overlap",
-                    # kNN composition — same exact-brute-tail rationale
-                    # as geo_knn
-                    "geo_idw",
-                    # 1-row corpus-count scalar onto the vocab (the
-                    # text_surprisal shape)
-                    "text_keywords",
-                    # two 1-row sampled-count scalars (DOULION estimate)
-                    "graph_triangles_est",
-                    # 1-row (N cells, total points) scalar broadcast onto
-                    # the occupied-cell raster (Moran dev_n = N*cnt - S)
-                    "geo_lisa", "geo_moran",
-                    # the BM25 arm's 1-row corpus-scalar attach (same
-                    # allowance as bm25_search; fusion adds no new cross)
-                    "search_fusion"}
+#:   geo_knn_haversine — the polar remnant: the per-query guard provably
+#:       cannot settle polar queries (meridians converge), so the polar
+#:       remnant cross-joins the candidate table — unsettled side only;
+#:   geo_idw — kNN composition, same exact-brute-tail rationale.
+PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "geo_knn_haversine",
+                    "geo_idw"}
 
-# Measured on the synthetic embeddings (uniform-random — the adversarial
-# case for clustering-based ANN, since there IS no cluster structure):
-# ann_lsh (3 planes × 8 bands) = 0.94; ann_ivf (nlist=16, nprobe=8) = 0.85.
-# IVF's floor is lower by design: probing half of 16 lists on uniform data
-# bounds recall well below the LSH OR-of-bands construction; on clustered
-# real-world embeddings the same config sits far higher.
+
+# ---------------------------------------------------------------------------
+# Structural BNLJ verification: a BroadcastNestedLoopJoin is admissible in
+# any contract plan iff its broadcast build side is a global (keys=[])
+# aggregate — i.e. provably <= 1 row. This replaces the old 15-name
+# allowlist of scalar-attach queries with a check of the plan itself, so a
+# future genuinely-unbounded cross join can no longer hide behind a name.
+# ---------------------------------------------------------------------------
+
+_PLAN_NODE_RE = re.compile(r"^([ :|]*)[+:]- (.*)$")
+_SCALAR_AGG_RE = re.compile(r"^(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
+#: row-count-preserving / narrowing wrappers to descend through on the
+#: build side (each has exactly one child in the chain we follow)
+_PLAN_WRAPPERS = (
+    "BroadcastExchange", "Project", "Filter", "ColumnarToRow",
+    "InputAdapter", "AQEShuffleRead", "Exchange", "ShuffleQueryStage",
+    "BroadcastQueryStage", "ResultQueryStage", "Sort", "Coalesce",
+    "WholeStageCodegen", "AdaptiveSparkPlan", "TableCacheQueryStage",
+    "LocalLimit", "GlobalLimit",
+)
+
+
+def _plan_tree(plan: str):
+    """(depth, text) nodes of the executed section of a plan toString
+    (the Final Plan when AQE has finalized; codegen stars stripped)."""
+    nodes = []
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            break
+        if "== Final Plan ==" in line:
+            continue
+        m = _PLAN_NODE_RE.match(line)
+        if m:
+            depth = len(m.group(1)) // 3 + 1
+            text = m.group(2)
+        else:
+            if not line.strip():
+                continue
+            depth, text = 0, line.strip()
+        nodes.append((depth, re.sub(r"^\*\(\d+\) ", "", text.strip())))
+    return nodes
+
+
+def _plan_children(nodes, i):
+    d = nodes[i][0]
+    out = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if nodes[j][0] == d + 1:
+            out.append(j)
+    return out
+
+
+def _first_real_descendant(nodes, i):
+    cur = i
+    while True:
+        txt = nodes[cur][1]
+        if not txt.startswith(_PLAN_WRAPPERS):
+            return txt
+        kids = _plan_children(nodes, cur)
+        if len(kids) != 1:
+            return txt if not kids else None
+        cur = kids[0]
+
+
+def bnlj_all_scalar_attach(plan: str) -> bool:
+    """True iff EVERY BroadcastNestedLoopJoin in the executed plan has a
+    build side resolving to a keys=[] global aggregate. A ReusedExchange
+    build side is accepted only when every IdentityBroadcastMode exchange
+    in the plan is itself scalar (the reuse can then only point at one)."""
+    nodes = _plan_tree(plan)
+    identity_ok = all(
+        (lambda leaf: leaf is not None and _SCALAR_AGG_RE.match(leaf))
+        (_first_real_descendant(nodes, i))
+        for i, (_, t) in enumerate(nodes)
+        if t.startswith("BroadcastExchange IdentityBroadcastMode")
+    )
+    seen = False
+    for i, (_, txt) in enumerate(nodes):
+        if not txt.startswith("BroadcastNestedLoopJoin"):
+            continue
+        seen = True
+        kids = _plan_children(nodes, i)
+        if len(kids) != 2:
+            return False
+        build = kids[1] if "BuildRight" in txt else kids[0]
+        leaf = _first_real_descendant(nodes, build)
+        if leaf is None:
+            return False
+        if _SCALAR_AGG_RE.match(leaf):
+            continue
+        if leaf.startswith("ReusedExchange") and identity_ok:
+            continue
+        return False
+    return seen
+
+
 RECALL_FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.8}
 
 # Production-path quantizer (ivf_kmeans_centroids) floor, measured on the
