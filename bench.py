@@ -252,13 +252,36 @@ def main():
     # best-of-two per query: this host's throughput swings +/-40% between
     # idle windows (hypervisor neighbors); the second run measures steady
     # state and the min shields single-run noise spikes
-    for name in BENCH_QUERIES:
+    def time_query(name):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        return best
+
+    # 3-point interleaved litmus (round-4 lesson: a single START-of-run
+    # probe labeled two contaminated windows "good" — the contention mode
+    # can begin mid-suite; BENCH/BASELINE.md boot-quality appendix): the
+    # same codegen-only query timed at the start, middle, and end of the
+    # suite. Any reader of this artifact should divide by
+    # max(litmus)/0.32 before comparing across boots, and distrust
+    # per-query entries whenever the three points disagree by >1.5x.
+    def litmus_point():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs["text_langid"](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    litmus3 = [litmus_point()]
+    half = len(BENCH_QUERIES) // 2
+    for i, name in enumerate(BENCH_QUERIES):
+        timings[name] = round(time_query(name), 3)
+        if i == half:
+            litmus3.append(litmus_point())
+    litmus3.append(litmus_point())
 
     t0 = time.time()
     pages_path = ensure_pages_parquet(spark, n_pages)
@@ -273,6 +296,19 @@ def main():
         joined = run_spine(spark, pages_path)
         spine_sec = min(spine_sec, time.time() - t0)
     timings["pages_spine"] = round(spine_sec, 3)
+
+    # end-of-suite retry pass (round-4 lesson: 37 queries flagged in one
+    # archived run were window noise, not code): any query reading >=1.4x
+    # and >=0.4s over its history best gets ONE more best-of-two read at
+    # suite end; only a reproducible slow read survives into the artifact
+    # and the regression block.
+    provisional = provisional_regressions(timings, sf, cpus)
+    retry_pass = {}
+    for name in provisional:
+        t_retry = time_query(name)
+        retry_pass[name] = {"first_read": timings[name],
+                            "retry": round(t_retry, 3)}
+        timings[name] = round(min(timings[name], t_retry), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -296,11 +332,42 @@ def main():
         "boot_litmus": {
             "text_langid_best_sec": timings.get("text_langid"),
             "good_boot_ref_sec": 0.32,
+            # interleaved 3-point probe: [suite start, middle, end]
+            "interleaved_sec": litmus3,
+            # divide wall numbers by this before any cross-boot read
+            "scale_vs_good_boot": round(max(litmus3) / 0.32, 2),
         },
+        "retry_pass": retry_pass,
     }
+    out["pages_per_sec_litmus_normalized"] = round(
+        out["pages_per_sec"] * max(1.0, max(litmus3) / 0.32), 1)
     out["regressions"] = record_history(out)
     spark.stop()
     print(json.dumps(out))
+
+
+def history_best(sf, cpus, path=None):
+    """Per-query best-ever timings over comparable history entries."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(here, "BENCH", "history.jsonl")
+    best = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == sf and rec.get("cpus") == cpus:
+                    for q, t in rec.get("queries", {}).items():
+                        if q not in best or t < best[q]:
+                            best[q] = t
+    except OSError:
+        pass
+    return best
+
+
+def provisional_regressions(timings, sf, cpus, path=None):
+    best = history_best(sf, cpus, path)
+    return {q: {"best": best[q], "now": t} for q, t in timings.items()
+            if q in best and t >= best[q] * 1.4 and t - best[q] >= 0.4}
 
 
 def record_history(out, path=None):
@@ -316,17 +383,7 @@ def record_history(out, path=None):
     baseline fails the same replay: the creep itself poisons the median.)"""
     here = os.path.dirname(os.path.abspath(__file__))
     path = path or os.path.join(here, "BENCH", "history.jsonl")
-    best = {}
-    try:
-        with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("sf") == out["sf"] and rec.get("cpus") == out["cpus"]:
-                    for q, t in rec.get("queries", {}).items():
-                        if q not in best or t < best[q]:
-                            best[q] = t
-    except OSError:
-        pass
+    best = history_best(out["sf"], out["cpus"], path)
     regressions = {}
     for q, now in out["queries"].items():
         was = best.get(q)

@@ -33,6 +33,31 @@ from pyspark.sql import DataFrame, functions as F
 from ._util import attach_scalar
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Total JVM garbage-collection wall (ms) across all collectors —
+    driver JVM, which in local mode is also every executor."""
+    beans = (spark.sparkContext._jvm.java.lang.management
+             .ManagementFactory.getGarbageCollectorMXBeans())
+    return sum(beans.get(i).getCollectionTime()
+               for i in range(beans.size()))
+
+
+def _iter_probe_start(spark, log):
+    if log is None:
+        return None, None
+    import time as _time
+    return _time.time(), _jvm_gc_ms(spark)
+
+
+def _iter_probe_end(spark, log, rnd, t0, gc0):
+    if log is None:
+        return
+    import time as _time
+    log.append({"round": rnd,
+                "wall_s": round(_time.time() - t0, 4),
+                "gc_ms": _jvm_gc_ms(spark) - gc0})
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 8,
@@ -41,6 +66,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seeds=None,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """Run ``iterations`` rounds of fixed-point PageRank over the distinct
     directed edges of ``edges``. Returns one ``(node, rank)`` row per node
@@ -63,6 +89,14 @@ def pagerank(
     verbatim with the uniform variant.  ``seeds`` is a small in-driver
     sequence (query-sized, not corpus-sized); seeds absent from the
     graph lose their mass like dangling nodes do.
+
+    ``iteration_log``: pass a list to receive one dict per round
+    ``{"round", "wall_s", "gc_ms"}`` (wall time of the round's
+    materializing count + driver-JVM GC time delta — in local mode the
+    driver JVM IS the executor, so this captures executor GC).  The
+    round-4 verdict flagged a code-invariant 2-10x wall spread on this
+    loop; the log is the adjudication instrument
+    (scripts/graph_jitter_probe.py).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -138,7 +172,8 @@ def pagerank(
     # iterations x 16 GB), at the cost of one count-job per round, the
     # standard shape for iterative graph algorithms.
     prev = None
-    for _ in range(iterations):
+    for _it in range(iterations):
+        _t0, _gc0 = _iter_probe_start(edges.sparkSession, iteration_log)
         contrib = (
             ranks.withColumnRenamed("node", "src")
             .join(e_deg, "src")
@@ -173,6 +208,7 @@ def pagerank(
             e_deg.unpersist()
             nodes.unpersist()
             raise
+        _iter_probe_end(edges.sparkSession, iteration_log, _it, _t0, _gc0)
         if prev is not None:
             prev.unpersist()
         prev = ranks
@@ -211,6 +247,7 @@ def hits(
     scale: int = 10**9,
     src_col: str = "src",
     dst_col: str = "dst",
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """Kleinberg HITS hubs & authorities over the distinct directed edges,
     in pure integer arithmetic — one ``(node, hub, auth)`` row per node.
@@ -260,8 +297,7 @@ def hits(
     def _norm(raw, col):
         s = raw.agg(F.sum(col).cast("long").alias("_s"))
         return (
-            nodes.join(raw, "node", "left")
-            .join(F.broadcast(s))
+            attach_scalar(nodes.join(raw, "node", "left"), s)
             .select(
                 "node",
                 F.expr(
@@ -275,7 +311,8 @@ def hits(
     hubs = nodes.withColumn("hub", F.lit(int(scale)).cast("long"))
     auths = nodes.withColumn("auth", F.lit(0).cast("long"))
     try:
-        for _ in range(iterations):
+        for _it in range(iterations):
+            _t0, _gc0 = _iter_probe_start(edges.sparkSession, iteration_log)
             a_raw = (
                 hubs.withColumnRenamed("node", "src")
                 .join(e_src, "src")
@@ -291,6 +328,8 @@ def hits(
                 .agg(F.sum("auth").cast("long").alias("hub_raw"))
             )
             hubs = _norm(h_raw, "hub_raw")
+            _iter_probe_end(edges.sparkSession, iteration_log,
+                            _it, _t0, _gc0)
 
         out = (
             nodes.join(hubs.withColumnRenamed("node", "n1"),
