@@ -8110,6 +8110,62 @@ _EXTRA_QUERIES["web_path_stats"] = q_web_path_stats
 _EXTRA_ORACLES["web_path_stats"] = Q_WEB_PATH_STATS_SQL
 
 
+# ===========================================================================
+# Round-5 additions (SURVEY.md §2.19)
+# ===========================================================================
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source bounded-hop BFS (4 hops) over the market-basket
+    co-occurrence graph from the ~1%-of-nodes seed set (item % 97 == 0):
+    exact hop distance to the nearest seed per reachable node.  Frontier-
+    only joins per round against the persisted symmetric edge table;
+    the oracle unrolls the identical layer expansion."""
+    from picogeojson_spark.operators.graph import bfs_hops, \
+        cooccurrence_edges
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    return bfs_hops(edges, seeds, max_hops=4).orderBy("node")
+
+
+def _q_graph_bfs_sql(max_hops=4):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS hops
+  FROM e WHERE u % 97 = 0),
+f0 AS MATERIALIZED (SELECT node FROM d0)"""]
+    for i in range(1, max_hops + 1):
+        parts.append("""
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS node
+  FROM f{j} f JOIN e ON e.u = f.node
+  WHERE e.v NOT IN (SELECT node FROM d{j})),
+d{i} AS MATERIALIZED (
+  SELECT node, hops FROM d{j}
+  UNION ALL SELECT node, CAST({i} AS BIGINT) AS hops FROM f{i})"""
+                     .format(i=i, j=i - 1))
+    parts.append("""
+SELECT node, hops FROM d{h} ORDER BY node""".format(h=max_hops))
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+_EXTRA_QUERIES["graph_bfs"] = q_graph_bfs
+_EXTRA_ORACLES["graph_bfs"] = _q_graph_bfs_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

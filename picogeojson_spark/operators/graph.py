@@ -642,3 +642,75 @@ def link_prediction(edges: DataFrame,
         F.expr("div(common_n * 1000000, deg_u + deg_v - common_n)")
         .cast("long").alias("jaccard_ppm"),
     )
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame,
+             max_hops: int = 6) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge set
+    (``u < v``, distinct): returns ``(node, hops)`` — the exact hop
+    distance from the nearest source — for every node reachable within
+    ``max_hops`` (sources themselves at 0).  Bounded-hop is the contract,
+    not a truncation: "everything within k hops of a seed set" is the
+    neighborhood-expansion primitive (crawl frontiers, blast-radius /
+    contamination spread, feature neighborhoods for graph ML).
+
+    Determinism: hop counts are integers and BFS layers are unique — a
+    node's distance is a pure function of the edge set and seed set, so
+    the DuckDB oracle replays the identical layer expansion by unrolling
+    ``max_hops`` rounds (empty frontiers are idempotent no-ops).
+
+    Scale shape: each round joins ONLY the current frontier (shrinking
+    after the wave peaks) against the symmetrized edge table — kept
+    persisted and hash-partitioned on the join key so every round reuses
+    one layout — then one distinct and one anti-join against the
+    visited set.  Frontier and visited vectors use the one-round-late
+    persist handoff (pagerank/lpa pattern); early-exits on an empty
+    frontier, so diameter-small graphs never pay the full bound.  Hop
+    values never leave the JVM.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .persist()
+    )
+    dist = (
+        sources.select("node").distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .persist()
+    )
+    dist.count()
+    frontier = dist.select("node")
+    stale = []
+    try:
+        for h in range(1, max_hops + 1):
+            cand = (
+                sym.join(frontier.withColumnRenamed("node", "u"), on="u")
+                .select(F.col("v").alias("node"))
+                .distinct()
+            )
+            new = (
+                cand.join(dist.select("node"), on="node", how="left_anti")
+                .withColumn("hops", F.lit(h).cast("long"))
+                .persist()
+            )
+            if new.count() == 0:
+                new.unpersist()
+                break
+            nxt = dist.union(new).persist()
+            nxt.count()
+            stale.append(dist)
+            stale.append(new)
+            if len(stale) > 4:   # one-round-late release
+                stale.pop(0).unpersist()
+                stale.pop(0).unpersist()
+            dist, frontier = nxt, new.select("node")
+        out = dist.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        for df in stale:
+            df.unpersist()
+        dist.unpersist()
+    return out
