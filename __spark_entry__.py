@@ -8166,6 +8166,118 @@ _EXTRA_QUERIES["graph_bfs"] = q_graph_bfs
 _EXTRA_ORACLES["graph_bfs"] = _q_graph_bfs_sql()
 
 
+def _eval_ranked(spark, sf_dir):
+    """Deterministic ranked-retrieval corpus for the ranking-eval family:
+    40 synthetic queries, a hash-noise score, graded relevance 0..3 from
+    document length (real ties at every grade)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % 40).alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 100000).cast("long").alias("score"),
+        F.when(F.col("n_chars") >= 450, 3)
+        .when(F.col("n_chars") >= 350, 2)
+        .when(F.col("n_chars") >= 250, 1)
+        .otherwise(0).cast("int").alias("rel"),
+    )
+
+
+_EVAL_RANKED_SQL = """
+SELECT doc_id % 40 AS query_id, doc_id,
+       CAST((doc_id * 7919) % 100000 AS BIGINT) AS score,
+       CAST(CASE WHEN n_chars >= 450 THEN 3
+                 WHEN n_chars >= 350 THEN 2
+                 WHEN n_chars >= 250 THEN 1 ELSE 0 END AS INT) AS rel
+FROM documents"""
+
+
+def q_eval_ndcg(spark, sf_dir):
+    """Graded NDCG@10 per query (operators/evals.py:ndcg_at_k): integer
+    gains (2^rel - 1) times a PRECOMPUTED literal discount table
+    (floor(1e9/log2(rank+1)) — no runtime log2 on either engine), two
+    WindowGroupLimit-pruned per-query rank windows + one aggregate;
+    ndcg_ppm = dcg*1e6 div idcg."""
+    from picogeojson_spark.operators.evals import ndcg_at_k
+
+    return ndcg_at_k(_eval_ranked(spark, sf_dir), k=10).orderBy("query_id")
+
+
+def _q_eval_ndcg_sql(k=10):
+    from picogeojson_spark.operators.evals import _log2_discounts_ppb
+
+    disc = _log2_discounts_ppb(k)
+    case = ("CASE {c} " +
+            " ".join("WHEN {r} THEN {d}".format(r=r + 1, d=d)
+                     for r, d in enumerate(disc)) + " END")
+    return """
+WITH base AS ({ranked}),
+rk AS (
+  SELECT query_id,
+         CAST((1 << rel) - 1 AS BIGINT) AS gain,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS irk
+  FROM base),
+dcg AS (
+  SELECT query_id, CAST(SUM(gain * ({dcase})) AS BIGINT) AS dcg
+  FROM rk WHERE rk <= {k} GROUP BY query_id),
+idcg AS (
+  SELECT query_id, CAST(SUM(gain * ({icase})) AS BIGINT) AS idcg
+  FROM rk WHERE irk <= {k} GROUP BY query_id)
+SELECT query_id, dcg, idcg,
+       CAST(CASE WHEN idcg > 0 THEN (dcg * 1000000) // idcg END AS BIGINT)
+         AS ndcg_ppm
+FROM dcg JOIN idcg USING (query_id)
+ORDER BY query_id
+""".format(ranked=_EVAL_RANKED_SQL, k=k,
+           dcase=case.format(c="rk"), icase=case.format(c="irk"))
+
+
+_EXTRA_QUERIES["eval_ndcg"] = q_eval_ndcg
+_EXTRA_ORACLES["eval_ndcg"] = _q_eval_ndcg_sql()
+
+
+def q_eval_rank_at_k(spark, sf_dir):
+    """Binary P@10 / R@10 / MRR per query (operators/evals.py:rank_at_k):
+    one per-query rank window + one map-side-combined aggregate; all
+    outputs ppm-scaled integer division (NULL-guarded recall/RR)."""
+    from picogeojson_spark.operators.evals import rank_at_k
+
+    ranked = _eval_ranked(spark, sf_dir).withColumn(
+        "relevant", F.col("rel") >= 2)
+    return rank_at_k(ranked, k=10).orderBy("query_id")
+
+
+Q_EVAL_RANK_SQL = """
+WITH base AS ({ranked}),
+rk AS (
+  SELECT query_id, rel >= 2 AS relevant,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM base),
+agg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN relevant AND rk <= 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits_k,
+         CAST(SUM(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         MIN(CASE WHEN relevant THEN rk END) AS first_rel
+  FROM rk GROUP BY query_id)
+SELECT query_id, hits_k, n_rel,
+       CAST((hits_k * 1000000) // 10 AS BIGINT) AS p_at_k_ppm,
+       CAST(CASE WHEN n_rel > 0 THEN (hits_k * 1000000) // n_rel END
+            AS BIGINT) AS r_at_k_ppm,
+       CAST(CASE WHEN first_rel IS NOT NULL THEN 1000000 // first_rel END
+            AS BIGINT) AS rr_ppm
+FROM agg ORDER BY query_id
+""".format(ranked=_EVAL_RANKED_SQL)
+
+
+_EXTRA_QUERIES["eval_rank_at_k"] = q_eval_rank_at_k
+_EXTRA_ORACLES["eval_rank_at_k"] = Q_EVAL_RANK_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -128,3 +128,122 @@ def calibration_bins(
                    " count(*))").cast("long").alias("pos_rate_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking metrics (retrieval-eval family): NDCG@k, P/R@k, MRR.
+# --------------------------------------------------------------------------
+
+def _log2_discounts_ppb(k: int) -> list:
+    """Integer DCG discount table: ``floor(1e9 / log2(rank+1))`` for
+    rank 1..k, precomputed in PYTHON (both the Spark plan and the DuckDB
+    oracle embed these exact literals — never a runtime log2, so no
+    cross-engine float question and no per-row transcendental)."""
+    import math
+    return [10**9 // 1 if r == 1 else int(10**9 / math.log2(r + 1))
+            for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded-relevance NDCG@k per query, exact and integer-only.
+
+    ``gain = 2^rel - 1`` (integer), ``disc = floor(1e9 / log2(rank+1))``
+    (precomputed literal table), ``dcg = sum(gain * disc)`` over the
+    top-k by ``(score DESC, id ASC)``; ``idcg`` re-ranks the same
+    query's rows by ``(rel DESC, id ASC)``.  Output per query:
+    ``(query_id, dcg, idcg, ndcg_ppm)`` with
+    ``ndcg_ppm = (dcg * 1e6) div idcg`` (NULL when idcg = 0).
+
+    Scale shape: two per-query rank windows — Catalyst's WindowGroupLimit
+    prunes each map partition to k rows BEFORE the exchange, so the
+    shuffle carries O(queries * k), not the corpus — then one map-side-
+    combined aggregate.  Never a global sort; ranks never leave the JVM.
+    """
+    disc = _log2_discounts_ppb(k)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    gain = (F.expr("shiftleft(1, cast({c} as int))".format(c=rel_col)) - 1) \
+        .cast("long")
+    w_score = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(id_col))
+    base = ranked.select(
+        query_col,
+        gain.alias("_gain"),
+        F.row_number().over(w_score).alias("_rk"),
+        F.row_number().over(w_ideal).alias("_irk"),
+    )
+    dcg = (
+        base.filter(F.col("_rk") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("_gain")
+                   * F.element_at(disc_arr, F.col("_rk")))
+             .cast("long").alias("dcg"))
+    )
+    idcg = (
+        base.filter(F.col("_irk") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("_gain")
+                   * F.element_at(disc_arr, F.col("_irk")))
+             .cast("long").alias("idcg"))
+    )
+    return dcg.join(idcg, on=query_col).select(
+        query_col, "dcg", "idcg",
+        F.when(F.col("idcg") > 0,
+               F.expr("div(dcg * 1000000, idcg)")).cast("long")
+        .alias("ndcg_ppm"),
+    )
+
+
+def rank_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "relevant",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary-relevance retrieval metrics per query: precision@k,
+    recall@k and reciprocal rank, all ppm-scaled integers.
+
+    ``hits_k`` counts relevant rows in the top-k by ``(score DESC,
+    id ASC)``; ``p_at_k_ppm = hits_k*1e6 div k``; ``r_at_k_ppm =
+    hits_k*1e6 div n_rel`` (NULL when the query has no relevant rows);
+    ``rr_ppm = 1e6 div first_relevant_rank`` over the FULL ranking
+    (NULL when never relevant).  One rank window (WindowGroupLimit needs
+    the top-k only for hits; the MRR min-rank is a map-side-combined
+    conditional min) + one aggregate.
+    """
+    w_score = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    rel = F.col(rel_col).cast("boolean")
+    base = ranked.select(
+        query_col, rel.alias("_rel"),
+        F.row_number().over(w_score).alias("_rk"),
+    )
+    agg = base.groupBy(query_col).agg(
+        F.sum(F.when(F.col("_rel") & (F.col("_rk") <= k), 1)
+              .otherwise(0)).cast("long").alias("hits_k"),
+        F.sum(F.when(F.col("_rel"), 1).otherwise(0)).cast("long")
+        .alias("n_rel"),
+        F.min(F.when(F.col("_rel"), F.col("_rk"))).cast("long")
+        .alias("_first"),
+    )
+    return agg.select(
+        query_col, "hits_k", "n_rel",
+        F.expr("div(hits_k * 1000000, {k})".format(k=int(k)))
+        .cast("long").alias("p_at_k_ppm"),
+        F.when(F.col("n_rel") > 0,
+               F.expr("div(hits_k * 1000000, n_rel)")).cast("long")
+        .alias("r_at_k_ppm"),
+        F.when(F.col("_first").isNotNull(),
+               F.expr("div(1000000, _first)")).cast("long")
+        .alias("rr_ppm"),
+    )

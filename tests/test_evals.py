@@ -143,3 +143,79 @@ def test_histogram_merge_then_finalize(spark):
     got = auc_from_histogram(merged).collect()[0]
     assert (got.n_pos, got.n_neg, got.auc_ppm) == (
         whole.n_pos, whole.n_neg, whole.auc_ppm)
+
+
+# ---------------------------------------------------------------------------
+# Ranking metrics: ndcg_at_k / rank_at_k
+# ---------------------------------------------------------------------------
+
+def test_ndcg_hand_computed(spark):
+    from picogeojson_spark.operators.evals import (
+        _log2_discounts_ppb, ndcg_at_k)
+
+    rows = [  # (query_id, doc_id, score, rel)
+        (1, 1, 10, 3), (1, 2, 9, 0), (1, 3, 8, 2), (1, 4, 7, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score long, rel int")
+    out = ndcg_at_k(df, k=3).collect()
+    assert len(out) == 1
+    d = _log2_discounts_ppb(3)
+    dcg = 7 * d[0] + 0 * d[1] + 3 * d[2]
+    idcg = 7 * d[0] + 3 * d[1] + 1 * d[2]
+    r = out[0]
+    assert (r.dcg, r.idcg) == (dcg, idcg)
+    assert r.ndcg_ppm == dcg * 1000000 // idcg
+
+
+def test_ndcg_perfect_ranking_is_1(spark):
+    from picogeojson_spark.operators.evals import ndcg_at_k
+
+    rows = [(1, 1, 9, 3), (1, 2, 8, 2), (1, 3, 7, 1)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score long, rel int")
+    assert ndcg_at_k(df, k=3).collect()[0].ndcg_ppm == 1000000
+
+
+def test_ndcg_all_zero_rel_null(spark):
+    from picogeojson_spark.operators.evals import ndcg_at_k
+
+    rows = [(1, 1, 9, 0), (1, 2, 8, 0)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score long, rel int")
+    r = ndcg_at_k(df, k=3).collect()[0]
+    assert (r.dcg, r.idcg, r.ndcg_ppm) == (0, 0, None)
+
+
+def test_rank_at_k_hand_computed(spark):
+    from picogeojson_spark.operators.evals import rank_at_k
+
+    rows = [  # ranks by score desc: rel at ranks 2 and 5
+        (1, 1, 10, False), (1, 2, 9, True), (1, 3, 8, False),
+        (1, 4, 7, False), (1, 5, 6, True),
+        # query 2: nothing relevant
+        (2, 6, 5, False), (2, 7, 4, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score long, relevant boolean")
+    out = {r.query_id: r for r in rank_at_k(df, k=3).collect()}
+    q1 = out[1]
+    assert (q1.hits_k, q1.n_rel) == (1, 2)
+    assert q1.p_at_k_ppm == 1000000 // 3
+    assert q1.r_at_k_ppm == 500000
+    assert q1.rr_ppm == 500000
+    q2 = out[2]
+    assert (q2.hits_k, q2.n_rel) == (0, 0)
+    assert (q2.r_at_k_ppm, q2.rr_ppm) == (None, None)
+    assert q2.p_at_k_ppm == 0
+
+
+def test_rank_at_k_tie_break_by_id(spark):
+    from picogeojson_spark.operators.evals import rank_at_k
+
+    # equal scores: doc_id ASC decides the ranking — relevant doc_id=1
+    # sits at rank 1 regardless of row order.
+    rows = [(1, 2, 5, False), (1, 1, 5, True)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score long, relevant boolean")
+    assert rank_at_k(df, k=1).collect()[0].rr_ppm == 1000000
