@@ -8278,6 +8278,60 @@ _EXTRA_QUERIES["eval_rank_at_k"] = q_eval_rank_at_k
 _EXTRA_ORACLES["eval_rank_at_k"] = Q_EVAL_RANK_SQL
 
 
+def q_events_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type over the hourly
+    rollup (operators/changepoint.py): the max-reset recurrence as its
+    closed form — running sum minus running min (with the virtual S0=0
+    prefix) — two windows over the tiny rollup, zero iteration; integer
+    mean/slack, deviations never divided."""
+    from picogeojson_spark.operators.changepoint import cusum_changepoints
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("{} div 3600000000".format(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )).cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n"))
+    return cusum_changepoints(
+        hourly, key_col="event_type", ord_col="hour_id", val_col="n",
+        slack_pct=10, threshold_x=3,
+    ).select("event_type", "hour_id", "n", "mu", "level", "changed") \
+        .orderBy("event_type", "hour_id")
+
+
+Q_EVENTS_CHANGEPOINT_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id FROM events),
+hourly AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2),
+mu AS (
+  SELECT event_type, CAST(SUM(n) // COUNT(*) AS BIGINT) AS mu
+  FROM hourly GROUP BY 1),
+s AS (
+  SELECT h.event_type, h.hour_id, h.n, m.mu,
+         CAST(SUM(h.n - m.mu - (m.mu * 10) // 100)
+              OVER (PARTITION BY h.event_type ORDER BY h.hour_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM hourly h JOIN mu m USING (event_type))
+SELECT event_type, hour_id, n, mu,
+       CAST(s - LEAST(MIN(s) OVER w, 0) AS BIGINT) AS level,
+       CAST(CASE WHEN s - LEAST(MIN(s) OVER w, 0) > 3 * mu
+                 THEN 1 ELSE 0 END AS INTEGER) AS changed
+FROM s
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_type, hour_id
+"""
+
+
+_EXTRA_QUERIES["events_changepoint"] = q_events_changepoint
+_EXTRA_ORACLES["events_changepoint"] = Q_EVENTS_CHANGEPOINT_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
