@@ -8332,6 +8332,67 @@ _EXTRA_QUERIES["events_changepoint"] = q_events_changepoint
 _EXTRA_ORACLES["events_changepoint"] = Q_EVENTS_CHANGEPOINT_SQL
 
 
+def q_table_compaction(spark, sf_dir):
+    """Small-file compaction planner (operators/maintenance.py): a
+    synthetic file manifest (32-day partition buckets x 80 file slots,
+    deterministic integer sizes summed from orders) packed by the
+    sorted-next-fit prefix-sum rule — bin = cumsum_before div 1 MiB —
+    one manifest exchange + two windows, zero joins, O(manifest) not
+    O(table).  Files already >= target stay 'keep' with NULL bin."""
+    from picogeojson_spark.operators.maintenance import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    manifest = o.select(
+        F.expr("div({}, 2764800000000)".format(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        )).cast("long").alias("part"),
+        (F.col("o_orderkey") % 80).alias("file_id"),
+        ((F.col("o_orderkey") * 131) % 65536).alias("_ob"),
+    ).groupBy("part", "file_id").agg(
+        F.sum("_ob").cast("long").alias("bytes"))
+    return compaction_plan(manifest, target_bytes=1 << 20).select(
+        "part", "file_id", "bytes", "bin", "n_in_bin", "bin_bytes",
+        "action",
+    ).orderBy("part", "file_id")
+
+
+Q_TABLE_COMPACTION_SQL = """
+WITH m AS (
+  SELECT epoch_us(o_orderdate) // 2764800000000 AS part,
+         o_orderkey % 80 AS file_id,
+         CAST(SUM((o_orderkey * 131) % 65536) AS BIGINT) AS bytes
+  FROM orders GROUP BY 1, 2),
+s AS (SELECT *, bytes < 1048576 AS small FROM m),
+p AS (
+  SELECT part, file_id, bytes, small,
+         CASE WHEN small THEN COALESCE(SUM(bytes) OVER w, 0) END
+           AS before
+  FROM s
+  WINDOW w AS (PARTITION BY part, small
+               ORDER BY bytes DESC, file_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+b AS (
+  SELECT part, file_id, bytes, small,
+         CASE WHEN small THEN before // 1048576 END AS bin
+  FROM p)
+SELECT part, file_id, bytes,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(CASE WHEN small THEN COUNT(*) OVER wb END AS BIGINT)
+         AS n_in_bin,
+       CAST(CASE WHEN small THEN SUM(bytes) OVER wb END AS BIGINT)
+         AS bin_bytes,
+       CASE WHEN small THEN 'compact' ELSE 'keep' END AS action
+FROM b
+WINDOW wb AS (PARTITION BY part, small, bin)
+ORDER BY part, file_id
+"""
+
+
+_EXTRA_QUERIES["table_compaction"] = q_table_compaction
+_EXTRA_ORACLES["table_compaction"] = Q_TABLE_COMPACTION_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
