@@ -8393,6 +8393,56 @@ _EXTRA_QUERIES["table_compaction"] = q_table_compaction
 _EXTRA_ORACLES["table_compaction"] = Q_TABLE_COMPACTION_SQL
 
 
+def q_sketch_topk(spark, sf_dir):
+    """Two-pass heavy hitters (operators/sketches.py:heavy_hitters):
+    candidate terms from a 10% deterministic doc-hash sample, exact
+    broadcast-semi-join recount of only those candidates over the full
+    corpus — the full-vocabulary shuffle never happens.  Exact top-20 of
+    the candidate set, sample pipeline replayed bit-for-bit by the
+    oracle."""
+    from picogeojson_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=20, sample_ppm=100000,
+        cand_factor=4,
+    ).orderBy("rnk")
+
+
+Q_SKETCH_TOPK_SQL = r"""
+WITH samp AS (
+  SELECT text FROM documents
+  WHERE CAST(('0x' || substring(md5('hh0:' || CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 1000000 < 100000),
+sw AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM samp),
+sc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sample
+  FROM sw WHERE word <> '' GROUP BY word),
+cand AS (
+  SELECT word, n_sample FROM (
+    SELECT word, n_sample,
+           ROW_NUMBER() OVER (ORDER BY n_sample DESC, word ASC) AS r
+    FROM sc) WHERE r <= 80),
+fw AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+ec AS (
+  SELECT word, n_sample, CAST(COUNT(*) AS BIGINT) AS n
+  FROM fw JOIN cand USING (word)
+  GROUP BY word, n_sample)
+SELECT CAST(rnk AS INTEGER) AS rnk, word, n, n_sample
+FROM (SELECT word, n, n_sample,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rnk
+      FROM ec)
+WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+_EXTRA_QUERIES["sketch_topk"] = q_sketch_topk
+_EXTRA_ORACLES["sketch_topk"] = Q_SKETCH_TOPK_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

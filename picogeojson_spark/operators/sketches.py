@@ -24,7 +24,7 @@ collision, which is itself deterministic given (depth, width, salt).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import attach_scalar
@@ -596,4 +596,73 @@ def kmv_overlap(
         F.when(F.col("sample_n") > 0,
                F.expr("(overlap_n * 1000000L) div sample_n"))
         .otherwise(F.lit(0)).cast("long").alias("jaccard_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: deterministic sample-candidates + exact recount.
+# --------------------------------------------------------------------------
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    sample_ppm: int = 100000,
+    cand_factor: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "hh0",
+) -> DataFrame:
+    """Exact top-k corpus terms WITHOUT shuffling the full vocabulary:
+    a two-pass candidates-then-verify heavy hitter.
+
+    Pass 1 tokenizes only a deterministic hash sample of documents
+    (``sample_ppm`` of them, the repo's md5-bucket rule — never RNG) and
+    ranks the sample vocabulary; the top ``k * cand_factor`` become
+    candidates.  Pass 2 recounts ONLY candidate terms over the full
+    corpus (broadcast semi-join at the scan) and emits the exact top-k
+    among them as ``(rnk, word, n, n_sample)``.
+
+    Why: at 100 TB the exploded token stream's groupBy key space is the
+    full vocabulary — hundreds of millions of keys shuffled for 20
+    winners.  Here the full-corpus pass aggregates k*cand_factor keys
+    (map-side combine collapses everything before the exchange), and the
+    vocabulary-sized aggregate runs on the small sample only.
+
+    Containment is probabilistic in the usual heavy-hitter sense (a true
+    top-k term could miss the candidate set if the sample underestimates
+    it), but the PIPELINE is a pure function of (salt, ids, texts) —
+    both engines replay it bit-for-bit, and the exactness claim is "the
+    exact counts and ranking of the candidate set".
+    """
+    from .sampling import hash_sample
+
+    def words(df):
+        return df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            .alias("word")
+        ).filter(F.col("word") != "")
+
+    samp_counts = (
+        words(hash_sample(docs, sample_ppm / 10**6,
+                          id_col=id_col, salt=salt))
+        .groupBy("word").agg(F.count("*").cast("long").alias("n_sample"))
+    )
+    w_all = Window.orderBy(F.desc("n_sample"), F.asc("word"))
+    cands = (
+        samp_counts.withColumn("_r", F.row_number().over(w_all))
+        .filter(F.col("_r") <= int(k) * int(cand_factor))
+        .drop("_r")
+    )
+    exact = (
+        words(docs)
+        .join(F.broadcast(cands), on="word")
+        .groupBy("word", "n_sample")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_top = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= int(k))
+        .select("rnk", "word", "n", "n_sample")
     )
