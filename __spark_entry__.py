@@ -8443,6 +8443,57 @@ _EXTRA_QUERIES["sketch_topk"] = q_sketch_topk
 _EXTRA_ORACLES["sketch_topk"] = Q_SKETCH_TOPK_SQL
 
 
+def q_text_collocations(spark, sf_dir):
+    """Top-50 collocations by integer pointwise-lift
+    (operators/textstats.py:collocations): lift_ppm = c_xy*N*1e6 div
+    (c_x*c_y) — exp(PMI), so the ranking is the PMI ranking with zero
+    runtime logarithms; min_count=5 prunes hapax pairs before the two
+    unigram joins; decimal(38,0) keeps the product exact."""
+    from picogeojson_spark.operators.textstats import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50,
+    ).orderBy("rnk")
+
+
+Q_TEXT_COLLOCATIONS_SQL = r"""
+WITH toked AS (
+  SELECT list_filter(string_split_regex(text, '\s+'),
+                     t -> len(t) > 0) AS w
+  FROM documents),
+uc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS word FROM toked) GROUP BY word),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+big AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                j -> w[j] || ' ' || w[j + 1])) AS gram
+  FROM toked WHERE len(w) >= 2),
+bc AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM big GROUP BY gram HAVING COUNT(*) >= 5),
+j AS (
+  SELECT gram, c_xy, u1.c AS c_x, u2.c AS c_y
+  FROM bc
+  JOIN uc u1 ON split_part(gram, ' ', 1) = u1.word
+  JOIN uc u2 ON split_part(gram, ' ', 2) = u2.word),
+s AS (
+  SELECT gram, c_xy, c_x, c_y,
+         CAST((CAST(c_xy AS HUGEINT) * t.n_tokens * 1000000)
+              // (CAST(c_x AS HUGEINT) * c_y) AS BIGINT) AS lift_ppm
+  FROM j CROSS JOIN tot t)
+SELECT CAST(rnk AS INTEGER) AS rnk, gram, c_xy, c_x, c_y, lift_ppm
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, gram ASC)
+             AS rnk
+      FROM s)
+WHERE rnk <= 50 ORDER BY rnk
+"""
+
+
+_EXTRA_QUERIES["text_collocations"] = q_text_collocations
+_EXTRA_ORACLES["text_collocations"] = Q_TEXT_COLLOCATIONS_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

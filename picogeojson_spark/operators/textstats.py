@@ -7,7 +7,7 @@ verbatim to the SQL oracle and stays in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import attach_scalar
@@ -852,4 +852,75 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
         (F.expr("(390000 * n_words) div (1000 * n_sentences)")
          + F.expr("(11800 * n_syllables) div n_words")
          - F.lit(15590)).cast("long").alias("fkg_milli"),
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations (statistically glued bigrams) by integer
+    pointwise-lift: ``lift_ppm = c_xy * N * 1e6 div (c_x * c_y)`` — the
+    exp of PMI, a monotone transform, so the ranking IS the PMI ranking
+    without a single runtime logarithm.  ``min_count`` kills the
+    hapax-pair noise PMI is notorious for.
+
+    Output: ``(rnk, gram, c_xy, c_x, c_y, lift_ppm)``, rank ties broken
+    lexicographically.
+
+    Tokenization matches :func:`bigram_surprisal` (whitespace split,
+    empties dropped); bigrams come from ``zip_with`` of the array with
+    its shifted slice — the documented safe HOF shape (a lambda indexing
+    the OUTER array re-runs the split per element; see CLAUDE.md).
+
+    Scale shape: two vocabulary-sized aggregates (unigrams, bigrams) off
+    ONE tokenized scan; the ``min_count`` filter prunes the bigram table
+    BEFORE its two unigram joins (AQE handles hot-word skew); the corpus
+    token total attaches via the sanctioned 1-row scalar join; top-k is
+    a WindowGroupLimit-pruned global rank over the surviving bigrams.
+    The lift product runs in decimal(38,0) — exact while
+    ``N * 1e6 div min_count`` fits int64, i.e. corpora to ~4.6e13 tokens
+    at min_count=5 (document larger corpora by raising min_count).
+    """
+    from ._util import attach_scalar
+
+    words = F.filter(F.split(F.col(text_col), r"\s+", -1),
+                     lambda x: F.length(x) > 0)
+    toked = docs.select(words.alias("w"))
+    uni = (
+        toked.select(F.explode("w").alias("word"))
+        .groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    pairs = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (a, b) -> concat(a, ' ', b))")
+    bcnt = (
+        toked.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("gram"))
+        .groupBy("gram").agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= F.lit(int(min_count)))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_y"))
+    j = (
+        bcnt
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("gram"), F.lit(" "), F.lit(2)))
+        .join(u1, "w1").join(u2, "w2")
+    )
+    scored = attach_scalar(j, total).select(
+        "gram", "c_xy", "c_x", "c_y",
+        F.expr("div(cast(c_xy as decimal(38,0)) * n_tokens * 1000000,"
+               " cast(c_x as decimal(38,0)) * c_y)")
+        .cast("long").alias("lift_ppm"),
+    )
+    w_top = Window.orderBy(F.desc("lift_ppm"), F.asc("gram"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= int(k))
+        .select("rnk", "gram", "c_xy", "c_x", "c_y", "lift_ppm")
     )
