@@ -8494,6 +8494,39 @@ _EXTRA_QUERIES["text_collocations"] = q_text_collocations
 _EXTRA_ORACLES["text_collocations"] = Q_TEXT_COLLOCATIONS_SQL
 
 
+def q_sample_balanced(spark, sf_dir):
+    """Class-balanced downsample of the embedding corpus
+    (operators/sampling.py:balanced_sample): every label keeps exactly
+    min-class-size rows, first by (md5-hash, id) — deterministic, no
+    RNG; n_min attaches through the sanctioned 1-row scalar join."""
+    from picogeojson_spark.operators.sampling import balanced_sample
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return balanced_sample(e, key_col="label", id_col="vec_id").orderBy(
+        "label", "vec_id")
+
+
+Q_SAMPLE_BALANCED_SQL = """
+WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM c),
+r AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY CAST(('0x' || substring(
+                     md5('s0:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 ASC,
+                    vec_id ASC) AS rk
+  FROM embeddings)
+SELECT vec_id, label FROM r CROSS JOIN m WHERE rk <= n_min
+ORDER BY label, vec_id
+"""
+
+
+_EXTRA_QUERIES["sample_balanced"] = q_sample_balanced
+_EXTRA_ORACLES["sample_balanced"] = Q_SAMPLE_BALANCED_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -221,3 +221,37 @@ def rendezvous_assign(
         for s in shards
     ]
     return df.withColumn(out_col, F.array_max(F.array(*scored))["name"])
+
+
+def balanced_sample(df: DataFrame, key_col: str = "label",
+                    id_col: str = "vec_id", salt: str = "s0") -> DataFrame:
+    """Class-balanced downsample: every class keeps exactly ``n_min``
+    rows (the size of the SMALLEST class), chosen as the first by
+    ``(hash(id), id)`` — i.e. a per-class uniform sample that equalizes
+    the label distribution for classifier training without RNG state.
+
+    Deterministic and append-stable in the hash order (a grown class
+    keeps a superset-ordering prefix; only ``n_min`` shifts).
+
+    Scale shape: one map-side-combined class-count aggregate reduced to
+    a 1-row global min (the sanctioned scalar attach), one per-class
+    rank window (WindowGroupLimit cannot pre-prune here because the
+    cutoff is dynamic — at petabyte scale feed the known n_min as a
+    literal recut, same semantics) — then a codegen filter.
+    """
+    from pyspark.sql import Window
+
+    from ._util import attach_scalar
+
+    n_min = (
+        df.groupBy(key_col).agg(F.count("*").alias("_n"))
+        .agg(F.min("_n").cast("long").alias("n_min"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(id_col, salt), F.asc(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    return (
+        attach_scalar(ranked, n_min)
+        .filter(F.col("_rk") <= F.col("n_min"))
+        .drop("_rk", "n_min")
+    )

@@ -124,3 +124,56 @@ def test_temperature_sample_flattens_head(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# balanced_sample
+# ---------------------------------------------------------------------------
+
+def test_balanced_equalizes_class_sizes(spark):
+    from picogeojson_spark.operators.sampling import balanced_sample
+
+    rows = ([(i, 0) for i in range(20)]
+            + [(100 + i, 1) for i in range(7)]
+            + [(200 + i, 2) for i in range(13)])
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = balanced_sample(df).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.label] = sizes.get(r.label, 0) + 1
+    assert sizes == {0: 7, 1: 7, 2: 7}
+
+
+def test_balanced_min_class_kept_whole(spark):
+    from picogeojson_spark.operators.sampling import balanced_sample
+
+    rows = [(i, 0) for i in range(9)] + [(50 + i, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    kept = {r.vec_id for r in balanced_sample(df).collect()
+            if r.label == 1}
+    assert kept == {50, 51, 52}
+
+
+def test_balanced_deterministic_and_partition_stable(spark):
+    from picogeojson_spark.operators.sampling import balanced_sample
+
+    rows = [(i, i % 4) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    a = sorted(map(tuple, balanced_sample(df).collect()))
+    b = sorted(map(tuple, balanced_sample(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_balanced_append_keeps_prefix_order(spark):
+    from picogeojson_spark.operators.sampling import balanced_sample
+
+    # growing the majority class never changes WHICH minority rows stay.
+    from picogeojson_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    base = [(i, 0) for i in range(10)] + [(100 + i, 1) for i in range(10)]
+    grown = base + [(i, 0) for i in range(10, 30)]
+    df1 = spark.createDataFrame(base, "vec_id long, label int")
+    df2 = spark.createDataFrame(grown, "vec_id long, label int")
+    k1 = {r.vec_id for r in balanced_sample(df1).collect() if r.label == 1}
+    k2 = {r.vec_id for r in balanced_sample(df2).collect() if r.label == 1}
+    assert k1 == k2  # n_min unchanged (still 10): identical minority keep
