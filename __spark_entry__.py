@@ -8527,6 +8527,95 @@ _EXTRA_QUERIES["sample_balanced"] = q_sample_balanced
 _EXTRA_ORACLES["sample_balanced"] = Q_SAMPLE_BALANCED_SQL
 
 
+def q_geo_snap(spark, sf_dir):
+    """Nearest-segment snap / map-matching (operators/snap.py): customer
+    lattice points onto short synthetic 'road' segments anchored at
+    part-key lattice points — radius-expanded bbox cell cover on the segment
+    side, SINGLE-cell point join, exact integer-rational point-segment
+    distance (decimal(38,0) interior case), rank by (floor(d2), seg_id).
+    The oracle replays the same math brute-force (cross join) — the
+    Spark plan itself is the cell equi-join."""
+    from picogeojson_spark.operators.snap import snap_to_segments
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 37) % 720) * 500000
+         - 180000000 + 250000).cast("long").alias("px"),
+        (((F.col("c_custkey") * 61) % 360) * 500000
+         - 90000000 + 250000).cast("long").alias("py"),
+    )
+    s = _t(spark, sf_dir, "part")
+    segs = s.select(
+        F.col("p_partkey").alias("seg_id"),
+        (((F.col("p_partkey") * 53) % 720) * 500000
+         - 180000000 + 250000).cast("long").alias("ax"),
+        (((F.col("p_partkey") * 29) % 360) * 500000
+         - 90000000 + 250000).cast("long").alias("ay"),
+    ).select(
+        "seg_id", "ax", "ay",
+        (F.col("ax") + ((F.col("seg_id") * 17) % 21 - 10) * 100000)
+        .cast("long").alias("bx"),
+        (F.col("ay") + ((F.col("seg_id") * 11) % 21 - 10) * 100000)
+        .cast("long").alias("by"),
+    )
+    return snap_to_segments(pts, segs, radius_udeg=2000000).orderBy(
+        "point_id")
+
+
+Q_GEO_SNAP_SQL = """
+WITH p AS (
+  SELECT c_custkey AS point_id,
+         CAST((c_custkey * 37) % 720 AS BIGINT) * 500000
+           - 180000000 + 250000 AS px,
+         CAST((c_custkey * 61) % 360 AS BIGINT) * 500000
+           - 90000000 + 250000 AS py
+  FROM customer),
+s0 AS (
+  SELECT p_partkey AS seg_id,
+         CAST((p_partkey * 53) % 720 AS BIGINT) * 500000
+           - 180000000 + 250000 AS ax,
+         CAST((p_partkey * 29) % 360 AS BIGINT) * 500000
+           - 90000000 + 250000 AS ay
+  FROM part),
+s AS (
+  SELECT seg_id, ax, ay,
+         ax + ((seg_id * 17) % 21 - 10) * 100000 AS bx,
+         ay + ((seg_id * 11) % 21 - 10) * 100000 AS by
+  FROM s0),
+c AS (
+  SELECT point_id, seg_id,
+         (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS l2,
+         (px - ax) * (px - ax) + (py - ay) * (py - ay) AS ap2,
+         (px - bx) * (px - bx) + (py - by) * (py - by) AS bp2,
+         (px - ax) * (bx - ax) + (py - ay) * (by - ay) AS tnum
+  FROM p CROSS JOIN s),
+d AS (
+  SELECT point_id, seg_id,
+         CAST(CASE WHEN l2 = 0 OR tnum <= 0 THEN ap2
+                   WHEN tnum >= l2 THEN bp2
+                   ELSE (CAST(ap2 AS HUGEINT) * l2
+                         - CAST(tnum AS HUGEINT) * tnum) // l2
+              END AS BIGINT) AS d2_udeg2,
+         CAST(CASE WHEN l2 = 0 OR tnum <= 0 THEN 0
+                   WHEN tnum >= l2 THEN 1000000
+                   ELSE (CAST(tnum AS HUGEINT) * 1000000) // l2
+              END AS BIGINT) AS t_ppm
+  FROM c),
+r AS (
+  SELECT point_id, seg_id, d2_udeg2, t_ppm,
+         ROW_NUMBER() OVER (PARTITION BY point_id
+                            ORDER BY d2_udeg2 ASC, seg_id ASC) AS rk
+  FROM d WHERE d2_udeg2 <= 4000000000000)
+SELECT point_id, seg_id, d2_udeg2, t_ppm FROM r WHERE rk = 1
+ORDER BY point_id
+"""
+
+
+_EXTRA_QUERIES["geo_snap"] = q_geo_snap
+_EXTRA_ORACLES["geo_snap"] = Q_GEO_SNAP_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
