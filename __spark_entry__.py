@@ -8616,6 +8616,64 @@ _EXTRA_QUERIES["geo_snap"] = q_geo_snap
 _EXTRA_ORACLES["geo_snap"] = Q_GEO_SNAP_SQL
 
 
+def q_web_mirror(spark, sf_dir):
+    """Mirrored-host detection (operators/web.py:mirror_candidates):
+    host pairs ranked by shared-content Jaccard over distinct doc
+    fingerprints; boilerplate fingerprints (> 20 hosts) pruned before
+    the bounded fingerprint self-join.  The corpus injects a mirror
+    pathology (every 3rd doc draws from a 40-item md5-hashed content
+    pool — hash-drawn because source = doc_id %% 20, so any polynomial
+    pool id would alias each pool item to ONE host) so real cross-host
+    sharing
+    is exercised; the rest fingerprint as md5(trim(text))."""
+    from picogeojson_spark.operators.web import mirror_candidates
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("m"), F.pmod(F.conv(F.substring(F.md5(
+                   F.concat(F.lit("mp:"), F.col("doc_id").cast("string"))
+               ), 1, 8), 16, 10).cast("long"), F.lit(40)).cast("string")))
+        .otherwise(F.substring(F.md5(F.trim(F.col("text"))), 1, 16))
+        .alias("fp"),
+    )
+    return mirror_candidates(
+        d, min_shared=2, max_fp_hosts=20,
+    ).orderBy("host_a", "host_b")
+
+
+Q_WEB_MIRROR_SQL = """
+WITH hf AS (
+  SELECT DISTINCT source AS h,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'm' || CAST(CAST(('0x' || substring(
+                     md5('mp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 40 AS VARCHAR)
+              ELSE substring(md5(trim(text)), 1, 16) END AS f
+  FROM documents),
+sizes AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM hf GROUP BY h),
+keep AS (
+  SELECT f FROM hf GROUP BY f
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= 20),
+pf AS (SELECT hf.h, hf.f FROM hf JOIN keep USING (f)),
+shared AS (
+  SELECT a.h AS host_a, b.h AS host_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM pf a JOIN pf b ON a.f = b.f AND a.h < b.h
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT host_a, host_b, shared, na.n AS n_a, nb.n AS n_b,
+       CAST((shared * 1000000) // (na.n + nb.n - shared) AS BIGINT)
+         AS jaccard_ppm
+FROM shared
+JOIN sizes na ON na.h = host_a
+JOIN sizes nb ON nb.h = host_b
+ORDER BY host_a, host_b
+"""
+
+
+_EXTRA_QUERIES["web_mirror"] = q_web_mirror
+_EXTRA_ORACLES["web_mirror"] = Q_WEB_MIRROR_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -555,3 +555,64 @@ def resolve_redirects(
             prev.unpersist()
         f.unpersist()
     return out
+
+
+def mirror_candidates(
+    docs: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_fp_hosts: int = 20,
+) -> DataFrame:
+    """Mirrored-host detection: host pairs whose CONTENT overlaps —
+    the crawl-dedup signal that kills whole mirror sites (ftp.X.org vs
+    www.X.org, country mirrors, scraper clones) instead of deduping
+    page-by-page.
+
+    Input: one row per (host, content fingerprint).  Hosts sharing
+    >= ``min_shared`` distinct fingerprints emit
+    ``(host_a, host_b, shared, n_a, n_b, jaccard_ppm)`` with
+    ``jaccard_ppm = shared * 1e6 div (n_a + n_b - shared)`` over each
+    host's distinct-fingerprint set.
+
+    Fingerprints on more than ``max_fp_hosts`` hosts are dropped BEFORE
+    pairing (boilerplate/empty-page content carried by everyone) — the
+    standard prefix-filter move that bounds the self-join fan-out at
+    ``max_fp_hosts^2`` per fingerprint, so the pair stage is linear in
+    the fingerprint table, never quadratic in hosts.  Deterministic:
+    the prune is a pure function of the data, and both host sizes count
+    ALL fingerprints (pruned ones included), so the Jaccard denominator
+    is the true site size.
+
+    Scale shape: one distinct, one fingerprint-cardinality aggregate,
+    one bounded self equi-join on the fingerprint key, two broadcast-
+    sized host-size joins.
+    """
+    hf = docs.select(F.col(host_col).alias("h"),
+                     F.col(fp_col).alias("f")).distinct()
+    sizes = hf.groupBy("h").agg(F.count("*").cast("long").alias("n"))
+    keep = (
+        hf.groupBy("f").agg(F.count("*").alias("nh"))
+        .filter((F.col("nh") >= 2) & (F.col("nh") <= int(max_fp_hosts)))
+        .select("f")
+    )
+    pf = hf.join(keep, on="f", how="left_semi")
+    a = pf.select(F.col("f"), F.col("h").alias("host_a"))
+    b = pf.select(F.col("f"), F.col("h").alias("host_b"))
+    shared = (
+        a.join(b, on="f")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    na = sizes.select(F.col("h").alias("host_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("h").alias("host_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "host_a").join(nb, "host_b")
+        .select(
+            "host_a", "host_b", "shared", "n_a", "n_b",
+            F.expr("div(shared * 1000000, n_a + n_b - shared)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )
