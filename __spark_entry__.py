@@ -8674,6 +8674,79 @@ _EXTRA_QUERIES["web_mirror"] = q_web_mirror
 _EXTRA_ORACLES["web_mirror"] = Q_WEB_MIRROR_SQL
 
 
+def q_stream_dedupe(spark, sf_dir):
+    """STREAMING exact dedup: dropDuplicates on (user_id, event_type)
+    over the replayed event file stream (one state row per key — the
+    classic streaming-ingest dedup stage), sinking ONLY the key columns
+    (first-arrival payload depends on file order; the key SET does not),
+    then a batch rollup of distinct keys per type.  Exact-equality
+    variant of dropDuplicatesWithinWatermark (which evicts key state at
+    the watermark — the 100 TB deployment choice; here the unbounded
+    variant keeps the oracle hash-exact).  The oracle is the batch
+    COUNT(DISTINCT) — the hash IS the stream==batch proof."""
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    deduped = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"])
+    sink = _run_stream(spark, deduped, "stream_dedupe", "append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+        .orderBy("event_type")
+    )
+
+
+Q_STREAM_DEDUPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+_EXTRA_QUERIES["stream_dedupe"] = q_stream_dedupe
+_EXTRA_ORACLES["stream_dedupe"] = Q_STREAM_DEDUPE_SQL
+
+
+def q_web_crawl_schedule(spark, sf_dir):
+    """Politeness crawl scheduler (operators/web.py:crawl_schedule):
+    md5 host-affinity worker assignment + per-host serialized fetch
+    slots at a deterministic per-host crawl delay — one host exchange,
+    one rank window, codegen hashes.  URLs come from the canonical
+    messy-URL corpus."""
+    from picogeojson_spark.operators.web import canonicalize, \
+        crawl_schedule
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).withColumn("url", _messy_url_col())
+    c = canonicalize(d).select(F.col("doc_id").alias("url_id"), "host")
+    return crawl_schedule(c, n_workers=16, base_delay_ms=500).orderBy(
+        "url_id")
+
+
+Q_WEB_CRAWL_SCHEDULE_SQL = (
+    "WITH " + _WEB_NORM_CTES + """,
+uu AS (SELECT doc_id AS url_id, host FROM n),
+sched AS (
+  SELECT url_id, host,
+         CAST(CAST(('0x' || substring(md5('wk:' || host), 1, 8))
+              AS BIGINT) % 16 AS INTEGER) AS worker,
+         CAST(500 + (CAST(('0x' || substring(md5('cd:' || host), 1, 8))
+              AS BIGINT) % 8) * 250 AS BIGINT) AS delay_ms,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_id ASC) AS rn
+  FROM uu)
+SELECT url_id, host, worker, delay_ms,
+       CAST((rn - 1) * delay_ms AS BIGINT) AS slot_ms
+FROM sched ORDER BY url_id
+""")
+
+
+_EXTRA_QUERIES["web_crawl_schedule"] = q_web_crawl_schedule
+_EXTRA_ORACLES["web_crawl_schedule"] = Q_WEB_CRAWL_SCHEDULE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -616,3 +616,50 @@ def mirror_candidates(
             .cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    n_workers: int = 16,
+    base_delay_ms: int = 500,
+    url_col: str = "url_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: assign every frontier URL a
+    worker and a fetch slot such that (a) each host is fetched by
+    EXACTLY ONE worker (politeness needs per-host serialization — two
+    workers can't coordinate a shared delay), and (b) consecutive
+    fetches of a host are ``delay_ms`` apart.
+
+    ``worker = md5('wk:' host) % n_workers`` (rendezvous-style host
+    affinity: adding hosts never reshuffles existing ones);
+    ``delay_ms = base + (md5('cd:' host) % 8) * 250`` (a deterministic
+    stand-in for per-host robots crawl-delay; pass a real column at
+    integration time by pre-joining and renaming); ``slot_ms =
+    (rank-1) * delay_ms`` with rank ordered by ``(url_id)`` per host.
+
+    Scale shape: one hash exchange by host + one rank window; the md5
+    expressions are scan-stage codegen.  Host skew (one giant site) is
+    inherent to the DOMAIN (that host really is one serialized queue) —
+    the window stays O(that host's frontier) and everything else
+    parallelizes.
+    """
+    from pyspark.sql import Window
+
+    def md5mod(prefix, mod):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(
+                F.lit(prefix), F.col(host_col))), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(int(mod)))
+
+    w = Window.partitionBy(host_col).orderBy(F.asc(url_col))
+    return urls.select(
+        url_col, host_col,
+        md5mod("wk:", n_workers).cast("int").alias("worker"),
+        (F.lit(int(base_delay_ms)) + md5mod("cd:", 8) * 250)
+        .cast("long").alias("delay_ms"),
+    ).withColumn(
+        "slot_ms",
+        ((F.row_number().over(w) - 1) * F.col("delay_ms")).cast("long"),
+    )

@@ -52,3 +52,42 @@ def test_mirror_duplicate_rows_count_once(spark):
     got = _mirror(spark, rows, min_shared=2)
     assert got[("a", "b")].shared == 2
     assert got[("a", "b")].n_a == 2
+
+
+# ---------------------------------------------------------------------------
+# crawl_schedule
+# ---------------------------------------------------------------------------
+
+def test_schedule_politeness_invariants(spark):
+    from picogeojson_spark.operators.web import crawl_schedule
+
+    rows = [(i, "host%d" % (i % 7)) for i in range(70)]
+    df = spark.createDataFrame(rows, "url_id long, host string")
+    out = crawl_schedule(df, n_workers=4).collect()
+    byhost = {}
+    for r in out:
+        byhost.setdefault(r.host, []).append(r)
+    assert len(out) == 70
+    for h, rs in byhost.items():
+        # one worker per host
+        assert len({r.worker for r in rs}) == 1
+        # one delay per host, in the synthesized range
+        delays = {r.delay_ms for r in rs}
+        assert len(delays) == 1 and 500 <= delays.pop() <= 2250
+        # slots are (rank-1)*delay in url_id order: spaced exactly delay
+        rs.sort(key=lambda r: r.url_id)
+        for i, r in enumerate(rs):
+            assert r.slot_ms == i * r.delay_ms
+
+
+def test_schedule_host_affinity_stable_under_growth(spark):
+    from picogeojson_spark.operators.web import crawl_schedule
+
+    small = spark.createDataFrame(
+        [(i, "h%d" % (i % 3)) for i in range(9)], "url_id long, host string")
+    big = spark.createDataFrame(
+        [(i, "h%d" % (i % 5)) for i in range(25)], "url_id long, host string")
+    ws = {r.host: r.worker for r in crawl_schedule(small).collect()}
+    wb = {r.host: r.worker for r in crawl_schedule(big).collect()}
+    for h in ws:
+        assert wb[h] == ws[h]  # new hosts never move existing ones
