@@ -8747,6 +8747,50 @@ _EXTRA_QUERIES["web_crawl_schedule"] = q_web_crawl_schedule
 _EXTRA_ORACLES["web_crawl_schedule"] = Q_WEB_CRAWL_SCHEDULE_SQL
 
 
+def q_geo_gistar(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold spots over the 2-degree occupied-cell
+    raster (operators/spatial_cluster.py:gi_star): exact-integer
+    neighborhood-total statistic gi_num_n = N*block - w*S with the cell
+    included in its own 3x3 block; same one-shuffle cell-histogram
+    shape as geo_lisa, 9-offset cell explode."""
+    from picogeojson_spark.operators.spatial_cluster import gi_star
+
+    pts = _clumped_points(spark, sf_dir)
+    return gi_star(pts, cell_udeg=2_000_000).orderBy("cx", "cy")
+
+
+Q_GEO_GISTAR_SQL = """
+WITH pts AS ({points}),
+pc AS (
+  SELECT CAST(floor(CAST(floor(lon * 1000000.0) AS BIGINT) / 2000000.0)
+              AS BIGINT) AS cx,
+         CAST(floor(CAST(floor(lat * 1000000.0) AS BIGINT) / 2000000.0)
+              AS BIGINT) AS cy
+  FROM pts),
+cells AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pc GROUP BY 1, 2),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(cnt) AS BIGINT) AS total_pts FROM cells),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+nb AS (SELECT a.cx + o.dx AS cx, a.cy + o.dy AS cy,
+              CAST(SUM(a.cnt) AS BIGINT) AS block,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM cells a CROSS JOIN offs o GROUP BY 1, 2)
+SELECT c.cx, c.cy, c.cnt, nb.w, nb.block,
+       CAST(g.n_cells * nb.block - nb.w * g.total_pts AS BIGINT)
+         AS gi_num_n,
+       CAST(sign(g.n_cells * nb.block - nb.w * g.total_pts) AS INTEGER)
+         AS hot
+FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy CROSS JOIN g
+ORDER BY c.cx, c.cy
+""".format(points=_CLUMPED_POINTS_SQL)
+
+
+_EXTRA_QUERIES["geo_gistar"] = q_geo_gistar
+_EXTRA_ORACLES["geo_gistar"] = Q_GEO_GISTAR_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -496,3 +496,59 @@ def kmeans_points(
     finally:
         pts.unpersist()
     return out
+
+
+def gi_star(
+    points: DataFrame,
+    cell_udeg: int = 2_000_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot numerators over the occupied-cell raster —
+    the COMPLEMENT of :func:`local_moran`: LISA asks "is this cell LIKE
+    its neighbors" (similarity/outlier), Gi* asks "is this neighborhood's
+    TOTAL unusually high/low" (hot/cold spot), and includes the cell
+    itself in its own neighborhood (the * variant).
+
+    Exact integer contract: with N = occupied cells, S = total points,
+    ``w`` = occupied cells in the 3x3 block (self included, so >= 1) and
+    ``block`` = their point total, the statistic numerator N-scaled is
+    ``gi_num_n = N * block - w * S`` — exactly N*(block - w*mean).
+    ``hot = sign(gi_num_n)``.  The Gi* z-denominator is sqrt-based but
+    strictly monotone in nothing the ranking needs WITHIN a fixed ``w``
+    class (all-interior rasters share w=9), so the exact numerator +
+    ``w`` carry the full decision content without a float ever existing
+    (the geo_lisa precedent).
+
+    Scale shape: identical to local_moran — ONE corpus shuffle (cell
+    histogram), 1-row global scalar, 9-offset explode of the CELL table
+    re-aggregated on the packed key; shuffle volume 9x occupied cells,
+    independent of the point count.
+    """
+    cells = cell_histogram(points, cell_udeg, lon_col, lat_col) \
+        .withColumn("k", _pack(F.col("cx"), F.col("cy")))
+    g = cells.agg(F.count("*").cast("long").alias("n_cells"),
+                  F.sum("cnt").cast("long").alias("total_pts"))
+    offs = F.array(*(
+        [F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+         for dx, dy in _NEIGHBOR_OFFSETS]
+        + [F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"))]
+    ))
+    contrib = (
+        cells.select("cnt", F.explode(offs).alias("o"), "cx", "cy")
+        .select(_pack(F.col("cx") + F.col("o.dx"),
+                      F.col("cy") + F.col("o.dy")).alias("k"), "cnt")
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("block"),
+             F.count("*").cast("long").alias("w"))
+    )
+    d = attach_scalar(cells.join(contrib, on="k"), g)
+    return d.select(
+        "cx", "cy", F.col("cnt").cast("long").alias("cnt"),
+        "w", "block",
+        (F.col("n_cells") * F.col("block") - F.col("w")
+         * F.col("total_pts")).cast("long").alias("gi_num_n"),
+        F.signum(F.col("n_cells") * F.col("block")
+                 - F.col("w") * F.col("total_pts"))
+        .cast("int").alias("hot"),
+    )
