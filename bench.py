@@ -169,6 +169,18 @@ BENCH_QUERIES = [
     "eval_calibration",
     "events_paths",
     "table_skew",
+    "graph_bfs",
+    "eval_ndcg",
+    "eval_rank_at_k",
+    "events_changepoint",
+    "table_compaction",
+    "sketch_topk",
+    "text_collocations",
+    "sample_balanced",
+    "geo_snap",
+    "web_mirror",
+    "web_crawl_schedule",
+    "geo_gistar",
 ]
 
 
