@@ -8792,6 +8792,122 @@ _EXTRA_ORACLES["geo_gistar"] = Q_GEO_GISTAR_SQL
 
 
 # --------------------------------------------------------------------------
+# IVFPQ (IVFADC) ANN — PQ codes inside IVF lists, exact refine of the ADC
+# shortlist (appended)
+# --------------------------------------------------------------------------
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF + product quantization with exact shortlist refine (the FAISS
+    IndexIVFPQ + IndexRefineFlat deployment shape). Every PQ stage is
+    integer-exact by construction — codebook components and vectors are
+    quantized at scale 1000, codes are argmin over exact integer L2, ADC
+    tables are exact integer dots — so the DuckDB oracle reproduces every
+    code, every shortlist, and (via the family's sequential-fold cosine)
+    every refined score bit-for-bit. Coarse assignment shares ann_ivf's
+    float argmax (same ulp-gap justification). Recall vs ann_topk is
+    additionally floored at 0.8 in scripts/check_correctness.py; the 16x
+    code compression (16 bytes vs 256 bytes float32 at dim=64) is
+    asserted in tests/test_similarity_ivfpq.py."""
+    from picogeojson_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_ivfpq_topk(
+        queries, emb, k=3, nlist=16, nprobe=12, m_sub=16, ksub=64,
+        scale=1000, shortlist=96,
+    ).orderBy("query_id", "rank")
+
+
+Q_ANN_IVFPQ_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ei AS (SELECT vec_id,
+              list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS vi
+       FROM e),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+              AS INTEGER) AS list_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+cassign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+qassign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id % 10 = 0) t WHERE rn <= 12),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+              AS INTEGER) AS j, vi
+  FROM ei ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64),
+cw AS (
+  SELECT t.m, s.j,
+         list_slice(s.vi, t.m * 4 + 1, t.m * 4 + 4) AS cv,
+         list_dot_product(list_slice(s.vi, t.m * 4 + 1, t.m * 4 + 4),
+                          list_slice(s.vi, t.m * 4 + 1, t.m * 4 + 4)) AS cw2
+  FROM seeds s CROSS JOIN (SELECT CAST(r.range AS INTEGER) AS m
+                           FROM range(0, 16) r) t),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.j AS code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.d2 ASC, d.j ASC) AS rn
+    FROM (
+      SELECT ei.vec_id, cw.m, cw.j,
+             list_dot_product(list_slice(ei.vi, cw.m*4+1, cw.m*4+4),
+                              list_slice(ei.vi, cw.m*4+1, cw.m*4+4))
+             - 2 * list_dot_product(list_slice(ei.vi, cw.m*4+1, cw.m*4+4),
+                                    cw.cv)
+             + cw.cw2 AS d2
+      FROM ei CROSS JOIN cw) d) z WHERE rn = 1),
+qtbl AS (
+  SELECT ei.vec_id AS query_id, cw.m, cw.j,
+         cw.cw2 - 2 * list_dot_product(
+             list_slice(ei.vi, cw.m*4+1, cw.m*4+4), cw.cv) AS tblv
+  FROM ei CROSS JOIN cw WHERE ei.vec_id % 10 = 0),
+adc AS (
+  SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         SUM(qt.tblv) AS adc_l2
+  FROM qassign q
+  JOIN cassign ca ON ca.list_id = q.list_id
+  JOIN codes cd ON cd.vec_id = ca.vec_id
+  JOIN qtbl qt ON qt.query_id = q.vec_id AND qt.m = cd.m AND qt.j = cd.code
+  GROUP BY q.vec_id, ca.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_l2 ASC, neighbor_id ASC) AS rn
+    FROM adc) t WHERE rn <= 96),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM short s
+  JOIN e a ON a.vec_id = s.query_id
+  JOIN e b ON b.vec_id = s.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_x1e6
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+_EXTRA_QUERIES["ann_ivfpq"] = q_ann_ivfpq
+_EXTRA_ORACLES["ann_ivfpq"] = Q_ANN_IVFPQ_SQL
+
+
+# --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
 # The round driver verifies only the FIRST 50 entries of queries() in

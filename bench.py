@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "web_mirror",
     "web_crawl_schedule",
     "geo_gistar",
+    "ann_ivfpq",
 ]
 
 

@@ -721,3 +721,223 @@ def decontaminate_embed(
         schema=("vec_id long, max_cos_x1e6 long, n_hits long,"
                 " contaminated int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (IVFADC): product-quantized codes inside IVF inverted lists
+# ---------------------------------------------------------------------------
+
+def pq_codebook(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    scale: int = 1000,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic product-quantization codebook.
+
+    The ``ksub`` corpus vectors with the smallest ``md5(id)`` (the same
+    md5-deterministic sample rule the IVF coarse quantizer
+    :func:`ivf_centroids` uses) donate their sub-vectors as codewords,
+    one codeword set per subspace. Components are quantized to integers
+    at ``scale`` (``round(x * scale)``), so every downstream distance /
+    dot-product is EXACT integer arithmetic — bit-identical across numpy,
+    Spark expressions, and a DuckDB oracle, with no float fold-order
+    caveats anywhere in the PQ path.
+
+    Returns an int64 array of shape ``(m_sub, ksub, dsub)`` where
+    ``dsub = dim // m_sub`` (dim must divide evenly). At production scale
+    the codebook trains once offline on the bounded sample and persists
+    as a tiny side table (m_sub*ksub*dsub ints — ~64 KB at 8x256x8), the
+    standard FAISS IndexIVFPQ deployment shape.
+    """
+    import numpy as np
+
+    if ksub > 256:
+        raise ValueError("ksub > 256 breaks the 8-bit code contract")
+    rows = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("cid").cast("string")))
+        .orderBy("h")
+        .limit(ksub)
+        .collect()  # bounded: ksub <= 256 rows
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if x.size == 0:
+        return np.zeros((m_sub, 0, 0), dtype=np.int64)
+    xi = np.round(x * scale).astype(np.int64)
+    dim = xi.shape[1]
+    if dim % m_sub:
+        raise ValueError("dim {} not divisible by m_sub {}".format(dim, m_sub))
+    dsub = dim // m_sub
+    return np.stack(
+        [xi[:, m * dsub:(m + 1) * dsub] for m in range(m_sub)]
+    )  # (m_sub, ksub, dsub)
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    ksub: int = 16,
+    scale: int = 1000,
+    shortlist: int = 0,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + product-quantization top-k (IVFADC, Jegou et al. 2011 —
+    the missing rung between ``ann_ivf_topk`` and a disk-resident index).
+
+    With ``shortlist=r > 0`` (the production shape, FAISS
+    ``IndexRefineFlat``): ADC ranks a per-query shortlist of ``r``
+    candidates from the compressed codes, and ONLY those ``nq * r`` rows
+    join back to the float corpus for exact rescoring — output columns
+    then match the ann family (``cos_x1e6``, cos desc tie neighbor asc).
+    The expensive float fetch is bounded by the shortlist, never the
+    list contents; everything before it runs on 8-byte codes. With
+    ``shortlist=0`` the raw ADC ranking is returned (``adc_l2_x``).
+
+    Scale story: the corpus float vectors are READ ONCE and never
+    shuffled — each corpus partition maps to ``(neighbor_id, list_id,
+    codes)`` where ``codes`` is m_sub uint8-range ints (8 bytes/vector
+    vs 256 bytes of float32 at dim=64: a 32x compression, asserted in
+    tests). Only that compressed form crosses the one list_id exchange.
+    Queries carry a per-query ADC lookup table (m_sub*ksub ints) built
+    in the same Arrow batch as their coarse probe; candidate scoring is
+    pure JVM expression work — m_sub table lookups per pair, no floats,
+    no Python.
+
+    Scoring is asymmetric-distance (ADC) on quantized integers:
+    ``adc_l2_x`` = sum_m (|c_m|^2 - 2 * q_m . c_m) over the corpus row's
+    codewords — exactly ||q_int - x_hat||^2 minus the per-query constant
+    |q_int|^2, which is rank-invariant (omitted so the emitted score
+    needs no extra pass; it can therefore be negative). Rank: adc_l2_x
+    asc, neighbor_id asc. All arithmetic is int64 on values << 2^53, so
+    a DuckDB oracle reproduces every code, every table entry, and every
+    rank exactly.
+
+    The coarse layer reuses :func:`ivf_centroids` semantics verbatim
+    (same argmax, same tie-break) so list pruning is identical to
+    ``ann_ivf_topk`` at equal nlist/nprobe; PQ only changes what is
+    scored inside the probed lists. Recall vs the exact baseline is a
+    measured property (gated with a floor in scripts/check_correctness.py
+    like ann_lsh/ann_ivf).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, cmat = ivf_centroids(corpus, nlist, corpus_id, vec_col)
+    cb = pq_codebook(corpus, m_sub, ksub, scale, corpus_id, vec_col)
+    eff_ksub = cb.shape[1]
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((cmat, cb))
+    dsub = cb.shape[2]
+
+    def encode_corpus(batches):
+        C, CB = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or C.size == 0 or CB.size == 0:
+                continue
+            v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            vn[vn == 0] = 1.0
+            # coarse assignment: identical math to ivf_assign(probes=1)
+            sims = (v @ C.T) / vn[:, None]
+            lists = np.argsort(-sims, kind="stable", axis=1)[:, 0]
+            vi = np.round(v * scale).astype(np.int64)
+            codes = np.empty((len(vi), len(CB)), dtype=np.int64)
+            for m in range(len(CB)):
+                sub = vi[:, m * dsub:(m + 1) * dsub]
+                d2 = ((sub[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)  # first min -> j asc
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[corpus_id].to_numpy(dtype=np.int64),
+                    "list_id": lists.astype(np.int32),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    def encode_queries(batches):
+        C, CB = bc.value
+        kk = min(nprobe, C.shape[0]) if C.size else 0
+        # per-codeword |c|^2, folded into the table so scoring is one
+        # lookup-sum: tbl[m, j] = |c_mj|^2 - 2 * q_m . c_mj
+        cw2 = (CB * CB).sum(axis=2) if CB.size else None  # (m_sub, ksub)
+        for pdf in batches:
+            if len(pdf) == 0 or kk == 0 or CB.size == 0:
+                continue
+            v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            vn[vn == 0] = 1.0
+            sims = (v @ C.T) / vn[:, None]
+            lists = np.argsort(-sims, kind="stable", axis=1)[:, :kk]
+            vi = np.round(v * scale).astype(np.int64)
+            tbl = np.empty((len(vi), len(CB), eff_ksub), dtype=np.int64)
+            for m in range(len(CB)):
+                sub = vi[:, m * dsub:(m + 1) * dsub]
+                tbl[:, m, :] = cw2[m][None, :] - 2 * (sub @ CB[m].T)
+            flat = tbl.reshape(len(vi), -1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[query_id].to_numpy(
+                        dtype=np.int64).repeat(kk),
+                    "list_id": lists.reshape(-1).astype(np.int32),
+                    "tbl": [row for row in np.repeat(flat, kk, axis=0)],
+                }
+            )
+
+    c = _spread(corpus.select(corpus_id, vec_col)).mapInPandas(
+        encode_corpus,
+        schema="neighbor_id long, list_id int, codes array<int>",
+    )
+    q = _spread(queries.select(query_id, vec_col)).mapInPandas(
+        encode_queries,
+        schema="query_id long, list_id int, tbl array<long>",
+    )
+
+    # each corpus row lives in exactly one list, so a (query, neighbor)
+    # pair appears at most once across the nprobe probes — no distinct.
+    # codes/tbl are materialized attributes (mapInPandas outputs), so the
+    # lookup lambda indexes plain array columns — no CollapseProject
+    # expression-inlining hazard (CLAUDE.md HOF note).
+    joined = q.join(c, on="list_id")
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + F.element_at(
+            F.col("tbl"),
+            (m * eff_ksub + F.element_at(F.col("codes"), m + 1) + 1
+             ).cast("int"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_l2_x").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        joined.withColumn("adc_l2_x", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (shortlist if shortlist > 0 else k))
+    )
+    if shortlist <= 0:
+        return ranked.select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "neighbor_id", F.col("adc_l2_x").cast("long").alias("adc_l2_x"))
+
+    # refine: exact rescoring of the ADC shortlist only (nq * shortlist
+    # rows — the float corpus is touched by an equi-join on neighbor_id,
+    # never scanned per query)
+    cand = ranked.select("query_id", "neighbor_id")
+    qv = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    pairs = cand.join(qv, on="query_id").join(cv, on="neighbor_id")
+    return cosine_topk_tail(
+        _exact_cos_for_pairs(pairs, "query_id", "neighbor_id", "qv", "cv"), k
+    )

@@ -290,7 +290,8 @@ def main():
         n_oracled, n_rows_only))
 
 
-KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "stream_counts"}
+KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "ann_ivfpq",
+                    "stream_counts"}
 
 #: queries allowed to carry CartesianProduct / BroadcastNestedLoopJoin
 #: UNCONDITIONALLY; every other contract plan must be free of
@@ -410,7 +411,7 @@ def bnlj_all_scalar_attach(plan: str) -> bool:
     return seen
 
 
-RECALL_FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.8}
+RECALL_FLOORS = {"ann_lsh": 0.9, "ann_ivf": 0.8, "ann_ivfpq": 0.8}
 
 # Production-path quantizer (ivf_kmeans_centroids) floor, measured on the
 # deterministic CLUSTERED corpus (its intended regime): probing only 2 of 8
@@ -468,7 +469,7 @@ def run_special_checks(spark, kept):
 
     if "ann_topk" in kept:
         exact = _pairs(kept["ann_topk"])
-        for approx_name in ("ann_lsh", "ann_ivf"):
+        for approx_name in ("ann_lsh", "ann_ivf", "ann_ivfpq"):
             if approx_name not in kept:
                 continue
             approx = _pairs(kept[approx_name])
