@@ -376,10 +376,53 @@ def cooccurrence_edges(
     )
 
 
+#: Edge budget above which exact triangle counting is NOT the recommended
+#: default: the wedge stage is O(m^1.5), and at gate scale the exact count
+#: is the suite's single most expensive query (34.5 s vs 9.1 s for the
+#: q=8 estimate, ~7x measured — BENCH/BASELINE.md). The DOULION estimator
+#: cuts wedge work by ~q^1.5 with relative error ~sqrt(q^3/true_count).
+EXACT_TRIANGLES_EDGE_BUDGET = 5_000_000
+
+
+def triangle_count_auto(edges: DataFrame, edge_count: int,
+                        q: int = 4) -> DataFrame:
+    """Estimator-first dispatch: exact per-vertex counts below
+    :data:`EXACT_TRIANGLES_EDGE_BUDGET` edges, the DOULION global
+    estimate (``triangle_count_estimate(q=4)``) above it, with a loud
+    log line naming the switch.
+
+    ``edge_count`` is caller-provided (table stats / a prior count) so
+    this stays a lazy plan builder like every operator in the package —
+    no hidden eager job. NOTE the two regimes return different shapes:
+    exact -> per-vertex ``(node, n_triangles)``; estimate -> one global
+    ``(n_sampled_edges, n_sampled_triangles, est_triangles)`` row.
+    Callers needing per-vertex counts above the budget must opt in to
+    the cost explicitly via :func:`triangle_count`.
+    """
+    import logging
+
+    if edge_count > EXACT_TRIANGLES_EDGE_BUDGET:
+        logging.getLogger(__name__).warning(
+            "triangle_count_auto: %d edges > EXACT_TRIANGLES_EDGE_BUDGET"
+            " (%d) — using DOULION estimate q=%d (O(m^1.5/q^1.5) wedge"
+            " work); call triangle_count() directly for exact per-vertex"
+            " counts at full cost", edge_count,
+            EXACT_TRIANGLES_EDGE_BUDGET, q)
+        return triangle_count_estimate(edges, q=q)
+    return triangle_count(edges)
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts over an undirected edge
     set (``u < v``, distinct) -> ``(node, n_triangles)`` for every vertex
     in at least one triangle.
+
+    Estimator-first guidance: this exact formulation is wedge-bound
+    (O(m^1.5) — the most expensive plan in the benchmark suite at gate
+    scale); above :data:`EXACT_TRIANGLES_EDGE_BUDGET` edges prefer
+    ``triangle_count_estimate(q=4)`` (global count, ~q^1.5 cheaper) or
+    route through :func:`triangle_count_auto`, unless per-vertex counts
+    are specifically required.
 
     The classic degree-ordered algorithm (Cohen's MapReduce formulation /
     Suri-Vassilvitskii 2011): orient every edge from its (degree, id)-

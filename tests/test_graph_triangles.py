@@ -93,3 +93,32 @@ def test_sampled_estimate_q1_is_exact(spark):
     df = spark.createDataFrame(pairs, "u long, v long")
     r = triangle_count_estimate(df, q=1).collect()[0]
     assert r.n_sampled_triangles == r.est_triangles == 56
+
+
+def test_auto_dispatch_size_threshold(spark, caplog):
+    """triangle_count_auto: exact per-vertex counts under the edge
+    budget; DOULION estimate (with a loud log line) above it."""
+    import logging
+
+    from picogeojson_spark.operators.graph import (
+        EXACT_TRIANGLES_EDGE_BUDGET,
+        triangle_count_auto,
+        triangle_count_estimate,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = _edges_df(spark, pairs)
+
+    small = triangle_count_auto(df, edge_count=len(pairs))
+    assert {f.name for f in small.schema.fields} == {"node", "n_triangles"}
+    assert {r.node: r.n_triangles for r in small.collect()} == _brute(pairs)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="picogeojson_spark.operators.graph"):
+        big = triangle_count_auto(
+            df, edge_count=EXACT_TRIANGLES_EDGE_BUDGET + 1, q=1)
+    assert any("DOULION" in r.message for r in caplog.records)
+    got = big.collect()[0]
+    want = triangle_count_estimate(df, q=1).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got.est_triangles == 1  # q=1 sample == exact global count
