@@ -101,5 +101,12 @@ def bm25_query_indexed(spark: SparkSession, path: str,
         .select("doc_id", "word", "tf")
     )
     dl = spark.read.parquet(path + "/doclen")
-    scalars = spark.read.parquet(path + "/scalars")
+    # The persisted scalars table IS 1 row, but a raw scan carries no
+    # static row bound (Catalyst maxRows = unknown), so attach_scalar's
+    # structural guard — and the gate's plan invariant, which admits only
+    # a keys=[] aggregate as a BNLJ build side — would reject it.
+    # Re-aggregating the 1-row table is a no-op on values and restores
+    # the provable Some(1) bound without collecting or breaking laziness.
+    scalars = spark.read.parquet(path + "/scalars").groupBy().agg(
+        F.max("n_docs").alias("n_docs"), F.max("sum_dl").alias("sum_dl"))
     return _bm25_rank_from_parts(tf, dl, scalars, k=k, k1=k1, b=b)
