@@ -8907,6 +8907,107 @@ _EXTRA_QUERIES["ann_ivfpq"] = q_ann_ivfpq
 _EXTRA_ORACLES["ann_ivfpq"] = Q_ANN_IVFPQ_SQL
 
 
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the market-basket
+    co-occurrence graph: one degree aggregate, two hash equi-joins of the
+    edge stream against it, one global aggregate -> 1 row of exact
+    integer sufficient statistics + the coefficient in ppm (explicit
+    floor division in decimal(38,0) — the numerator is negative on
+    disassortative graphs, and Spark div truncates toward zero).  The
+    oracle replays the identical integer form in HUGEINT."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_assortativity,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return degree_assortativity(edges)
+
+
+Q_GRAPH_ASSORTATIVITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+pe AS (SELECT du.deg AS ju, dv.deg AS jv
+       FROM e JOIN deg du ON du.node = e.u
+              JOIN deg dv ON dv.node = e.v),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(CAST(ju AS HUGEINT) * jv) AS HUGEINT) AS sp,
+         CAST(SUM(CAST(ju AS HUGEINT) + jv) AS HUGEINT) AS sd,
+         CAST(SUM(CAST(ju AS HUGEINT) * ju
+                  + CAST(jv AS HUGEINT) * jv) AS HUGEINT) AS sq
+  FROM pe),
+nd AS (SELECT m, sp, sd, sq,
+              (4 * m * sp - sd * sd) * 1000000 AS num,
+              (2 * m * sq - sd * sd) AS den
+       FROM stats)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(sp AS BIGINT) AS sum_prod,
+       CAST(sd AS BIGINT) AS sum_deg,
+       CAST(sq AS BIGINT) AS sum_sq,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+       END AS r_ppm
+FROM nd
+"""
+
+_EXTRA_QUERIES["graph_assortativity"] = q_graph_assortativity
+_EXTRA_ORACLES["graph_assortativity"] = Q_GRAPH_ASSORTATIVITY_SQL
+
+
+def q_graph_clustcoef(spark, sf_dir):
+    """Per-node local clustering coefficient (Watts-Strogatz) over the
+    co-occurrence graph restricted to the deterministic 1/4 vertex sample
+    (l_partkey % 4 = 0 — vertex sampling is the documented way to bound
+    the O(m^1.5) wedge stage; the operator itself is generic).  Reuses
+    the brute-oracle-proven exactly-once triangle enumeration; degrees
+    are a one-agg table; one LEFT hash join keeps zero-triangle nodes at
+    cc_ppm = 0.  All operands non-negative -> truncating div IS floor on
+    both engines."""
+    from picogeojson_spark.operators.graph import (
+        clustering_coefficients,
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    edges = cooccurrence_edges(li)
+    return clustering_coefficients(edges).orderBy("node")
+
+
+Q_GRAPH_CLUSTCOEF_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u HAVING COUNT(*) >= 2),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pern AS (SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM pern GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST((COALESCE(t.n_triangles, 0) * 1000000)
+            // ((d.deg * (d.deg - 1)) // 2) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+ORDER BY d.node
+"""
+
+_EXTRA_QUERIES["graph_clustcoef"] = q_graph_clustcoef
+_EXTRA_ORACLES["graph_clustcoef"] = Q_GRAPH_CLUSTCOEF_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -757,3 +757,113 @@ def bfs_hops(edges: DataFrame, sources: DataFrame,
             df.unpersist()
         dist.unpersist()
     return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected edge set (``u < v``,
+    distinct) — Newman (2002)'s Pearson correlation of endpoint degrees,
+    the one-number summary of whether hubs link to hubs (assortative,
+    r > 0: social graphs) or to leaves (disassortative, r < 0: the web).
+
+    Returns ONE row ``(m_edges, sum_prod, sum_deg, sum_sq, r_ppm)`` —
+    the exact integer sufficient statistics over per-edge endpoint
+    degrees (j, k):  ``sum_prod = sum(j*k)``, ``sum_deg = sum(j+k)``,
+    ``sum_sq = sum(j^2 + k^2)`` — plus the coefficient itself in parts
+    per million via the half-free integer form
+
+        r = (4*m*sum_prod - sum_deg^2) / (2*m*sum_sq - sum_deg^2)
+
+    computed with an EXPLICIT floor (numerator may be negative; Spark's
+    div truncates toward zero — CLAUDE.md floor recipe on both engines)
+    in decimal(38,0), so the value is bit-identical to a DuckDB HUGEINT
+    replay.  ``r_ppm`` is NULL on degenerate graphs (all degrees equal
+    -> zero variance denominator); the stats columns are still exact.
+
+    Scale shape: one symmetrize + groupBy for the degree table, two hash
+    equi-joins of the edge stream against it (never an edge-edge join),
+    one map-side-combined global aggregate -> 1 row.  Degrees of the
+    biggest web hubs skew the join keys; AQE skew handling applies, and
+    the integer semantics are partitioning-invariant.  Exactness bounds,
+    stated honestly: the int64 stats columns require sum(j*k) < 2^63
+    (~9.2e18); the ppm scaling adds 6 digits inside decimal(38,0), so
+    r_ppm is exact while 4*m*sum_prod < 1e32 (a trillion-edge graph with
+    max degree ~3e4 fits; beyond that the stats columns remain the
+    contract and r is recovered from them off-plan).
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    per_edge = (
+        edges
+        .join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), on="u")
+        .join(deg.select(F.col("u").alias("v"),
+                         F.col("deg").alias("deg_v")), on="v")
+    )
+    stats = per_edge.agg(
+        F.count("*").cast("long").alias("m_edges"),
+        F.sum(F.col("deg_u") * F.col("deg_v")).cast("long")
+        .alias("sum_prod"),
+        F.sum(F.col("deg_u") + F.col("deg_v")).cast("long")
+        .alias("sum_deg"),
+        F.sum(F.col("deg_u") * F.col("deg_u")
+              + F.col("deg_v") * F.col("deg_v")).cast("long")
+        .alias("sum_sq"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    m = dec.format("m_edges")
+    num = ("(4 * {m} * {sp} - {sd} * {sd}) * 1000000".format(
+        m=m, sp=dec.format("sum_prod"), sd=dec.format("sum_deg")))
+    den = ("(2 * {m} * {sq} - {sd} * {sd})".format(
+        m=m, sq=dec.format("sum_sq"), sd=dec.format("sum_deg")))
+    # explicit floor division (num may be negative; den > 0 when defined)
+    r_ppm = (
+        "case when {den} = 0 then null else "
+        "cast((({num}) - pmod({num}, {den})) / ({den}) as bigint) end"
+    ).format(num=num, den=den)
+    return stats.select(
+        "m_edges", "sum_prod", "sum_deg", "sum_sq",
+        F.expr(r_ppm).alias("r_ppm"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge set
+    (``u < v``, distinct): ``(node, deg, n_triangles, cc_ppm)`` for every
+    node with degree >= 2, where ``cc_ppm = floor(n_triangles * 1e6 /
+    (deg*(deg-1)/2))`` — the fraction of a node's neighbor pairs that
+    are themselves connected, in parts per million (Watts-Strogatz
+    1998).  The transitivity signal behind spam-farm detection and
+    community cohesion scoring.
+
+    Determinism: both inputs are exact integers (the oriented triangle
+    enumeration is proven exactly-once by the graph_triangles brute
+    oracle; degrees are counts) and all operands are non-negative, so
+    truncating div IS floor on both engines — bit-identical to the
+    DuckDB replay with ``//``.
+
+    Scale shape: reuses :func:`triangle_count`'s degree-ordered wedge
+    enumeration (O(m^1.5) bound under any skew — the documented cost;
+    above :data:`EXACT_TRIANGLES_EDGE_BUDGET` sample vertices first or
+    accept the estimator's global-only answer), one degree aggregate,
+    one hash LEFT join degree<-triangles (zero-triangle nodes must
+    appear with cc_ppm = 0), never a neighbor-pair materialization
+    beyond the oriented wedge stream.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = (
+        sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+        .filter(F.col("deg") >= 2)
+        .select(F.col("u").alias("node"), "deg")
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node", "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.expr("div(coalesce(n_triangles, 0) * 1000000,"
+                   "    div(deg * (deg - 1), 2))").cast("long")
+            .alias("cc_ppm"),
+        )
+    )
