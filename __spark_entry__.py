@@ -9008,6 +9008,57 @@ _EXTRA_QUERIES["graph_clustcoef"] = q_graph_clustcoef
 _EXTRA_ORACLES["graph_clustcoef"] = Q_GRAPH_CLUSTCOEF_SQL
 
 
+
+def q_eval_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep (operators/evals.py:pr_curve):
+    ONE corpus aggregate to the score histogram, then a k-literal
+    threshold explode over the HISTOGRAM (k x |scores|, never k x
+    corpus) re-aggregated per threshold; every metric exact integer from
+    the counts (F1 from counts, not rounded-P/R), NULL-guarded edges."""
+    from picogeojson_spark.operators.evals import pr_curve
+
+    return pr_curve(
+        _eval_scored(spark, sf_dir),
+        thresholds=[10, 25, 30, 31, 35, 50, 100],
+    ).orderBy("threshold")
+
+
+Q_EVAL_PR_CURVE_SQL = """
+WITH sc AS ({scored}),
+hist AS (
+  SELECT score AS s,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0
+  FROM sc GROUP BY score),
+t(threshold) AS (VALUES (10), (25), (30), (31), (35), (50), (100)),
+per_t AS (
+  SELECT CAST(t.threshold AS BIGINT) AS threshold,
+         CAST(SUM(CASE WHEN h.s >= t.threshold THEN h.n1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN h.s >= t.threshold THEN h.n0 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN h.s < t.threshold THEN h.n1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN h.s < t.threshold THEN h.n0 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM hist h CROSS JOIN t GROUP BY t.threshold)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN tp + fn > 0
+            THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT) END
+         AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT)
+       END AS f1_ppm
+FROM per_t ORDER BY threshold
+""".format(scored=_EVAL_SCORED_SQL)
+
+_EXTRA_QUERIES["eval_pr_curve"] = q_eval_pr_curve
+_EXTRA_ORACLES["eval_pr_curve"] = Q_EVAL_PR_CURVE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

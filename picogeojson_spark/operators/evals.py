@@ -247,3 +247,72 @@ def rank_at_k(
                F.expr("div(1000000, _first)")).cast("long")
         .alias("rr_ppm"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    thresholds: list,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 sweep of an integer score against a boolean
+    label at each caller-supplied decision threshold (predict positive
+    when ``score >= t``) — the operating-point picker that follows an
+    AUC read in the quality-classifier loop.
+
+    Output per threshold: ``(threshold, tp, fp, fn, tn, precision_ppm,
+    recall_ppm, f1_ppm)``.  F1 is computed directly from counts —
+    ``f1_ppm = 2*tp*1e6 div (2*tp + fp + fn)`` — so it is exact integer,
+    not a rounding of rounded P/R; precision is NULL when nothing is
+    predicted positive, recall NULL when there are no positives.  All
+    operands non-negative -> truncating div IS floor on both engines.
+
+    Plan: ONE corpus-sized map-side-combined aggregate to the score
+    histogram (the auc_exact justification: integer scores have bounded
+    cardinality), then a k-literal threshold explode over the HISTOGRAM
+    (k x |scores| rows, never k x corpus) re-aggregated per threshold.
+    Thresholds are a Python list baked as a literal array — no runtime
+    expression re-evaluation (the HOF constant-folding trap).
+    """
+    ts = sorted(set(int(t) for t in thresholds))
+    if not ts:
+        raise ValueError("need at least one threshold")
+    lbl = F.col(label_col).cast("boolean")
+    hist = (
+        df.select(F.col(score_col).cast("long").alias("s"),
+                  lbl.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long")
+            .alias("n0"),
+        )
+    )
+    t_arr = F.array(*[F.lit(int(t)).cast("long") for t in ts])
+    per_t = (
+        hist.withColumn("threshold", F.explode(t_arr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("s") >= F.col("threshold"), F.col("n1"))
+                  .otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(F.col("s") >= F.col("threshold"), F.col("n0"))
+                  .otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(F.col("s") < F.col("threshold"), F.col("n1"))
+                  .otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(F.col("s") < F.col("threshold"), F.col("n0"))
+                  .otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return per_t.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("div(tp * 1000000, tp + fp)")).cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("div(tp * 1000000, tp + fn)")).cast("long")
+        .alias("recall_ppm"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.expr("div(2 * tp * 1000000, 2 * tp + fp + fn)"))
+        .cast("long").alias("f1_ppm"),
+    )

@@ -219,3 +219,66 @@ def test_rank_at_k_tie_break_by_id(spark):
     df = spark.createDataFrame(
         rows, "query_id long, doc_id long, score long, relevant boolean")
     assert rank_at_k(df, k=1).collect()[0].rr_ppm == 1000000
+
+
+# ---------------------------------------------------------------- pr_curve
+
+
+def _py_pr(rows, ts):
+    out = {}
+    for t in sorted(set(ts)):
+        tp = sum(1 for s, y in rows if y and s >= t)
+        fp = sum(1 for s, y in rows if not y and s >= t)
+        fn = sum(1 for s, y in rows if y and s < t)
+        tn = sum(1 for s, y in rows if not y and s < t)
+        p = tp * 1000000 // (tp + fp) if tp + fp else None
+        r = tp * 1000000 // (tp + fn) if tp + fn else None
+        f1 = (2 * tp * 1000000 // (2 * tp + fp + fn)
+              if 2 * tp + fp + fn else None)
+        out[t] = (tp, fp, fn, tn, p, r, f1)
+    return out
+
+
+def _run_pr(spark, rows, ts):
+    from picogeojson_spark.operators.evals import pr_curve
+
+    got = pr_curve(_df(spark, rows), thresholds=ts).collect()
+    return {r.threshold: (r.tp, r.fp, r.fn, r.tn, r.precision_ppm,
+                          r.recall_ppm, r.f1_ppm) for r in got}
+
+
+def test_pr_curve_hand_case(spark):
+    rows = [(5, True), (4, True), (3, False), (2, True), (1, False)]
+    got = _run_pr(spark, rows, [3, 5])
+    # t=3: predict {5,4,3}: tp=2 fp=1 fn=1 tn=1
+    assert got[3] == (2, 1, 1, 1, 666666, 666666, 666666)
+    # t=5: predict {5}: tp=1 fp=0 fn=2 tn=2 -> perfect precision
+    assert got[5] == (1, 0, 2, 2, 1000000, 333333, 500000)
+
+
+def test_pr_curve_brute_differential_with_ties(spark):
+    rows = [((i * 7) % 13, (i * 3) % 5 < 2) for i in range(200)]
+    ts = [0, 1, 4, 7, 12, 13, 99]
+    assert _run_pr(spark, rows, ts) == _py_pr(rows, ts)
+
+
+def test_pr_curve_null_guards(spark):
+    # threshold above every score -> nothing predicted -> precision NULL;
+    # no positive labels anywhere -> recall NULL at every threshold.
+    rows = [(1, False), (2, False)]
+    got = _run_pr(spark, rows, [0, 10])
+    assert got[10] == (0, 0, 0, 2, None, None, None)
+    assert got[0][4] == 0 and got[0][5] is None  # p=0/2=0, r NULL
+
+
+def test_pr_curve_monotone_recall_and_validation(spark):
+    rows = [((i * 11) % 17, i % 3 == 0) for i in range(120)]
+    got = _run_pr(spark, rows, [2, 5, 9, 14])
+    recalls = [got[t][5] for t in (2, 5, 9, 14)]
+    assert recalls == sorted(recalls, reverse=True)  # recall non-increasing
+    import pytest as _pt
+
+    from picogeojson_spark.operators.evals import pr_curve
+
+    with _pt.raises(ValueError):
+        pr_curve(_df(spark, rows), thresholds=[])
