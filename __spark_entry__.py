@@ -9059,6 +9059,81 @@ _EXTRA_QUERIES["eval_pr_curve"] = q_eval_pr_curve
 _EXTRA_ORACLES["eval_pr_curve"] = Q_EVAL_PR_CURVE_SQL
 
 
+# Closed integer fence boxes in micro-degrees: overlapping (1/2, 3/8),
+# nested (8 inside 3), polar/dateline-adjacent extremes (4, 5, 6, 7) —
+# literal on BOTH sides (the planted-fixture convention).
+_GEOFENCE_FENCES = [
+    (1, -80_000_000, -40_000_001, -170_000_000, -100_000_001),
+    (2, -50_000_000, 10_000_000, -120_000_000, -20_000_000),
+    (3, 0, 35_000_000, -10_000_000, 60_000_000),
+    (4, 20_000_000, 79_999_999, 40_000_000, 169_999_999),
+    (5, -20_000_000, 20_000_000, 150_000_000, 169_999_999),
+    (6, 60_000_000, 79_999_999, -170_000_000, -130_000_000),
+    (7, -80_000_000, -60_000_000, 0, 30_000_000),
+    (8, 5_000_000, 15_000_000, 5_000_000, 15_000_000),
+]
+
+
+def q_geo_geofence(spark, sf_dir):
+    """Geofence enter/exit transitions (operators/geofence.py): events
+    become per-user point streams on the deterministic prime-stride
+    lattice (lat_u = (event_id*7919) %% 160M - 80M — nonneg operands, so
+    Spark %% == DuckDB %%); 8 literal fence boxes (overlapping + nested)
+    explode to broadcast cover cells; the corpus side never shuffles for
+    the match; transitions are array_except diffs of consecutive
+    per-point fence sets under the per-user lag window.  The oracle is
+    the brute points×fences lag formulation — hash-equality proves the
+    cell prefilter drops no transition and the set-diff emits exactly
+    the state changes (first point inside => enter; no end-of-stream
+    exit)."""
+    from picogeojson_spark.operators.geofence import geofence_events
+
+    e = _t(spark, sf_dir, "events")
+    points = e.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") * 7919) % 160_000_000 - 80_000_000)
+        .alias("lat_u"),
+        ((F.col("event_id") * 104_729) % 340_000_000 - 170_000_000)
+        .alias("lon_u"),
+    )
+    fences = spark.createDataFrame(
+        _GEOFENCE_FENCES,
+        "fence_id long, lat_min_u long, lat_max_u long, "
+        "lon_min_u long, lon_max_u long")
+    return geofence_events(points, fences, cell_udeg=10_000_000).orderBy(
+        "entity_id", "seq", "fence_id", "event")
+
+
+Q_GEO_GEOFENCE_SQL = """
+WITH p AS (
+  SELECT user_id AS entity_id, event_id AS seq,
+         (event_id * 7919) % 160000000 - 80000000 AS lat_u,
+         (event_id * 104729) % 340000000 - 170000000 AS lon_u
+  FROM events),
+f(fence_id, a0, a1, o0, o1) AS (VALUES {fences}),
+pair AS (
+  SELECT p.entity_id, p.seq, CAST(f.fence_id AS BIGINT) AS fence_id,
+         (p.lat_u BETWEEN f.a0 AND f.a1
+          AND p.lon_u BETWEEN f.o0 AND f.o1) AS inside
+  FROM p CROSS JOIN f),
+lagd AS (
+  SELECT entity_id, seq, fence_id, inside,
+         lag(inside) OVER (PARTITION BY entity_id, fence_id
+                           ORDER BY seq) AS pin
+  FROM pair)
+SELECT entity_id, seq, fence_id,
+       CASE WHEN inside THEN 'enter' ELSE 'exit' END AS event
+FROM lagd
+WHERE inside <> COALESCE(pin, FALSE)
+ORDER BY entity_id, seq, fence_id, event
+""".format(fences=", ".join(
+    "({}, {}, {}, {}, {})".format(*row) for row in _GEOFENCE_FENCES))
+
+_EXTRA_QUERIES["geo_geofence"] = q_geo_geofence
+_EXTRA_ORACLES["geo_geofence"] = Q_GEO_GEOFENCE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
