@@ -9134,6 +9134,56 @@ _EXTRA_QUERIES["geo_geofence"] = q_geo_geofence
 _EXTRA_ORACLES["geo_geofence"] = Q_GEO_GEOFENCE_SQL
 
 
+def q_graph_featagg(spark, sf_dir):
+    """GNN-style neighborhood feature aggregation (operators/graph.py:
+    neighbor_feature_agg) over the market-basket co-occurrence graph
+    with part retail price in integer cents as the node feature: exact
+    1-hop (A·x) and 2-hop WALK (A²·x — paths back through the node
+    count) sums via two hash equi-joins, never a neighborhood explode;
+    ppm means in decimal(38,0) explicit floor.  Oracle replays the
+    identical walk algebra in HUGEINT."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        neighbor_feature_agg,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    feats = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("feat"),
+    )
+    return neighbor_feature_agg(edges, feats).orderBy("node")
+
+
+Q_GRAPH_FEATAGG_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e AS (SELECT DISTINCT a.item AS u, b.item AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+f AS (SELECT p_partkey AS node,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS fv
+      FROM part),
+h1 AS (SELECT s.u, CAST(COUNT(*) AS BIGINT) AS deg,
+              CAST(SUM(f.fv) AS BIGINT) AS h1_sum
+       FROM sym s JOIN f ON f.node = s.v GROUP BY s.u),
+h2 AS (SELECT s.u, CAST(SUM(h.deg) AS BIGINT) AS walk2,
+              CAST(SUM(h.h1_sum) AS BIGINT) AS h2_sum
+       FROM sym s JOIN h1 h ON h.u = s.v GROUP BY s.u)
+SELECT h1.u AS node, f.fv AS feat, h1.deg, h1.h1_sum,
+       CAST((CAST(h1.h1_sum AS HUGEINT) * 1000000) // h1.deg AS BIGINT)
+         AS h1_mean_ppm,
+       h2.walk2, h2.h2_sum,
+       CAST((CAST(h2.h2_sum AS HUGEINT) * 1000000) // h2.walk2 AS BIGINT)
+         AS h2_mean_ppm
+FROM h1 JOIN h2 ON h2.u = h1.u JOIN f ON f.node = h1.u
+ORDER BY node
+"""
+
+_EXTRA_QUERIES["graph_featagg"] = q_graph_featagg
+_EXTRA_ORACLES["graph_featagg"] = Q_GRAPH_FEATAGG_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -867,3 +867,83 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+def neighbor_feature_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    node_col: str = "node",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """GNN-style message passing / neighborhood feature aggregation over
+    an undirected edge set (``u < v``, distinct): per node, the exact
+    1-hop and 2-hop WALK aggregates of a non-negative integer node
+    feature — the GraphSAGE/GCN data-prep step (A·x and A²·x) expressed
+    as two hash equi-joins, never a neighborhood explode.
+
+    Returns ``(node, feat, deg, h1_sum, h1_mean_ppm, walk2, h2_sum,
+    h2_mean_ppm)`` for every node with at least one edge:
+
+    - ``h1_sum  = Σ_{v∈N(n)} feat(v)``; ``h1_mean_ppm = floor(h1_sum *
+      1e6 / deg)``.
+    - ``h2_sum  = Σ_{v∈N(n)} h1_sum(v)`` — the 2-step WALK sum (A²·x:
+      paths back through n itself count, per standard message passing);
+      ``walk2 = Σ_{v∈N(n)} deg(v)`` is the number of such walks and
+      ``h2_mean_ppm = floor(h2_sum * 1e6 / walk2)``.
+
+    Exactness: features must be non-negative int64 (caller contract —
+    prices in cents, token counts); sums stay in int64 while
+    ``deg² · max_feat < 2^63``; the ppm scalings run in decimal(38,0)
+    with the explicit-floor spelling, so they are exact far beyond that
+    and bit-identical to a DuckDB HUGEINT replay.
+
+    Scale shape: one symmetrize + one features hash-join + groupBy(u)
+    for the 1-hop table (map-side combined); the 2-hop pass is ONE MORE
+    equi-join of the edge stream against that bounded per-node table +
+    groupBy(u) — the A² matrix is never materialized, and no step is
+    quadratic in neighborhood size.  Hub-degree skew lands on join keys
+    (AQE skew handling applies); semantics are partitioning-invariant.
+    Isolated nodes are absent (nodes are derived from edges, the graph
+    family convention).
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    feats = features.select(
+        F.col(node_col).alias("v"),
+        F.col(feat_col).cast("long").alias("fv"))
+    h1 = (
+        sym.join(feats, on="v")
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("deg"),
+             F.sum("fv").cast("long").alias("h1_sum"))
+    )
+    h1v = h1.select(
+        F.col("u").alias("v"),
+        F.col("deg").alias("deg_v"),
+        F.col("h1_sum").alias("h1_v"))
+    h2 = (
+        sym.join(h1v, on="v")
+        .groupBy("u")
+        .agg(F.sum("deg_v").cast("long").alias("walk2"),
+             F.sum("h1_v").cast("long").alias("h2_sum"))
+    )
+    dec = "cast({} as decimal(38,0))"
+
+    def _floor_ppm(num_col, den_col):
+        num = "({} * 1000000)".format(dec.format(num_col))
+        den = dec.format(den_col)
+        return F.expr(
+            "cast((({num}) - pmod({num}, {den})) / ({den}) as bigint)"
+            .format(num=num, den=den))
+
+    return (
+        h1.join(h2, on="u")
+        .join(feats.select(F.col("v").alias("u"),
+                           F.col("fv").alias("feat")), on="u")
+        .select(
+            F.col("u").alias("node"), "feat", "deg", "h1_sum",
+            _floor_ppm("h1_sum", "deg").alias("h1_mean_ppm"),
+            "walk2", "h2_sum",
+            _floor_ppm("h2_sum", "walk2").alias("h2_mean_ppm"),
+        )
+    )
