@@ -9184,6 +9184,64 @@ _EXTRA_QUERIES["graph_featagg"] = q_graph_featagg
 _EXTRA_ORACLES["graph_featagg"] = Q_GRAPH_FEATAGG_SQL
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Bounded-round weighted shortest paths (operators/graph.py:
+    sssp_bounded — Bellman-Ford, 5 rounds) over the market-basket
+    co-occurrence graph with deterministic integer edge weights
+    w = 1 + (u + v) % 7, from the ~1%-of-nodes seed set (item % 97
+    == 0).  Frontier-only relaxation per round against the persisted
+    symmetric edge table; the oracle unrolls full relaxation (provably
+    the same per-round fixed points)."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, \
+        sssp_bounded
+
+    edges = (
+        cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+        .withColumn("w", (F.lit(1) + (F.col("u") + F.col("v")) % 7)
+                    .cast("long"))
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    return sssp_bounded(edges, seeds, max_rounds=5).orderBy("node")
+
+
+def _q_graph_sssp_sql(max_rounds=5):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+e AS MATERIALIZED (
+  SELECT u, v, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0
+  UNION ALL
+  SELECT v AS u, u AS v, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+  FROM e WHERE u % 97 = 0)"""]
+    for i in range(1, max_rounds + 1):
+        parts.append("""
+c{i} AS MATERIALIZED (
+  SELECT e.v AS node, CAST(MIN(d.dist + e.w) AS BIGINT) AS dist
+  FROM d{j} d JOIN e ON e.u = d.node GROUP BY e.v),
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{j}
+    UNION ALL SELECT node, dist FROM c{i}) GROUP BY node)"""
+                     .format(i=i, j=i - 1))
+    parts.append("""
+SELECT node, dist FROM d{r} ORDER BY node""".format(r=max_rounds))
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+_EXTRA_QUERIES["graph_sssp"] = q_graph_sssp
+_EXTRA_ORACLES["graph_sssp"] = _q_graph_sssp_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

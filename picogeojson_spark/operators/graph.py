@@ -947,3 +947,98 @@ def neighbor_feature_agg(
             _floor_ppm("h2_sum", "walk2").alias("h2_mean_ppm"),
         )
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Bounded-round multi-source shortest paths (Bellman-Ford) over an
+    undirected weighted edge set (``u < v``, distinct, integer weight
+    column ``w >= 0``): returns ``(node, dist)`` — the exact minimum
+    path weight from the nearest source using at most ``max_rounds``
+    edges — for every node reachable within that bound (sources at 0).
+    Bounded-round is the contract, not a truncation (the BFS-hops
+    convention, :func:`bfs_hops`): "cheapest route within k legs" is
+    the primitive behind delivery-radius costing, weighted blast-radius
+    and crawl-cost frontiers.
+
+    Determinism: round-synchronous relaxation with a running min is a
+    pure function of (edges, seeds, k) — after round i every node holds
+    exactly D_i = the <=i-edge shortest-path weight, and frontier-only
+    relaxation (only nodes that IMPROVED in round i-1 send in round i)
+    provably computes the same D_i as full relaxation: a node that last
+    improved in round j sent its final ``dist+w`` contribution in round
+    j+1, and the running min never forgets it.  The DuckDB oracle
+    replays full relaxation unrolled ``max_rounds`` times; early-exit
+    on a no-improvement round is sound because D is then a fixed point.
+
+    Scale shape: each round joins ONLY the frontier against the
+    symmetric edge table (persisted, hash-partitioned on the join key —
+    one layout reused every round), then one map-side-combined min per
+    candidate node and one min-merge groupBy over the node-bounded dist
+    vector.  The one-round-late persist handoff (pagerank/bfs pattern)
+    bounds the cached working set at two vectors; weights and distances
+    never leave the JVM.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    sym = (
+        edges.select("u", "v", F.col("w").cast("long").alias("w"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"),
+                            F.col("w").cast("long").alias("w")))
+        .repartition("u")
+        .persist()
+    )
+    dist = (
+        sources.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .persist()
+    )
+    dist.count()
+    frontier = dist
+    stale = []
+    try:
+        for _ in range(1, max_rounds + 1):
+            cand = (
+                sym.join(
+                    frontier.select(F.col("node").alias("u"),
+                                    F.col("dist").alias("du")), on="u")
+                .select(F.col("v").alias("node"),
+                        (F.col("du") + F.col("w")).alias("dist"))
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            merged = (
+                dist.union(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .persist()
+            )
+            improved = (
+                merged.join(
+                    dist.select("node", F.col("dist").alias("_old")),
+                    on="node", how="left")
+                .filter(F.col("_old").isNull()
+                        | (F.col("dist") < F.col("_old")))
+                .select("node", "dist")
+                .persist()
+            )
+            if improved.count() == 0:
+                merged.unpersist()
+                improved.unpersist()
+                break
+            stale.append(dist)
+            stale.append(improved)
+            if len(stale) > 4:   # one-round-late release
+                stale.pop(0).unpersist()
+                stale.pop(0).unpersist()
+            dist, frontier = merged, improved
+        out = dist.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        for df in stale:
+            df.unpersist()
+        dist.unpersist()
+    return out
