@@ -9242,6 +9242,56 @@ _EXTRA_QUERIES["graph_sssp"] = q_graph_sssp
 _EXTRA_ORACLES["graph_sssp"] = _q_graph_sssp_sql()
 
 
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier retention curve (operators/survival.py: survival_km,
+    censor margin 7 days, hour resolution): per-user birth/last-activity
+    from the events stream, churn vs right-censoring against the global
+    observation end, exact integer product-limit recurrence in ppm.  The
+    only corpus-sized work is one groupBy(user) min/max; the recurrence
+    runs over the bounded duration rollup.  Oracle replays the identical
+    floor recurrence with a recursive CTE."""
+    from picogeojson_spark.operators.survival import survival_km
+
+    return survival_km(
+        _t(spark, sf_dir, "events"), censor_margin_days=7, unit="hour"
+    ).orderBy("t_days")
+
+
+Q_EVENTS_SURVIVAL_SQL = """
+WITH RECURSIVE
+per AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+  FROM events GROUP BY user_id),
+cut AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS cutoff FROM events),
+durs AS (
+  SELECT (p.t1 - p.t0) // 3600000000 AS t,
+         CASE WHEN c.cutoff - p.t1 >= 604800000000 THEN 1 ELSE 0 END AS ev
+  FROM per p CROSS JOIN cut c),
+roll AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                CAST(SUM(1 - ev) AS BIGINT) AS c
+         FROM durs GROUP BY t),
+ord AS (SELECT t, d, c, CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+        FROM roll),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s,
+         (SELECT CAST(SUM(d + c) AS BIGINT) FROM roll) AS n
+  UNION ALL
+  SELECT o.rn, (r.s * (r.n - o.d)) // r.n, r.n - o.d - o.c
+  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+SELECT o.t AS t_days, p.n AS n_risk, o.d AS n_events, o.c AS n_censored,
+       cur.s AS surv_ppm
+FROM ord o
+JOIN rec cur ON cur.rn = o.rn
+JOIN rec p ON p.rn = o.rn - 1
+ORDER BY t_days
+"""
+
+_EXTRA_QUERIES["events_survival"] = q_events_survival
+_EXTRA_ORACLES["events_survival"] = Q_EVENTS_SURVIVAL_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
