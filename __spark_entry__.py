@@ -9292,6 +9292,62 @@ _EXTRA_QUERIES["events_survival"] = q_events_survival
 _EXTRA_ORACLES["events_survival"] = Q_EVENTS_SURVIVAL_SQL
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """Bounded-round 4-truss peeling (operators/graph.py: k_truss, 3
+    rounds) over the co-occurrence graph on the deterministic 1/4
+    vertex sample (the clustcoef convention for bounding the O(m^1.5)
+    wedge stage): drop edges with < 2 supporting triangles, recompute,
+    3x; report survivors with support recomputed over the surviving
+    set.  Early-exit at the fixed point is sound (extra oracle rounds
+    are no-ops); the oracle unrolls the identical peel."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, \
+        k_truss
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    return k_truss(cooccurrence_edges(li), k=4, rounds=3).orderBy("u", "v")
+
+
+def _q_graph_ktruss_sql(k=4, rounds=3):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem WHERE l_partkey % 4 = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item)"""]
+    for i in range(rounds):
+        parts.append("""
+t{i} AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{i} a JOIN e{i} b ON b.u = a.u AND b.v > a.v
+  JOIN e{i} c ON c.u = a.v AND c.v = b.v),
+s{i} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM t{i}
+    UNION ALL SELECT x AS u, z AS v FROM t{i}
+    UNION ALL SELECT y AS u, z AS v FROM t{i}) GROUP BY u, v),
+e{n} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e JOIN s{i} s ON s.u = e.u AND s.v = e.v
+  WHERE s.sup >= {thr})""".format(i=i, n=i + 1, thr=k - 2))
+    parts.append("""
+tf AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{R} a JOIN e{R} b ON b.u = a.u AND b.v > a.v
+  JOIN e{R} c ON c.u = a.v AND c.v = b.v),
+sf AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM tf
+    UNION ALL SELECT x AS u, z AS v FROM tf
+    UNION ALL SELECT y AS u, z AS v FROM tf) GROUP BY u, v)
+SELECT e.u AS u, e.v AS v, CAST(COALESCE(sf.sup, 0) AS BIGINT) AS support
+FROM e{R} e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+ORDER BY e.u, e.v""".format(R=rounds))
+    return ",".join(parts)
+
+
+_EXTRA_QUERIES["graph_ktruss"] = q_graph_ktruss
+_EXTRA_ORACLES["graph_ktruss"] = _q_graph_ktruss_sql()
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -1042,3 +1042,74 @@ def sssp_bounded(
             df.unpersist()
         dist.unpersist()
     return out
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an undirected edge set (``u < v``,
+    distinct): ``(u, v, support)`` for EVERY input edge, where support
+    is the number of triangles the edge participates in (0 kept via a
+    LEFT join — zero-support edges are load-bearing for truss peeling).
+
+    Reuses the brute-oracle-proven exactly-once degree-ordered triangle
+    enumeration (:func:`triangle_count`), so total wedge fan-out is
+    O(m^1.5) regardless of skew; the per-edge rollup is one map-side-
+    combined aggregate over the 3-edges-per-triangle explode.
+    """
+    e = edges.select("u", "v").localCheckpoint(eager=False)
+    tri = _enumerate_triangles(e)
+    pairs = (
+        tri.select(F.least("x", "y").alias("u"),
+                   F.greatest("x", "y").alias("v"))
+        .union(tri.select(F.least("x", "z").alias("u"),
+                          F.greatest("x", "z").alias("v")))
+        .union(tri.select(F.least("y", "z").alias("u"),
+                          F.greatest("y", "z").alias("v")))
+    )
+    sup = pairs.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("support"))
+    return (
+        e.join(sup, on=["u", "v"], how="left")
+        .select("u", "v",
+                F.coalesce(F.col("support"), F.lit(0)).cast("long")
+                .alias("support"))
+    )
+
+
+def k_truss(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-truss peeling (cohesive-subgraph mining — the
+    edge-level analog of :func:`k_core`): repeatedly drop every edge
+    supported by fewer than ``k - 2`` triangles, ``rounds`` times, then
+    report ``(u, v, support)`` for the survivors with support recomputed
+    over the surviving set.  Bounded-round is the contract (the
+    bfs/sssp convention): each peel round is a full support
+    recomputation, the result after R rounds is a pure function of
+    (edges, k, R), and a round that removes nothing is a fixed point —
+    the true k-truss — so early-exit is sound and extra oracle rounds
+    are no-ops.  Community-detection practice converges in a handful of
+    rounds; callers needing the exact fixed point raise ``rounds``.
+
+    Scale shape: each round is one O(m^1.5) degree-ordered support pass
+    (see :func:`edge_support`) on a SHRINKING edge set + one broadcast-
+    able filter; eager localCheckpoints cut the per-round lineage so
+    round i+1 replans from materialized edges, never re-deriving i
+    triangle passes.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k=3 keeps triangle edges)")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    n = e.count()
+    for _ in range(rounds):
+        keep = (
+            edge_support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        nk = keep.count()
+        e = keep
+        if nk == n:      # fixed point: the true k-truss
+            break
+        n = nk
+    return edge_support(e)
