@@ -9348,6 +9348,59 @@ _EXTRA_QUERIES["graph_ktruss"] = q_graph_ktruss
 _EXTRA_ORACLES["graph_ktruss"] = _q_graph_ktruss_sql()
 
 
+def q_geo_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join (operators/trajsim.py:
+    hausdorff_pairs): entity pairs within 2e6 udeg symmetric discrete
+    Hausdorff distance, exact squared-integer distances.  Entities are
+    users (even ids), each with a bounded deterministic point set
+    derived from its events (every 3rd event): 35 cluster bases 15-20
+    degrees apart with sub-degree per-event jitter, so same-base pairs
+    qualify and cross-base pairs must be pruned by the cell prefilter.
+    The oracle is the BRUTE all-pairs max-min replay — hash equality
+    proves the 3x3 cell prefilter drops no qualifying pair."""
+    from picogeojson_spark.operators.trajsim import hausdorff_pairs
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 == 0))
+    pts = ev.select(
+        F.col("user_id").alias("entity"),
+        ((F.col("user_id") % 3) * 20_000_000
+         + ((F.col("event_id") * 37) % 40) * 25_000)
+        .cast("long").alias("x_udeg"),
+        ((F.col("user_id") % 7) * 100_000
+         + ((F.col("event_id") * 53) % 40) * 25_000)
+        .cast("long").alias("y_udeg"),
+    )
+    return hausdorff_pairs(pts, threshold_udeg=2_000_000).orderBy(
+        "entity_a", "entity_b")
+
+
+Q_GEO_HAUSDORFF_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id AS entity,
+         CAST((user_id % 3) * 20000000
+              + ((event_id * 37) % 40) * 25000 AS BIGINT) AS x,
+         CAST((user_id % 7) * 100000
+              + ((event_id * 53) % 40) * 25000 AS BIGINT) AS y
+  FROM events WHERE user_id % 2 = 0 AND event_id % 3 = 0),
+dm AS (
+  SELECT a.entity AS ea, b.entity AS eb, a.x AS ax, a.y AS ay,
+         MIN((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y)) AS md
+  FROM p a JOIN p b ON a.entity <> b.entity
+  GROUP BY 1, 2, 3, 4),
+h AS (SELECT ea, eb, MAX(md) AS hd FROM dm GROUP BY ea, eb)
+SELECT h1.ea AS entity_a, h1.eb AS entity_b,
+       CAST(GREATEST(h1.hd, h2.hd) AS BIGINT) AS hausdorff_sq
+FROM h h1 JOIN h h2 ON h2.ea = h1.eb AND h2.eb = h1.ea
+WHERE h1.ea < h1.eb AND GREATEST(h1.hd, h2.hd) <= 4000000000000
+ORDER BY entity_a, entity_b
+"""
+
+_EXTRA_QUERIES["geo_hausdorff"] = q_geo_hausdorff
+_EXTRA_ORACLES["geo_hausdorff"] = Q_GEO_HAUSDORFF_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -1,0 +1,107 @@
+"""Point-set similarity joins: discrete Hausdorff distance under a
+threshold, cell-prefiltered.
+
+"Which entities moved through (almost) the same places?" is the
+trajectory-mining primitive behind carpool detection, route dedup and
+map-matching QA.  The discrete symmetric Hausdorff distance
+
+    H(A, B) = max( max_a min_b d(a, b),  max_b min_a d(a, b) )
+
+is a SET distance (visit order and duplicates don't matter), so it
+composes with a grid prefilter exactly: if H(A, B) <= T then EVERY point
+of A is within T of some point of B, hence A and B share a (3x3-
+expanded) cell at cell size >= T — the prefilter provably drops no
+qualifying pair (the geofence/snap proof shape; the gate's brute oracle
+hash-equality IS the completeness proof).
+
+Everything is exact int64 arithmetic on micro-degree planar coordinates
+(squared distances — no sqrt, no floats), bit-identical to the DuckDB
+replay.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+#: 3x3 neighbor offsets for the candidate cell join.
+_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def hausdorff_pairs(
+    points: DataFrame,
+    threshold_udeg: int,
+    entity_col: str = "entity",
+    x_col: str = "x_udeg",
+    y_col: str = "y_udeg",
+) -> DataFrame:
+    """All entity pairs whose symmetric discrete Hausdorff distance is
+    <= ``threshold_udeg``: ``(entity_a, entity_b, hausdorff_sq)`` with
+    ``entity_a < entity_b`` and the exact squared distance in udeg^2.
+
+    Input: one row per observed point ``(entity, x_udeg, y_udeg)``
+    (int64 micro-degrees).  Per-entity point sets must be BOUNDED
+    (trajectories, not corpora — the staypoints/turns contract); they
+    are collected to arrays once and the per-pair max-min runs as a
+    nested higher-order expression over those two bounded arrays, fully
+    JVM-side.  The arrays are aggregate outputs (bound attributes), so
+    the CLAUDE.md HOF-inlining hazard does not apply.
+
+    Scale shape: ONE distinct (entity, cell) aggregate + ONE 9-offset
+    equi-join between entity cell sets generates candidates (never an
+    entity cross join — far-apart entities are never paired); candidate
+    pairs then equi-join twice against the per-entity array table.
+    Coordinates must satisfy ``2 * max|coord|^2 < 2^63`` (holds for the
+    whole +-180e6 udeg planet with 40x headroom).
+    """
+    t = int(threshold_udeg)
+    if t <= 0:
+        raise ValueError("threshold_udeg must be > 0")
+    pts = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    arrs = pts.groupBy("entity").agg(
+        F.collect_list(F.struct("x", "y")).alias("pts"))
+    cells = pts.select(
+        "entity",
+        F.expr("div(x - pmod(x, {t}), {t})".format(t=t)).alias("cx"),
+        F.expr("div(y - pmod(y, {t}), {t})".format(t=t)).alias("cy"),
+    ).distinct()
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFSETS])).alias("o")
+    a = cells.select(
+        F.col("entity").alias("entity_a"), "cx", "cy", off
+    ).select(
+        "entity_a",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("entity").alias("entity_b"),
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"))
+    cand = (
+        a.join(b, on=["jx", "jy"])
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .select("entity_a", "entity_b")
+        .distinct()
+    )
+    dsq = ("((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))")
+    directed = (
+        "array_max(transform(pa, a -> "
+        "array_min(transform(pb, b -> {d}))))".format(d=dsq))
+    directed_rev = (
+        "array_max(transform(pb, b -> "
+        "array_min(transform(pa, a -> {d}))))".format(d=dsq))
+    return (
+        cand
+        .join(arrs.select(F.col("entity").alias("entity_a"),
+                          F.col("pts").alias("pa")), on="entity_a")
+        .join(arrs.select(F.col("entity").alias("entity_b"),
+                          F.col("pts").alias("pb")), on="entity_b")
+        .select(
+            "entity_a", "entity_b",
+            F.greatest(F.expr(directed), F.expr(directed_rev))
+            .cast("long").alias("hausdorff_sq"),
+        )
+        .filter(F.col("hausdorff_sq") <= F.lit(t * t))
+    )
