@@ -9187,16 +9187,19 @@ _EXTRA_ORACLES["graph_featagg"] = Q_GRAPH_FEATAGG_SQL
 def q_graph_sssp(spark, sf_dir):
     """Bounded-round weighted shortest paths (operators/graph.py:
     sssp_bounded — Bellman-Ford, 5 rounds) over the market-basket
-    co-occurrence graph with deterministic integer edge weights
-    w = 1 + (u + v) % 7, from the ~1%-of-nodes seed set (item % 97
-    == 0).  Frontier-only relaxation per round against the persisted
+    co-occurrence graph on the deterministic 1/2 vertex sample
+    (l_partkey % 2 = 0 — bounds the per-round relaxation volume, the
+    clustcoef sampling convention) with deterministic integer edge
+    weights w = 1 + (u + v) % 7, from the ~2%-of-sampled-nodes seed
+    set (item % 96 == 0).  Frontier-only relaxation per round against the persisted
     symmetric edge table; the oracle unrolls full relaxation (provably
     the same per-round fixed points)."""
     from picogeojson_spark.operators.graph import cooccurrence_edges, \
         sssp_bounded
 
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 2 == 0)
     edges = (
-        cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+        cooccurrence_edges(li)
         .withColumn("w", (F.lit(1) + (F.col("u") + F.col("v")) % 7)
                     .cast("long"))
     )
@@ -9204,7 +9207,7 @@ def q_graph_sssp(spark, sf_dir):
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .filter(F.col("node") % 97 == 0)
+        .filter(F.col("node") % 96 == 0)
     )
     return sssp_bounded(edges, seeds, max_rounds=5).orderBy("node")
 
@@ -9212,7 +9215,7 @@ def q_graph_sssp(spark, sf_dir):
 def _q_graph_sssp_sql(max_rounds=5):
     parts = ["""
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
-            FROM lineitem),
+            FROM lineitem WHERE l_partkey % 2 = 0),
 e0 AS MATERIALIZED (
   SELECT DISTINCT a.item AS u, b.item AS v
   FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
@@ -9222,7 +9225,7 @@ e AS MATERIALIZED (
   SELECT v AS u, u AS v, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0),
 d0 AS MATERIALIZED (
   SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
-  FROM e WHERE u % 97 = 0)"""]
+  FROM e WHERE u % 96 = 0)"""]
     for i in range(1, max_rounds + 1):
         parts.append("""
 c{i} AS MATERIALIZED (
