@@ -9404,6 +9404,90 @@ _EXTRA_QUERIES["geo_hausdorff"] = q_geo_hausdorff
 _EXTRA_ORACLES["geo_hausdorff"] = Q_GEO_HAUSDORFF_SQL
 
 
+def q_events_cube(spark, sf_dir):
+    """All-margins OLAP cube (operators/olap.py: cube_rollup) over
+    (event_type, day): per-type, per-day, per-type-and-day and grand
+    total in ONE Expand + ONE map-side-combined aggregate (one corpus
+    scan for all 4 grouping sets).  Margin keys coalesce to sentinels;
+    gflags is the explicit per-column grouping bitmask.  Day buckets
+    are pure-NTZ epoch-microsecond floor-division (tz-independent);
+    money in integer cents."""
+    from picogeojson_spark.operators.olap import cube_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("div(timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), 86400000000)")
+        .cast("long").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cube_rollup(
+        ev, ["event_type", "day"],
+        {"n": F.count("*").cast("long"),
+         "sum_cents": F.sum("cents").cast("long")},
+    ).orderBy("gflags", "event_type", "day")
+
+
+Q_EVENTS_CUBE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gflags,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY CUBE (event_type, day)
+ORDER BY gflags, event_type, day
+"""
+
+_EXTRA_QUERIES["events_cube"] = q_events_cube
+_EXTRA_ORACLES["events_cube"] = Q_EVENTS_CUBE_SQL
+
+
+def q_table_checksum(spark, sf_dir):
+    """Order-invariant replica checksum (operators/checksum.py:
+    shard_checksums) over orders: canonical '|'-joined rows (money in
+    integer cents) -> 60-bit md5 prefixes -> per-shard decimal sums
+    reduced mod a 31-bit prime.  One projection + one map-side-combined
+    aggregate; 16 digest rows localize any divergence."""
+    from picogeojson_spark.operators.checksum import shard_checksums
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return shard_checksums(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "cents"],
+        F.col("o_orderkey"), n_shards=16,
+    ).orderBy("shard")
+
+
+Q_TABLE_CHECKSUM_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+h AS (
+  SELECT ((o_orderkey % 16) + 16) % 16 AS shard,
+         CAST(('0x' || substring(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM o)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv) % 2000000011 AS BIGINT) AS checksum
+FROM h GROUP BY shard ORDER BY shard
+"""
+
+_EXTRA_QUERIES["table_checksum"] = q_table_checksum
+_EXTRA_ORACLES["table_checksum"] = Q_TABLE_CHECKSUM_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
