@@ -9488,6 +9488,93 @@ _EXTRA_QUERIES["table_checksum"] = q_table_checksum
 _EXTRA_ORACLES["table_checksum"] = Q_TABLE_CHECKSUM_SQL
 
 
+def q_geo_dtw(spark, sf_dir):
+    """Dynamic-time-warping trajectory similarity join
+    (operators/trajsim.py: dtw_pairs): entity pairs whose exact DTW
+    cost (optimal monotone warp, squared-integer step costs) is within
+    budget, over the same deterministic event-derived trajectories as
+    geo_hausdorff thinned to every 9th event, ORDERED by event_id.
+    The DP runs as a nested JVM-side higher-order fold; candidates come
+    from the provably complete cell prefilter (cell^2 >= max_cost).
+    The oracle replays the identical row recurrence via its prefix-min
+    closed form in a recursive CTE over ALL entity pairs — hash
+    equality proves both the DP and prefilter completeness."""
+    from picogeojson_spark.operators.trajsim import dtw_pairs
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 2 == 0) & (F.col("event_id") % 9 == 0))
+    pts = ev.select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("seq"),
+        ((F.col("user_id") % 3) * 20_000_000
+         + ((F.col("event_id") * 37) % 40) * 25_000)
+        .cast("long").alias("x_udeg"),
+        ((F.col("user_id") % 7) * 100_000
+         + ((F.col("event_id") * 53) % 40) * 25_000)
+        .cast("long").alias("y_udeg"),
+    )
+    return dtw_pairs(
+        pts, max_cost=3_000_000_000_000, cell_udeg=2_000_000
+    ).orderBy("entity_a", "entity_b")
+
+
+Q_GEO_DTW_SQL = """
+WITH RECURSIVE
+p AS (
+  SELECT user_id AS entity, event_id AS seq,
+         CAST((user_id % 3) * 20000000
+              + ((event_id * 37) % 40) * 25000 AS BIGINT) AS x,
+         CAST((user_id % 7) * 100000
+              + ((event_id * 53) % 40) * 25000 AS BIGINT) AS y
+  FROM events WHERE user_id % 2 = 0 AND event_id % 9 = 0),
+arr AS (
+  SELECT entity,
+         list(struct_pack(x := x, y := y) ORDER BY seq) AS pts
+  FROM p GROUP BY entity),
+pr AS (
+  SELECT a.entity AS ea, b.entity AS eb, a.pts AS pa, b.pts AS pb,
+         len(a.pts) AS n, len(b.pts) AS m
+  FROM arr a JOIN arr b ON a.entity < b.entity),
+rec AS (
+  SELECT ea, eb, 1 AS i,
+         list_transform(range(1, m + 1), j -> CAST(
+           list_sum(list_transform(range(1, j + 1), t ->
+             (pa[1].x - pb[t].x) * (pa[1].x - pb[t].x)
+             + (pa[1].y - pb[t].y) * (pa[1].y - pb[t].y)))
+           AS BIGINT)) AS row
+  FROM pr
+  UNION ALL
+  SELECT r.ea, r.eb, r.i + 1,
+         list_transform(range(1, p2.m + 1), j -> CAST(
+           list_sum(list_transform(range(1, j + 1), t ->
+             (p2.pa[r.i + 1].x - p2.pb[t].x)
+               * (p2.pa[r.i + 1].x - p2.pb[t].x)
+             + (p2.pa[r.i + 1].y - p2.pb[t].y)
+               * (p2.pa[r.i + 1].y - p2.pb[t].y)))
+           + list_min(list_transform(range(1, j + 1), l ->
+               (CASE WHEN l = 1 THEN r.row[1]
+                     ELSE least(r.row[l], r.row[l - 1]) END)
+               - (CASE WHEN l = 1 THEN 0
+                       ELSE list_sum(list_transform(range(1, l), t ->
+                         (p2.pa[r.i + 1].x - p2.pb[t].x)
+                           * (p2.pa[r.i + 1].x - p2.pb[t].x)
+                         + (p2.pa[r.i + 1].y - p2.pb[t].y)
+                           * (p2.pa[r.i + 1].y - p2.pb[t].y)))
+                  END)))
+           AS BIGINT)) AS row
+  FROM rec r JOIN pr p2 ON p2.ea = r.ea AND p2.eb = r.eb
+  WHERE r.i < p2.n)
+SELECT r.ea AS entity_a, r.eb AS entity_b,
+       CAST(r.row[p3.m] AS BIGINT) AS dtw_cost
+FROM rec r JOIN pr p3 ON p3.ea = r.ea AND p3.eb = r.eb
+WHERE r.i = p3.n AND r.row[p3.m] <= 3000000000000
+ORDER BY entity_a, entity_b
+"""
+
+_EXTRA_QUERIES["geo_dtw"] = q_geo_dtw
+_EXTRA_ORACLES["geo_dtw"] = Q_GEO_DTW_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -105,3 +105,108 @@ def hausdorff_pairs(
         )
         .filter(F.col("hausdorff_sq") <= F.lit(t * t))
     )
+
+
+_DTW_EXPR = """
+aggregate(
+  pa,
+  cast(array() as array<bigint>),
+  (prev, a) -> aggregate(
+      pb,
+      cast(array() as array<bigint>),
+      (acc, b) -> array_append(acc,
+        ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) +
+        CASE
+          WHEN size(prev) = 0 THEN
+            CASE WHEN size(acc) = 0 THEN cast(0 as bigint)
+                 ELSE element_at(acc, size(acc)) END
+          WHEN size(acc) = 0 THEN element_at(prev, 1)
+          ELSE least(element_at(prev, size(acc) + 1),
+                     element_at(prev, size(acc)),
+                     element_at(acc, size(acc)))
+        END),
+      acc -> acc),
+  prev -> element_at(prev, size(prev)))
+"""
+
+
+def dtw_pairs(
+    points: DataFrame,
+    max_cost: int,
+    cell_udeg: int,
+    entity_col: str = "entity",
+    seq_col: str = "seq",
+    x_col: str = "x_udeg",
+    y_col: str = "y_udeg",
+) -> DataFrame:
+    """Dynamic-time-warping trajectory similarity join: all entity
+    pairs whose exact DTW cost (sum of squared planar udeg distances
+    along the optimal monotone warping path) is <= ``max_cost``;
+    returns ``(entity_a, entity_b, dtw_cost)`` with ``entity_a <
+    entity_b``.  Unlike :func:`hausdorff_pairs` this is ORDER-
+    sensitive — the same places visited in a different order score
+    differently — so per-entity arrays sort by ``seq_col`` (must be
+    unique per entity).
+
+    The DP runs entirely JVM-side as a nested higher-order fold (row
+    recurrence ``D[i][j] = c_ij + min(D[i-1][j], D[i][j-1],
+    D[i-1][j-1])`` with the standard first-row/first-column borders),
+    exact in int64: the bound is ``(n+m) * 2 * max|coord|^2 < 2^63`` —
+    a 40-cell path across the whole +-180e6 udeg planet stays under
+    2^62.  Per-entity point counts must be bounded (the trajectory
+    contract); cost is O(n*m) per candidate pair.
+
+    Candidates come from the same provably complete 3x3 cell prefilter
+    as Hausdorff: a pair with DTW <= max_cost matches EVERY a-point to
+    some b-point at squared distance <= max_cost, so the pair shares an
+    expanded cell whenever ``cell_udeg^2 >= max_cost`` (asserted).
+    """
+    if max_cost <= 0:
+        raise ValueError("max_cost must be > 0")
+    if int(cell_udeg) ** 2 < int(max_cost):
+        raise ValueError(
+            "cell_udeg^2 must be >= max_cost for a complete prefilter")
+    t = int(cell_udeg)
+    pts = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(seq_col).alias("seq"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    arrs = pts.groupBy("entity").agg(
+        F.expr("transform(sort_array(collect_list(struct(seq, x, y))),"
+               " p -> struct(p.x as x, p.y as y))").alias("pts"))
+    cells = pts.select(
+        "entity",
+        F.expr("div(x - pmod(x, {t}), {t})".format(t=t)).alias("cx"),
+        F.expr("div(y - pmod(y, {t}), {t})".format(t=t)).alias("cy"),
+    ).distinct()
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFSETS])).alias("o")
+    a = cells.select(
+        F.col("entity").alias("entity_a"), "cx", "cy", off
+    ).select(
+        "entity_a",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("entity").alias("entity_b"),
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"))
+    cand = (
+        a.join(b, on=["jx", "jy"])
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .select("entity_a", "entity_b")
+        .distinct()
+    )
+    return (
+        cand
+        .join(arrs.select(F.col("entity").alias("entity_a"),
+                          F.col("pts").alias("pa")), on="entity_a")
+        .join(arrs.select(F.col("entity").alias("entity_b"),
+                          F.col("pts").alias("pb")), on="entity_b")
+        .select("entity_a", "entity_b",
+                F.expr(_DTW_EXPR).cast("long").alias("dtw_cost"))
+        .filter(F.col("dtw_cost") <= F.lit(int(max_cost)))
+    )
