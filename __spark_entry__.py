@@ -9575,6 +9575,127 @@ _EXTRA_QUERIES["geo_dtw"] = q_geo_dtw
 _EXTRA_ORACLES["geo_dtw"] = Q_GEO_DTW_SQL
 
 
+def q_eval_confusion(spark, sf_dir):
+    """Multi-class confusion metrics (operators/evals.py:
+    confusion_metrics) over a deterministic 5-class labeling of the
+    documents table (pred shifted on doc_id % 7 / % 11 — ~23% error
+    with asymmetric confusion): per-class tp/fp/fn and exact-integer
+    P/R/F1 ppm, F1 from counts.  One (label,pred) aggregate bounds
+    everything at k^2 cells."""
+    from picogeojson_spark.operators.evals import confusion_metrics
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("label"),
+        ((F.col("doc_id") % 5
+          + F.when(F.col("doc_id") % 7 == 0, 1)
+          .when(F.col("doc_id") % 11 == 0, 2).otherwise(0)) % 5)
+        .alias("pred"),
+    )
+    return confusion_metrics(d).orderBy("class")
+
+
+Q_EVAL_CONFUSION_SQL = """
+WITH d AS (
+  SELECT doc_id % 5 AS label,
+         (doc_id % 5 + CASE WHEN doc_id % 7 = 0 THEN 1
+                            WHEN doc_id % 11 = 0 THEN 2
+                            ELSE 0 END) % 5 AS pred
+  FROM documents),
+cells AS (SELECT label AS t, pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+pt AS (SELECT t AS class,
+              CAST(SUM(CASE WHEN p = t THEN n ELSE 0 END) AS BIGINT)
+                AS tp_t,
+              CAST(SUM(n) AS BIGINT) AS n_true
+       FROM cells GROUP BY t),
+pp AS (SELECT p AS class,
+              CAST(SUM(CASE WHEN p = t THEN n ELSE 0 END) AS BIGINT)
+                AS tp_p,
+              CAST(SUM(n) AS BIGINT) AS n_pred
+       FROM cells GROUP BY p),
+j AS (SELECT COALESCE(pt.class, pp.class) AS class,
+             COALESCE(pt.tp_t, pp.tp_p, 0) AS tp,
+             COALESCE(n_true, 0) AS n_true,
+             COALESCE(n_pred, 0) AS n_pred
+      FROM pt FULL OUTER JOIN pp ON pp.class = pt.class)
+SELECT class, CAST(tp AS BIGINT) AS tp,
+       CAST(n_pred - tp AS BIGINT) AS fp,
+       CAST(n_true - tp AS BIGINT) AS fn,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CASE WHEN n_pred > 0 THEN
+         CAST((CAST(tp AS HUGEINT) * 1000000) // n_pred AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN n_true > 0 THEN
+         CAST((CAST(tp AS HUGEINT) * 1000000) // n_true AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN n_true + n_pred > 0 THEN
+         CAST((CAST(tp AS HUGEINT) * 2000000) // (n_true + n_pred)
+              AS BIGINT)
+       END AS f1_ppm
+FROM j ORDER BY class
+"""
+
+_EXTRA_QUERIES["eval_confusion"] = q_eval_confusion
+_EXTRA_ORACLES["eval_confusion"] = Q_EVAL_CONFUSION_SQL
+
+
+def q_events_trend(spark, sf_dir):
+    """Per-type daily-volume OLS trend (operators/forecast.py:
+    group_trend): exact int64 sufficient statistics from the bounded
+    (type, day) rollup, slope in ppm via the decimal(38,0) EXPLICIT
+    floor (numerator negative on declining types).  Corpus-sized work
+    is the one map-side-combined rollup; day buckets are pure-NTZ."""
+    from picogeojson_spark.operators.forecast import group_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("div(timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), 86400000000)")
+        .cast("long").alias("day"),
+    )
+    roll = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("y"))
+    return group_trend(roll, "event_type", "day", "y").orderBy("key")
+
+
+Q_EVENTS_TREND_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM e GROUP BY 1, 2),
+s AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(day) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(day * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(day * day) AS BIGINT) AS sum_xx
+      FROM r GROUP BY 1)
+SELECT key, n, sum_x, sum_y, sum_xy, sum_xx,
+       CASE WHEN CAST(n AS HUGEINT) * sum_xx
+                 - CAST(sum_x AS HUGEINT) * sum_x > 0 THEN
+         CAST((
+           (CAST(1000000 AS HUGEINT)
+              * (CAST(n AS HUGEINT) * sum_xy
+                 - CAST(sum_x AS HUGEINT) * sum_y))
+           - ((((CAST(1000000 AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * sum_xy
+                    - CAST(sum_x AS HUGEINT) * sum_y))
+                % (CAST(n AS HUGEINT) * sum_xx
+                   - CAST(sum_x AS HUGEINT) * sum_x))
+               + (CAST(n AS HUGEINT) * sum_xx
+                  - CAST(sum_x AS HUGEINT) * sum_x))
+              % (CAST(n AS HUGEINT) * sum_xx
+                 - CAST(sum_x AS HUGEINT) * sum_x))
+         ) // (CAST(n AS HUGEINT) * sum_xx
+               - CAST(sum_x AS HUGEINT) * sum_x) AS BIGINT)
+       END AS slope_ppm
+FROM s ORDER BY key
+"""
+
+_EXTRA_QUERIES["events_trend"] = q_events_trend
+_EXTRA_ORACLES["events_trend"] = Q_EVENTS_TREND_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -316,3 +316,69 @@ def pr_curve(
                F.expr("div(2 * tp * 1000000, 2 * tp + fp + fn)"))
         .cast("long").alias("f1_ppm"),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Multi-class classifier evaluation from (label, pred) pairs: one
+    row per class that appears as a label OR a prediction —
+    ``(class, tp, fp, fn, n_true, n_pred, precision_ppm, recall_ppm,
+    f1_ppm)`` — every metric an exact integer floor in ppm, F1 computed
+    FROM COUNTS (``floor(2e6*tp / (2tp+fp+fn))``), never from the
+    already-rounded P/R (the pr_curve convention).  Zero-denominator
+    edges (a class never predicted / never true) yield NULL for that
+    metric.
+
+    Scale shape: ONE map-side-combined (label, pred) aggregate bounds
+    all downstream work by k^2 cells, never corpus rows; the per-class
+    tp/fp/fn reads are two k^2-sized rollups FULL-OUTER-joined on the
+    class id.  No windows, no python.
+    """
+    cells = (
+        df.groupBy(F.col(label_col).alias("t"), F.col(pred_col).alias("p"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_true = cells.groupBy(F.col("t").alias("class")).agg(
+        F.sum(F.when(F.col("p") == F.col("t"), F.col("n"))
+              .otherwise(F.lit(0))).cast("long").alias("tp_t"),
+        F.sum("n").cast("long").alias("n_true"),
+    )
+    per_pred = cells.groupBy(F.col("p").alias("class")).agg(
+        F.sum(F.when(F.col("p") == F.col("t"), F.col("n"))
+              .otherwise(F.lit(0))).cast("long").alias("tp_p"),
+        F.sum("n").cast("long").alias("n_pred"),
+    )
+    j = per_true.join(per_pred, on="class", how="full_outer").select(
+        "class",
+        F.coalesce(F.col("tp_t"), F.col("tp_p"), F.lit(0)).cast("long")
+        .alias("tp"),
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+    )
+
+    out = j.select(
+        "class", "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+        "n_true", "n_pred",
+    )
+    # ppm divisions run in decimal(38,0) (the auc_from_histogram fix):
+    # tp * 1e6 would overflow int64 past ~9.2e12 true positives.
+    return out.select(
+        "class", "tp", "fp", "fn", "n_true", "n_pred",
+        F.when(F.col("n_pred") > 0,
+               F.expr("cast(div(cast(tp as decimal(38,0)) * 1000000,"
+                      " n_pred) as bigint)"))
+        .alias("precision_ppm"),
+        F.when(F.col("n_true") > 0,
+               F.expr("cast(div(cast(tp as decimal(38,0)) * 1000000,"
+                      " n_true) as bigint)"))
+        .alias("recall_ppm"),
+        F.when((F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+               F.expr("cast(div(cast(tp as decimal(38,0)) * 2000000,"
+                      " 2 * tp + fp + fn) as bigint)"))
+        .alias("f1_ppm"),
+    )

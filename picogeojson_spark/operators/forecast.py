@@ -87,3 +87,51 @@ def holt_forecast(
         (F.col("hb.l") + F.col("hb.b")).cast("long")
         .alias("forecast_next_milli"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str = "key",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact per-group OLS trend: for every key, the least-squares slope
+    of integer ``y`` against integer ``x`` in ppm —
+
+        slope_ppm = floor(1e6 * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2))
+
+    — computed from int64 sufficient statistics with the scaled
+    division in decimal(38,0) and the EXPLICIT floor spelling
+    ``div(v - pmod(v, m), m)`` (the numerator is NEGATIVE on downward
+    trends, where truncating div and floor diverge — the Holt-trend
+    lesson).  Returns ``(key, n, sum_x, sum_y, sum_xy, sum_xx,
+    slope_ppm)``; ``slope_ppm`` is NULL when x has no variance (n < 2
+    or all x equal).  Callers must pre-scale floats to integers; the
+    int64 bound on the sufficient statistics is ``n * max|x*y| < 2^63``
+    (the ppm stage itself is overflow-free in decimal).
+
+    Scale shape: ONE map-side-combined aggregate per key — sums commute,
+    so the exchange carries 5 integers per key per task.  "Volume trend
+    per key" over a billion keys is exactly this shape.
+    """
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(x_col).cast("long")).cast("long").alias("sum_x"),
+        F.sum(F.col(y_col).cast("long")).cast("long").alias("sum_y"),
+        F.sum(F.col(x_col).cast("long") * F.col(y_col).cast("long"))
+        .cast("long").alias("sum_xy"),
+        F.sum(F.col(x_col).cast("long") * F.col(x_col).cast("long"))
+        .cast("long").alias("sum_xx"),
+    )
+    v = ("(cast(1000000 as decimal(38,0)) * (cast(n as decimal(38,0))"
+         " * sum_xy - cast(sum_x as decimal(38,0)) * sum_y))")
+    m = ("(cast(n as decimal(38,0)) * sum_xx"
+         " - cast(sum_x as decimal(38,0)) * sum_x)")
+    return agg.select(
+        "key", "n", "sum_x", "sum_y", "sum_xy", "sum_xx",
+        F.when(
+            F.expr(m) > 0,
+            F.expr("cast(div({v} - pmod({v}, {m}), {m}) as bigint)"
+                   .format(v=v, m=m)),
+        ).alias("slope_ppm"),
+    )
