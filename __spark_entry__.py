@@ -9696,6 +9696,57 @@ _EXTRA_QUERIES["events_trend"] = q_events_trend
 _EXTRA_ORACLES["events_trend"] = Q_EVENTS_TREND_SQL
 
 
+def q_geo_colocation(spark, sf_dir):
+    """Spatio-temporal co-location mining (operators/trajsim.py:
+    colocation_pairs): entity pairs sharing >= 3 distinct (2e6-udeg
+    cell, daily bucket) space-time buckets over the deterministic
+    event-derived points (every 3rd event, even users) — the co-travel
+    / contact-tracing join.  Presence dedups FIRST (repeat pings count
+    once per bucket); pure-NTZ time buckets; sharp boundaries are the
+    contract."""
+    from picogeojson_spark.operators.trajsim import colocation_pairs
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 == 0))
+    pts = ev.select(
+        F.col("user_id").alias("entity"),
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .cast("long").alias("ts_us"),
+        ((F.col("user_id") % 3) * 20_000_000
+         + ((F.col("event_id") * 37) % 40) * 25_000)
+        .cast("long").alias("x_udeg"),
+        ((F.col("user_id") % 7) * 100_000
+         + ((F.col("event_id") * 53) % 40) * 25_000)
+        .cast("long").alias("y_udeg"),
+    )
+    return colocation_pairs(
+        pts, cell_udeg=2_000_000, bucket_us=86_400_000_000, min_events=3
+    ).orderBy("entity_a", "entity_b")
+
+
+Q_GEO_COLOCATION_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id AS entity,
+         ((user_id % 3) * 20000000
+          + ((event_id * 37) % 40) * 25000) // 2000000 AS cx,
+         ((user_id % 7) * 100000
+          + ((event_id * 53) % 40) * 25000) // 2000000 AS cy,
+         epoch_us(ts) // 86400000000 AS tb
+  FROM events WHERE user_id % 2 = 0 AND event_id % 3 = 0)
+SELECT a.entity AS entity_a, b.entity AS entity_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cobuckets
+FROM p a JOIN p b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb
+     AND a.entity < b.entity
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY entity_a, entity_b
+"""
+
+_EXTRA_QUERIES["geo_colocation"] = q_geo_colocation
+_EXTRA_ORACLES["geo_colocation"] = Q_GEO_COLOCATION_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -210,3 +210,59 @@ def dtw_pairs(
                 F.expr(_DTW_EXPR).cast("long").alias("dtw_cost"))
         .filter(F.col("dtw_cost") <= F.lit(int(max_cost)))
     )
+
+
+def colocation_pairs(
+    points: DataFrame,
+    cell_udeg: int,
+    bucket_us: int,
+    min_events: int = 1,
+    entity_col: str = "entity",
+    ts_us_col: str = "ts_us",
+    x_col: str = "x_udeg",
+    y_col: str = "y_udeg",
+) -> DataFrame:
+    """Spatio-temporal co-location mining (co-travel / contact-tracing
+    join): entity pairs observed in the SAME space-time bucket —
+    ``floor`` cell of ``cell_udeg`` x ``floor`` bucket of ``bucket_us``
+    — in at least ``min_events`` DISTINCT buckets.  Returns
+    ``(entity_a, entity_b, n_cobuckets)`` with ``entity_a <
+    entity_b``.  Sharp bucket boundaries are the CONTRACT (the
+    grid-DBSCAN convention): two entities 1 udeg apart across a cell
+    edge do not co-locate — callers wanting tolerance run a second pass
+    at offset grids.
+
+    Scale shape: per-entity presence dedups to DISTINCT (entity, cell,
+    bucket) FIRST (one map-side-combined aggregate — an entity pinging
+    1000x from one place counts once), then ONE self equi-join on the
+    bucket key + one pair count.  The join fan-out is quadratic ONLY in
+    per-bucket entity occupancy, which the caller bounds via cell /
+    bucket sizing (same justification as the basket-bounded
+    co-occurrence graph); hot buckets land on join keys where AQE skew
+    handling applies.  All integer floor arithmetic (explicit
+    ``div``/``pmod`` spelling — coordinates may be negative).
+    """
+    c = int(cell_udeg)
+    b = int(bucket_us)
+    if c <= 0 or b <= 0:
+        raise ValueError("cell_udeg and bucket_us must be > 0")
+    if min_events < 1:
+        raise ValueError("min_events must be >= 1")
+    pres = points.select(
+        F.col(entity_col).alias("entity"),
+        F.expr("div({x} - pmod({x}, {c}), {c})"
+               .format(x=x_col, c=c)).alias("cx"),
+        F.expr("div({y} - pmod({y}, {c}), {c})"
+               .format(y=y_col, c=c)).alias("cy"),
+        F.expr("div({t} - pmod({t}, {b}), {b})"
+               .format(t=ts_us_col, b=b)).alias("tb"),
+    ).distinct()
+    a = pres.select(F.col("entity").alias("entity_a"), "cx", "cy", "tb")
+    bb = pres.select(F.col("entity").alias("entity_b"), "cx", "cy", "tb")
+    return (
+        a.join(bb, on=["cx", "cy", "tb"])
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("long").alias("n_cobuckets"))
+        .filter(F.col("n_cobuckets") >= F.lit(int(min_events)))
+    )
