@@ -9747,6 +9747,32 @@ _EXTRA_QUERIES["geo_colocation"] = q_geo_colocation
 _EXTRA_ORACLES["geo_colocation"] = Q_GEO_COLOCATION_SQL
 
 
+def q_dedup_fuzzy(spark, sf_dir):
+    """Fuzzy entity resolution at edit distance <= 1 (operators/
+    dedup.py: ed1_pairs — SymSpell deletion-neighborhood blocking +
+    exact built-in levenshtein refine) over supplier names: the blocked
+    join finds every digit-substitution near-duplicate pair without an
+    all-pairs comparison.  Oracle is the BRUTE all-pairs levenshtein —
+    hash equality proves the deletion block is complete."""
+    from picogeojson_spark.operators.dedup import ed1_pairs
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("doc_id"), F.col("s_name").alias("name"))
+    return ed1_pairs(s).orderBy("id_a", "id_b")
+
+
+Q_DEDUP_FUZZY_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS ed
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+_EXTRA_QUERIES["dedup_fuzzy"] = q_dedup_fuzzy
+_EXTRA_ORACLES["dedup_fuzzy"] = Q_DEDUP_FUZZY_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

@@ -719,3 +719,56 @@ def prefix_jaccard_pairs(docs: DataFrame, n: int = 3,
         .filter(F.col("inter_sz") * t_den >= F.col("union_sz") * t_num)
     )
     return out.select("doc_a", "doc_b", "inter_sz", "union_sz")
+
+
+def ed1_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "name",
+) -> DataFrame:
+    """Fuzzy entity-resolution join at edit distance <= 1 via the
+    SymSpell deletion-neighborhood block: every string explodes to
+    itself plus its len(s) single-character deletions; two strings
+    within Levenshtein distance 1 PROVABLY share a variant (equal ->
+    trivially; substitution at i -> delete i from both; insert/delete
+    -> delete the extra char from the longer side), so the block is
+    complete — never an all-pairs comparison.  Candidates sharing a
+    variant key are refine-verified with the exact built-in
+    ``levenshtein`` (JVM-side).  Returns ``(id_a, id_b, ed)`` with
+    ``id_a < id_b`` and ``ed`` in {0, 1}.
+
+    Scale shape: the explode is len(s)+1 rows per string (names are
+    short — bounded); the ONE shuffle is the variant-key self equi-join,
+    whose fan-out is quadratic only in per-key collision counts (the
+    colocation/basket bound); dedup to distinct id pairs BEFORE the
+    levenshtein refine so each candidate pair is scored once.  Higher
+    d generalizes via d-fold deletion neighborhoods (not implemented —
+    the block grows len^d).
+    """
+    s = docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("name"))
+    keys = s.select(
+        "id", "name",
+        # sequence(1, 0) DESCENDS in Spark — guard zero-length names.
+        F.explode(F.expr(
+            "CASE WHEN length(name) = 0 THEN array(name) ELSE"
+            " array_union(array(name), transform(sequence(1, length(name)),"
+            " i -> concat(substring(name, 1, i - 1),"
+            " substring(name, i + 1, length(name))))) END")).alias("k"),
+    )
+    a = keys.select(F.col("id").alias("id_a"),
+                    F.col("name").alias("name_a"), "k")
+    b = keys.select(F.col("id").alias("id_b"),
+                    F.col("name").alias("name_b"), "k")
+    cand = (
+        a.join(b, on="k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("ed"))
+        .filter(F.col("ed") <= 1)
+    )
