@@ -9773,6 +9773,41 @@ _EXTRA_QUERIES["dedup_fuzzy"] = q_dedup_fuzzy
 _EXTRA_ORACLES["dedup_fuzzy"] = Q_DEDUP_FUZZY_SQL
 
 
+def q_events_cdf(spark, sf_dir):
+    """Exact per-type empirical value CDF (operators/stats.py:
+    value_cdf) over event values in integer cents: the quantile/CDF
+    feature transform, one corpus histogram aggregate + windows sharing
+    one hashpartitioning(key) exchange of the bounded histogram;
+    cdf_ppm exact in decimal(38,0)."""
+    from picogeojson_spark.operators.stats import value_cdf
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return value_cdf(ev).orderBy("key", "v")
+
+
+Q_EVENTS_CDF_SQL = """
+WITH e AS (
+  SELECT event_type AS key, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT key, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2),
+c AS (SELECT key, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY v)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+      FROM h)
+SELECT key, v, cnt, cum, n,
+       CAST((CAST(cum AS HUGEINT) * 1000000) // n AS BIGINT) AS cdf_ppm
+FROM c ORDER BY key, v
+"""
+
+_EXTRA_QUERIES["events_cdf"] = q_events_cdf
+_EXTRA_ORACLES["events_cdf"] = Q_EVENTS_CDF_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #

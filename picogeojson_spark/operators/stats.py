@@ -157,3 +157,41 @@ def key_skew_report(df: DataFrame, cols) -> DataFrame:
         F.expr("div(max_n * 1000000, p50_n)").cast("long")
         .alias("skew_ratio_ppm"),
     )
+
+
+def value_cdf(df: DataFrame, key_col: str = "key",
+              value_col: str = "v") -> DataFrame:
+    """Exact per-key empirical CDF (the quantile/CDF feature transform —
+    map every observed integer value to its within-key percentile):
+    ``(key, v, cnt, cum, n, cdf_ppm)`` per distinct (key, value), where
+    ``cum`` counts values <= v within the key and ``cdf_ppm =
+    floor(1e6 * cum / n)`` (exact — the scaled division runs in
+    decimal(38,0), the auc overflow fix).  A pure function of the
+    per-key value multiset: no interpolation, no tie-order dependence.
+
+    Scale shape: ONE map-side-combined (key, value) aggregate collapses
+    the corpus to the histogram; the running-sum window and the per-key
+    total share the single hashpartitioning(key) exchange of that
+    bounded histogram (the group_quantiles justification) — never a
+    corpus-row window.  Per-key DISTINCT-value cardinality must be
+    bounded (integer-scaled measures are; free-floats are not — scale
+    them first, the repo's cents convention).
+    """
+    hist = (
+        df.groupBy(F.col(key_col).alias("key"),
+                   F.col(value_col).cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_ord = (Window.partitionBy("key").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("key")
+    out = hist.select(
+        "key", "v", "cnt",
+        F.sum("cnt").over(w_ord).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    return out.select(
+        "key", "v", "cnt", "cum", "n",
+        F.expr("cast(div(cast(cum as decimal(38,0)) * 1000000, n)"
+               " as bigint)").alias("cdf_ppm"),
+    )
