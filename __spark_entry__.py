@@ -9808,6 +9808,49 @@ _EXTRA_QUERIES["events_cdf"] = q_events_cdf
 _EXTRA_ORACLES["events_cdf"] = Q_EVENTS_CDF_SQL
 
 
+def q_table_gini(spark, sf_dir):
+    """Per-source document-length inequality (operators/stats.py:
+    gini_concentration): exact Gini ppm of n_chars per source — the
+    corpus-curation concentration read (is one source dominated by a
+    few huge documents?).  One histogram aggregate + one bounded
+    window; tie runs expanded by the closed-form position sum, all
+    products in decimal(38,0)."""
+    from picogeojson_spark.operators.stats import gini_concentration
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("key"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return gini_concentration(d).orderBy("key")
+
+
+Q_TABLE_GINI_SQL = """
+WITH h AS (
+  SELECT source AS key, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+c AS (SELECT key, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY v)
+                  AS BIGINT) AS cum
+      FROM h),
+s AS (SELECT key, CAST(SUM(cnt) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT) * cnt) AS sv,
+             SUM(CAST(v AS HUGEINT)
+                 * (CAST(cnt AS HUGEINT) * (cum - cnt)
+                    + (CAST(cnt AS HUGEINT) * (cnt + 1)) // 2)) AS t
+      FROM c GROUP BY key)
+SELECT key, n, CAST(sv AS BIGINT) AS sum_v,
+       CASE WHEN sv > 0 THEN
+         CAST(((2 * t - (CAST(n AS HUGEINT) + 1) * sv) * 1000000)
+              // (CAST(n AS HUGEINT) * sv) AS BIGINT)
+       END AS gini_ppm
+FROM s ORDER BY key
+"""
+
+_EXTRA_QUERIES["table_gini"] = q_table_gini
+_EXTRA_ORACLES["table_gini"] = Q_TABLE_GINI_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver-visibility reordering (round 5 rotation).
 #
