@@ -9960,3 +9960,63 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     reg = _REG_ORACLES()
     order = _driver_order(_REG_QUERIES())
     return {n: reg[n] for n in order if n in reg}
+
+
+def q_graph_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (operators/graph.py:
+    random_walks) — the DeepWalk/node2vec walk-generation stage over
+    the symmetric market-basket co-occurrence graph: one 4-step walk
+    per node, neighbor picked per step by the repo-standard md5 rank
+    (md5 plays the RNG), so the corpus is a pure function of the edge
+    set and the oracle replays the identical picks."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, \
+        random_walks
+
+    und = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    return random_walks(sym, walk_length=4).orderBy("walk_id", "step")
+
+
+def _q_graph_walks_sql(walk_length=4, salt="w0"):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v AS src, u AS dst FROM e0),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+  FROM e),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS cur FROM e)"""]
+    for t in range(1, walk_length + 1):
+        parts.append("""
+s{t} AS MATERIALIZED (
+  SELECT s.walk_id, a.dst AS cur
+  FROM s{p} s JOIN adj a
+    ON s.cur = a.src
+   AND a.rk = 1 + (CAST(('0x' || substring(md5(
+         '{salt}:' || CAST(s.walk_id AS VARCHAR)
+         || ':{t}:' || CAST(s.cur AS VARCHAR)), 1, 8)) AS BIGINT)
+       % a.deg))""".format(t=t, p=t - 1, salt=salt))
+    unions = ["SELECT walk_id, CAST(0 AS BIGINT) AS step,"
+              " walk_id AS node FROM s0"]
+    for t in range(1, walk_length + 1):
+        unions.append("SELECT walk_id, CAST({t} AS BIGINT) AS step,"
+                      " cur AS node FROM s{t}".format(t=t))
+    return (",".join(parts)
+            + "\nSELECT walk_id, step, node FROM (\n  "
+            + "\n  UNION ALL ".join(unions)
+            + ")\nORDER BY walk_id, step")
+
+
+Q_GRAPH_WALKS_SQL = _q_graph_walks_sql()
+
+_EXTRA_QUERIES["graph_walks"] = q_graph_walks
+_EXTRA_ORACLES["graph_walks"] = Q_GRAPH_WALKS_SQL

@@ -28,7 +28,7 @@ skew-join territory; the integer semantics are unaffected by any re-plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ._util import attach_scalar
 
@@ -1113,3 +1113,75 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
             break
         n = nk
     return edge_support(e)
+
+
+def random_walks(edges: DataFrame, walk_length: int = 4,
+                 salt: str = "w0") -> DataFrame:
+    """Deterministic random walks — the DeepWalk / node2vec walk-corpus
+    generation stage (Perozzi et al. KDD'14; Grover & Leskovec KDD'16),
+    the data-prep step for graph embeddings.
+
+    One walk starts at every distinct source node; the walk standing at
+    node ``c`` on step ``t`` moves to the neighbor whose per-source rank
+    equals ``pmod(md5int(salt:walk:t:c), outdeg(c)) + 1``.  md5 plays
+    the RNG (the repo-standard first-8-hex-chars construction,
+    `operators/sampling.py:hash_bucket`), so the walk corpus is a pure
+    function of (edge set, walk_length, salt) — bit-identical across
+    engines, partitionings, and reruns; the DuckDB oracle replays the
+    identical picks.  Dead-end nodes stop the walk early (inner join).
+
+    Returns ``(walk_id, step, node)`` for every visited position,
+    step 0 = the start node.
+
+    Scale shape: the ranked adjacency (row_number + count over one
+    window — ONE hash shuffle on src) is persisted and reused by all
+    ``walk_length`` rounds; each round is one frontier ⋈ adjacency hash
+    equi-join on that SAME key with the rank pick evaluated inside the
+    join condition, so exactly one row per walk survives and the
+    per-hop shuffle ships only the O(#walks) frontier — never a
+    neighborhood explode.  Walks are embarrassingly parallel across
+    walk_ids; nothing leaves the JVM.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst").distinct()
+        .select(
+            "src", "dst",
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(Window.partitionBy("src")).alias("_deg"),
+        )
+        .persist()
+    )
+    adj.count()
+    try:
+        state = (
+            adj.select(F.col("src").alias("walk_id")).distinct()
+            .withColumn("cur", F.col("walk_id"))
+        )
+        out = state.select(
+            "walk_id", F.lit(0).cast("long").alias("step"),
+            F.col("cur").alias("node"))
+        for t in range(1, walk_length + 1):
+            s, a = state.alias("s"), adj.alias("a")
+            pick = F.pmod(
+                F.conv(F.substring(F.md5(F.concat(
+                    F.lit(salt + ":"),
+                    F.col("s.walk_id").cast("string"),
+                    F.lit(":{}:".format(t)),
+                    F.col("s.cur").cast("string"))), 1, 8), 16, 10)
+                .cast("long"),
+                F.col("a._deg")) + 1
+            state = (
+                s.join(a, (F.col("s.cur") == F.col("a.src"))
+                       & (F.col("a._rk") == pick))
+                .select(F.col("s.walk_id").alias("walk_id"),
+                        F.col("a.dst").alias("cur"))
+            )
+            out = out.union(state.select(
+                "walk_id", F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
