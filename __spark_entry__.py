@@ -10020,3 +10020,51 @@ Q_GRAPH_WALKS_SQL = _q_graph_walks_sql()
 
 _EXTRA_QUERIES["graph_walks"] = q_graph_walks
 _EXTRA_ORACLES["graph_walks"] = Q_GRAPH_WALKS_SQL
+
+
+def q_table_chi2(spark, sf_dir):
+    """Chi-square association + Cramér's V² (operators/stats.py:
+    chi2_association) between order priority and order status — the
+    discrete-feature association read (leakage / drift checks).  The
+    corpus collapses to the 5x3 observed-cell histogram in one
+    map-side-combined aggregate; every statistic is a deterministic
+    scaled integer."""
+    from picogeojson_spark.operators.stats import chi2_association
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"))
+    return chi2_association(o)
+
+
+Q_TABLE_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT a, b, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         CAST(SUM(cnt) OVER (PARTITION BY b) AS BIGINT) AS cb
+  FROM cells),
+g AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+         CAST(SUM((CAST(cnt AS HUGEINT) * cnt * 1000000000000)
+                  // (CAST(ra AS HUGEINT) * cb)) AS HUGEINT) AS t
+  FROM m)
+SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       GREATEST(CAST(0 AS BIGINT),
+                CAST((CAST(n AS HUGEINT) * t) // 1000000 AS BIGINT)
+                - n * CAST(1000000 AS BIGINT)) AS chi2_ppm,
+       CASE WHEN LEAST(r, c) > 1 THEN CAST(
+         GREATEST(CAST(0 AS BIGINT),
+                  CAST((CAST(n AS HUGEINT) * t) // 1000000 AS BIGINT)
+                  - n * CAST(1000000 AS BIGINT))
+         // (n * (LEAST(r, c) - 1)) AS BIGINT) END AS v2_ppm
+FROM g
+"""
+
+_EXTRA_QUERIES["table_chi2"] = q_table_chi2
+_EXTRA_ORACLES["table_chi2"] = Q_TABLE_CHI2_SQL

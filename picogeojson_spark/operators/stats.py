@@ -247,3 +247,62 @@ def gini_concentration(df: DataFrame, key_col: str = "key",
                    " as bigint)"),
         ).alias("gini_ppm"),
     )
+
+
+def chi2_association(df: DataFrame, a_col: str = "a",
+                     b_col: str = "b") -> DataFrame:
+    """Exact-scaled chi-square test of independence between two
+    categorical columns, plus Cramér's V² — the standard "are these two
+    discrete features associated?" read (label leakage checks, schema
+    drift, stratification design).  One global row:
+    ``(n, r, c, dof, chi2_ppm, v2_ppm)``.
+
+    Arithmetic: the textbook statistic rewrites as
+
+        chi2 = sum_cells (O-E)^2/E = n * sum_observed O^2/(R_a*C_b) - n
+
+    (zero-observed cells contribute nothing to the O² sum), so only the
+    OBSERVED cell histogram is ever touched.  Per-cell terms floor at
+    1e12 scale — O² <= R_a*C_b guarantees each term fits int64 — and the
+    only approximation is that deterministic per-cell floor (< cells/1e6
+    ppm total, identical in both engines); ``chi2_ppm = max(0,
+    (n*T) div 1e6 - n*1e6)`` clamps the floor-noise at true chi2 = 0.
+    Cramér's V itself is a square root (irrational), so the exact-
+    rational form V² ships instead: ``v2_ppm = chi2_ppm div
+    (n*(min(r,c)-1))``, NULL when either dimension has one level.
+
+    Scale shape: ONE map-side-combined (a, b) aggregate collapses the
+    corpus to the vocab-bounded cell histogram; both margin windows and
+    the final 1-row rollup run over that bounded table (two tiny
+    exchanges).  Never a corpus-side join or window.
+    """
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    m = cells.select(
+        "a", "b", "cnt",
+        F.sum("cnt").over(Window.partitionBy("a")).cast("long").alias("ra"),
+        F.sum("cnt").over(Window.partitionBy("b")).cast("long").alias("cb"),
+    )
+    g = m.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+        F.sum(F.expr(
+            "div(cast(cnt as decimal(38,0)) * cnt * 1000000000000,"
+            " cast(ra as decimal(38,0)) * cb)")).cast("long").alias("_t"),
+    )
+    return g.select(
+        "n", "r", "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.expr(
+            "greatest(cast(0 as bigint),"
+            " cast(div(cast(n as decimal(38,0)) * _t, 1000000) as bigint)"
+            " - n * cast(1000000 as bigint))").alias("chi2_ppm"),
+    ).select(
+        "n", "r", "c", "dof", "chi2_ppm",
+        F.when(F.least("r", "c") > 1,
+               F.expr("div(chi2_ppm, n * (least(r, c) - 1))"))
+        .cast("long").alias("v2_ppm"),
+    )
