@@ -10068,3 +10068,46 @@ FROM g
 
 _EXTRA_QUERIES["table_chi2"] = q_table_chi2
 _EXTRA_ORACLES["table_chi2"] = Q_TABLE_CHI2_SQL
+
+
+def q_orders_basket(spark, sf_dir):
+    """Market-basket association rules (operators/basket.py:
+    basket_rules) over order line items: support / directional
+    confidence / lift in exact ppm per co-ordered part pair (>= 3
+    co-orders).  Pair volume is linear in lineitem (bounded baskets);
+    item counts join the vocab-bounded item table; the basket total is
+    the sanctioned 1-row scalar attach."""
+    from picogeojson_spark.operators.basket import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"))
+    return basket_rules(li, min_pairs=3).orderBy("u", "v")
+
+
+Q_ORDERS_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+            FROM lineitem),
+pairs AS (
+  SELECT a.item AS u, b.item AS v, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+items AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i
+          FROM li GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM li)
+SELECT p.u, p.v, p.pair_n,
+       iu.n_i AS n_u, iv.n_i AS n_v,
+       CAST((p.pair_n * 1000000) // t.n_baskets AS BIGINT) AS support_ppm,
+       CAST((p.pair_n * 1000000) // iu.n_i AS BIGINT) AS conf_uv_ppm,
+       CAST((p.pair_n * 1000000) // iv.n_i AS BIGINT) AS conf_vu_ppm,
+       CAST((CAST(p.pair_n AS HUGEINT) * t.n_baskets * 1000000)
+            // (CAST(iu.n_i AS HUGEINT) * iv.n_i) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN items iu ON iu.item = p.u
+JOIN items iv ON iv.item = p.v
+CROSS JOIN tot t
+ORDER BY u, v
+"""
+
+_EXTRA_QUERIES["orders_basket"] = q_orders_basket
+_EXTRA_ORACLES["orders_basket"] = Q_ORDERS_BASKET_SQL
