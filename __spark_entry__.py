@@ -10111,3 +10111,48 @@ ORDER BY u, v
 
 _EXTRA_QUERIES["orders_basket"] = q_orders_basket
 _EXTRA_ORACLES["orders_basket"] = Q_ORDERS_BASKET_SQL
+
+
+def q_text_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary profile (operators/textstats.py:
+    vocab_stats): Heaps-law / lexical-diversity corpus read — total
+    tokens, distinct vocabulary, hapax count, type-token and hapax
+    ratios in exact ppm.  One tokenized explode into ONE map-side-
+    combined (source, word) aggregate; ratios codegen on the bounded
+    rollup."""
+    from picogeojson_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents")).orderBy("grp")
+
+
+Q_TEXT_VOCAB_STATS_SQL = r"""
+WITH w AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+freq AS (
+  SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w WHERE word <> '' GROUP BY 1, 2),
+voc AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM freq GROUP BY 1),
+nd AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT nd.grp, nd.n_docs,
+       COALESCE(voc.n_tokens, 0) AS n_tokens,
+       COALESCE(voc.vocab, 0) AS vocab,
+       COALESCE(voc.hapax, 0) AS hapax,
+       CASE WHEN COALESCE(voc.n_tokens, 0) > 0 THEN
+         CAST((voc.vocab * 1000000) // voc.n_tokens AS BIGINT)
+       END AS ttr_ppm,
+       CASE WHEN COALESCE(voc.vocab, 0) > 0 THEN
+         CAST((voc.hapax * 1000000) // voc.vocab AS BIGINT)
+       END AS hapax_ppm
+FROM nd LEFT JOIN voc ON nd.grp = voc.grp
+ORDER BY nd.grp
+"""
+
+_EXTRA_QUERIES["text_vocab_stats"] = q_text_vocab_stats
+_EXTRA_ORACLES["text_vocab_stats"] = Q_TEXT_VOCAB_STATS_SQL

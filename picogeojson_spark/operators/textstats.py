@@ -924,3 +924,57 @@ def collocations(
         .filter(F.col("rnk") <= int(k))
         .select("rnk", "gram", "c_xy", "c_x", "c_y", "lift_ppm")
     )
+
+
+def vocab_stats(docs: DataFrame, by: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary profile — the Heaps-law / lexical-diversity
+    corpus read (is a source natural text, boilerplate, or spam?):
+
+        n_docs        documents in the group
+        n_tokens      total tokens (whitespace tokenization, repo-standard)
+        vocab         distinct tokens
+        hapax         tokens occurring exactly once (Zipf tail mass)
+        ttr_ppm       floor(1e6 * vocab / n_tokens)   type-token ratio
+        hapax_ppm     floor(1e6 * hapax / vocab)      hapax share
+
+    Natural text sits near hapax_ppm ~ 400-600k (Zipf); templated/
+    boilerplate sources collapse toward 0; random-ish spam pushes both
+    ratios toward 1e6.  All outputs deterministic integers.
+
+    Scale shape: one tokenized explode feeds ONE map-side-combined
+    (group, word) aggregate — the corpus collapses to the vocab-bounded
+    frequency table; per-group doc counts aggregate separately and join
+    on the group key (broadcast-sized: one row per group).  The ratio
+    arithmetic is pure codegen on the bounded rollup.  Never a distinct
+    over raw token rows (countDistinct would shuffle every token
+    occurrence; the (group, word) pre-aggregate combines map-side).
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    words = (
+        docs.select(F.col(by).alias("grp"),
+                    F.explode(F.split(t, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    freq = words.groupBy("grp", "word").agg(
+        F.count("*").cast("long").alias("n"))
+    voc = freq.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax"),
+    )
+    nd = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    return nd.join(voc, on="grp", how="left").select(
+        "grp", "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        F.coalesce("hapax", F.lit(0)).cast("long").alias("hapax"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) > 0,
+               F.expr("div(vocab * cast(1000000 as bigint), n_tokens)"))
+        .cast("long").alias("ttr_ppm"),
+        F.when(F.coalesce("vocab", F.lit(0)) > 0,
+               F.expr("div(hapax * cast(1000000 as bigint), vocab)"))
+        .cast("long").alias("hapax_ppm"),
+    )
