@@ -10156,3 +10156,46 @@ ORDER BY nd.grp
 
 _EXTRA_QUERIES["text_vocab_stats"] = q_text_vocab_stats
 _EXTRA_ORACLES["text_vocab_stats"] = Q_TEXT_VOCAB_STATS_SQL
+
+
+def q_table_benford(spark, sf_dir):
+    """Benford first-digit screen (operators/profile.py:
+    benford_deviation) over order totals in integer cents, grouped by
+    order priority — the fabricated-numbers / data-quality read.  No
+    float log10 anywhere: the Benford masses are integer ppm literals
+    and the statistic is an exact total-variation distance."""
+    from picogeojson_spark.operators.profile import benford_deviation
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    return benford_deviation(o).orderBy("grp")
+
+
+Q_TABLE_BENFORD_SQL = """
+WITH src AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+hist AS (
+  SELECT grp, CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM src WHERE v > 0 GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+ben(digit, ben_ppm) AS (VALUES
+  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+j AS (
+  SELECT t.grp, t.n,
+         abs(COALESCE(h.cnt, 0) * 1000000
+             - CAST(b.ben_ppm AS BIGINT) * t.n) AS dev
+  FROM tot t CROSS JOIN ben b
+  LEFT JOIN hist h ON h.grp = t.grp AND h.digit = b.digit)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(dev) // (2 * MAX(n)) AS BIGINT) AS tv_ppm
+FROM j GROUP BY grp ORDER BY grp
+"""
+
+_EXTRA_QUERIES["table_benford"] = q_table_benford
+_EXTRA_ORACLES["table_benford"] = Q_TABLE_BENFORD_SQL

@@ -74,3 +74,65 @@ def table_profile(df: DataFrame, columns, p: int = 6,
         )
         .orderBy("column")
     )
+
+
+#: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's first-digit law as
+#: exact integer literals (every value sits >= 0.01 ppm from an integer
+#: boundary, so the floor is stable; the same table is embedded verbatim
+#: in the SQL oracle).  Precomputed in python: Catalyst does not
+#: constant-fold inside higher-order-function lambdas (CLAUDE.md).
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+               45757)
+
+
+def benford_deviation(df: DataFrame, value_col: str = "v",
+                      group_col: str = "grp") -> DataFrame:
+    """Benford's-law first-digit screen per group — the classic
+    fabricated-numbers / data-quality read over any positive integer
+    measure (amounts in cents, counts, populations): ``(grp, n,
+    tv_ppm)`` where ``tv_ppm`` is the total-variation distance between
+    the observed first-significant-digit distribution and Benford's law,
+    in ppm:
+
+        tv_ppm = floor( sum_d |1e6*cnt_d - ben_d*n|  /  (2*n) )
+
+    The first significant digit of a positive integer is its leading
+    decimal character — pure string arithmetic, identical in both
+    engines (no float log10 anywhere; the Benford masses are the
+    :data:`BENFORD_PPM` integer literals).  Non-positive values are
+    ignored (Benford is defined on positive magnitudes).
+
+    Scale shape: ONE map-side-combined (grp, digit) aggregate collapses
+    the corpus to <= 9 rows per group; the digit frame then EXPLODES a
+    9-literal array per group row (zero-count digits still contribute
+    ben_d*n) and LEFT-joins the observed counts — an equi-join on
+    (grp, digit), never a cartesian.  Everything after the first
+    aggregate is group-cardinality-bounded codegen.
+    """
+    pos = df.filter(F.col(value_col) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit"),
+    )
+    hist = pos.groupBy("grp", "digit").agg(
+        F.count("*").cast("long").alias("cnt"))
+    tot = hist.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    ben = F.array(*[
+        F.struct(F.lit(d + 1).cast("int").alias("digit"),
+                 F.lit(p).cast("long").alias("ben_ppm"))
+        for d, p in enumerate(BENFORD_PPM)
+    ])
+    expand = tot.select(
+        "grp", "n", F.explode(ben).alias("b")
+    ).select("grp", "n", F.col("b.digit").alias("digit"),
+             F.col("b.ben_ppm").alias("ben_ppm"))
+    j = expand.join(hist, on=["grp", "digit"], how="left").select(
+        "grp", "n",
+        F.abs(F.coalesce("cnt", F.lit(0)) * F.lit(1000000).cast("long")
+              - F.col("ben_ppm") * F.col("n")).alias("dev"),
+    )
+    return j.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("cast(div(sum(dev), 2 * max(n)) as bigint)")
+        .alias("tv_ppm"),
+    )
