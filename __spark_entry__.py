@@ -10199,3 +10199,47 @@ FROM j GROUP BY grp ORDER BY grp
 
 _EXTRA_QUERIES["table_benford"] = q_table_benford
 _EXTRA_ORACLES["table_benford"] = Q_TABLE_BENFORD_SQL
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity + degree extremes (operators/graph.py:
+    graph_summary) over a deterministic event-derived interaction graph
+    (user -> hashed counterpart): the first-read health summary before
+    any iterative graph algorithm.  Every branch reduces to a 1-row
+    aggregate combined through the sanctioned structural scalar-attach
+    chain."""
+    from picogeojson_spark.operators.graph import graph_summary
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 300).cast("long").alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") * 13) % 300)
+        .cast("long").alias("dst"))
+    return graph_summary(edges)
+
+
+Q_GRAPH_RECIPROCITY_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id % 300 AS BIGINT) AS src,
+         CAST((user_id * 7 + event_id * 13) % 300 AS BIGINT) AS dst
+  FROM events
+  WHERE user_id % 300 <> (user_id * 7 + event_id * 13) % 300),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM
+       (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM e a
+      WHERE EXISTS (SELECT 1 FROM e b
+                    WHERE b.src = a.dst AND b.dst = a.src)),
+mo AS (SELECT CAST(MAX(d) AS BIGINT) AS max_out FROM
+       (SELECT COUNT(*) AS d FROM e GROUP BY src)),
+mi AS (SELECT CAST(MAX(d) AS BIGINT) AS max_in FROM
+       (SELECT COUNT(*) AS d FROM e GROUP BY dst))
+SELECT nn.n_nodes, m.n_edges, r.n_recip,
+       CAST((r.n_recip * 1000000) // m.n_edges AS BIGINT)
+         AS reciprocity_ppm,
+       mo.max_out, mi.max_in
+FROM m, nn, r, mo, mi
+"""
+
+_EXTRA_QUERIES["graph_reciprocity"] = q_graph_reciprocity
+_EXTRA_ORACLES["graph_reciprocity"] = Q_GRAPH_RECIPROCITY_SQL

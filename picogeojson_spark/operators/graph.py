@@ -1185,3 +1185,60 @@ def random_walks(edges: DataFrame, walk_length: int = 4,
         return out.localCheckpoint(eager=True)
     finally:
         adj.unpersist()
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row directed-graph health summary — the first read on any new
+    link/follow/interaction graph: ``(n_nodes, n_edges, n_recip,
+    reciprocity_ppm, max_out, max_in)`` where ``n_recip`` counts
+    directed edges whose reverse edge also exists (Garlaschelli-Loffredo
+    reciprocity = n_recip / n_edges, in exact ppm) and the degree maxima
+    flag hub skew before any iterative algorithm runs.
+
+    Self-loops are excluded and edges dedup'd first (reciprocity is
+    defined on the simple directed graph).
+
+    Scale shape: the cleaned edge set persists once and feeds (a) ONE
+    self equi-join on the composite (src,dst)=(dst,src) key — a hash
+    join, never edge x edge — as a LEFT SEMI probe, (b) two map-side-
+    combined degree aggregates, (c) the node-set distinct.  Every branch
+    reduces to a keys=[] 1-row aggregate and the five scalars combine
+    via the sanctioned structural scalar-attach chain; nothing
+    corpus-sized ever broadcasts.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    try:
+        a, b = e.alias("a"), e.alias("b")
+        recip = a.join(
+            b, (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")), "left_semi")
+        base = e.agg(F.count("*").cast("long").alias("n_edges"))
+        nodes = (
+            e.select(F.col("src").alias("x"))
+            .union(e.select(F.col("dst").alias("x")))
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+        )
+        nrec = recip.agg(F.count("*").cast("long").alias("n_recip"))
+        dout = (e.groupBy("src").agg(F.count("*").alias("_d"))
+                .agg(F.max("_d").cast("long").alias("max_out")))
+        din = (e.groupBy("dst").agg(F.count("*").alias("_d"))
+               .agg(F.max("_d").cast("long").alias("max_in")))
+        out = attach_scalar(
+            attach_scalar(attach_scalar(attach_scalar(base, nodes), nrec),
+                          dout), din
+        ).select(
+            "n_nodes", "n_edges", "n_recip",
+            F.expr("cast(div(n_recip * cast(1000000 as bigint), n_edges)"
+                   " as bigint)").alias("reciprocity_ppm"),
+            "max_out", "max_in",
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        e.unpersist()
