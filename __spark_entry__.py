@@ -10243,3 +10243,60 @@ FROM m, nn, r, mo, mi
 
 _EXTRA_QUERIES["graph_reciprocity"] = q_graph_reciprocity
 _EXTRA_ORACLES["graph_reciprocity"] = Q_GRAPH_RECIPROCITY_SQL
+
+
+def q_eval_kappa(spark, sf_dir):
+    """Cohen's kappa (operators/evals.py: cohen_kappa) between the
+    eval_confusion labeling pair — the chance-corrected agreement read
+    that complements raw accuracy.  Corpus collapses in two map-side
+    aggregates; the pe dot-product joins the two class-sized margin
+    tables; negative-safe explicit-floor ppm."""
+    from picogeojson_spark.operators.evals import cohen_kappa
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("label"),
+        ((F.col("doc_id") % 5
+          + F.when(F.col("doc_id") % 7 == 0, 1)
+          .when(F.col("doc_id") % 11 == 0, 2).otherwise(0)) % 5)
+        .alias("pred"),
+    )
+    return cohen_kappa(d)
+
+
+Q_EVAL_KAPPA_SQL = """
+WITH d AS (
+  SELECT doc_id % 5 AS label,
+         (doc_id % 5 + CASE WHEN doc_id % 7 = 0 THEN 1
+                            WHEN doc_id % 11 = 0 THEN 2
+                            ELSE 0 END) % 5 AS pred
+  FROM documents),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM d),
+r AS (SELECT label AS c, CAST(COUNT(*) AS BIGINT) AS row_n
+      FROM d GROUP BY 1),
+c AS (SELECT pred AS c, CAST(COUNT(*) AS BIGINT) AS col_n
+      FROM d GROUP BY 1),
+pe AS (SELECT COALESCE(SUM(CAST(r.row_n AS HUGEINT) * c.col_n),
+                       CAST(0 AS HUGEINT)) AS pe_num
+       FROM r JOIN c ON r.c = c.c)
+SELECT g.n, g.agree,
+       CAST((g.agree * 1000000) // g.n AS BIGINT) AS po_ppm,
+       CAST((pe.pe_num * 1000000)
+            // (CAST(g.n AS HUGEINT) * g.n) AS BIGINT) AS pe_ppm,
+       CASE WHEN CAST(g.n AS HUGEINT) * g.n - pe.pe_num <> 0 THEN CAST(
+         ((CAST(1000000 AS HUGEINT)
+           * (CAST(g.n AS HUGEINT) * g.agree - pe.pe_num))
+          - ((((CAST(1000000 AS HUGEINT)
+                * (CAST(g.n AS HUGEINT) * g.agree - pe.pe_num))
+               % (CAST(g.n AS HUGEINT) * g.n - pe.pe_num))
+              + (CAST(g.n AS HUGEINT) * g.n - pe.pe_num))
+             % (CAST(g.n AS HUGEINT) * g.n - pe.pe_num)))
+         // (CAST(g.n AS HUGEINT) * g.n - pe.pe_num) AS BIGINT)
+       END AS kappa_ppm
+FROM g, pe
+"""
+
+_EXTRA_QUERIES["eval_kappa"] = q_eval_kappa
+_EXTRA_ORACLES["eval_kappa"] = Q_EVAL_KAPPA_SQL

@@ -382,3 +382,61 @@ def confusion_metrics(
                       " 2 * tp + fp + fn) as bigint)"))
         .alias("f1_ppm"),
     )
+
+
+def cohen_kappa(df: DataFrame, label_col: str = "label",
+                pred_col: str = "pred") -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelings
+    (rater vs rater, model vs gold, two quality classifiers): one row
+    ``(n, agree, po_ppm, pe_ppm, kappa_ppm)`` with
+
+        kappa = (n*agree - sum_c row_c*col_c) / (n^2 - sum_c row_c*col_c)
+
+    in exact ppm (``row_c``/``col_c`` = class c's count in each
+    labeling; the sum runs over classes present on BOTH sides — a class
+    absent from either side contributes 0, which the inner join
+    spells).  The numerator is NEGATIVE for below-chance agreement, so
+    the scaled division uses the explicit floor spelling
+    ``div(v - pmod(v, m), m)`` (Spark div truncates toward zero —
+    CLAUDE.md); products run in decimal(38,0) (n*agree*1e6 passes int64
+    at ~3e6 rows).  NULL kappa when pe = 1 (single identical class on
+    both sides — the statistic is undefined).
+
+    Scale shape: the corpus collapses in TWO map-side-combined
+    aggregates (the 1-row n/agree rollup and the per-class margin
+    tables, both vocab-bounded); the pe dot-product joins the two
+    class-sized tables and reduces to 1 row, attached via the
+    sanctioned structural scalar attach.  Never a corpus-side join.
+    """
+    g = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col(label_col) == F.col(pred_col), 1).otherwise(0))
+        .cast("long").alias("agree"),
+    )
+    rows = df.groupBy(F.col(label_col).alias("c")).agg(
+        F.count("*").cast("long").alias("row_n"))
+    cols = df.groupBy(F.col(pred_col).alias("c")).agg(
+        F.count("*").cast("long").alias("col_n"))
+    pe = (
+        rows.join(cols, on="c", how="inner")
+        .agg(F.coalesce(
+            F.sum(F.expr("cast(row_n as decimal(38,0)) * col_n")),
+            F.lit(0).cast("decimal(38,0)")
+        ).alias("pe_num"))
+    )
+    from ._util import attach_scalar
+
+    out = attach_scalar(g, pe)
+    num = ("(cast(1000000 as decimal(38,0))"
+           " * (cast(n as decimal(38,0)) * agree - pe_num))")
+    den = "(cast(n as decimal(38,0)) * n - pe_num)"
+    return out.select(
+        "n", "agree",
+        F.expr("cast(div(agree * cast(1000000 as bigint), n) as bigint)")
+        .alias("po_ppm"),
+        F.expr("cast(div(pe_num * 1000000,"
+               " cast(n as decimal(38,0)) * n) as bigint)").alias("pe_ppm"),
+        F.expr(
+            "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
+            " as bigint) END".format(v=num, d=den)).alias("kappa_ppm"),
+    )
