@@ -10300,3 +10300,70 @@ FROM g, pe
 
 _EXTRA_QUERIES["eval_kappa"] = q_eval_kappa
 _EXTRA_ORACLES["eval_kappa"] = Q_EVAL_KAPPA_SQL
+
+
+def q_events_acf(spark, sf_dir):
+    """Exact per-type autocorrelation of the hourly event-count series
+    at lags 1/2/3 (operators/forecast.py: autocorrelation) — the
+    seasonality/persistence read behind forecasting and anomaly
+    thresholds.  Corpus-sized work is ONE map-side-combined (type,
+    hour) count aggregate; all ACF windows share one
+    hashpartitioning(type) exchange of that bounded rollup; ppm floors
+    negative-safe on both engines."""
+    from picogeojson_spark.operators.forecast import autocorrelation
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 3600000000").cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    return autocorrelation(
+        hourly, key_col="event_type", t_col="hour_id", v_col="n_events"
+    ).orderBy("key")
+
+
+Q_EVENTS_ACF_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type AS key, x,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY hour_id) AS x1,
+         LEAD(x, 2) OVER (PARTITION BY event_type ORDER BY hour_id) AS x2,
+         LEAD(x, 3) OVER (PARTITION BY event_type ORDER BY hour_id) AS x3
+  FROM hourly),
+g AS (
+  SELECT key, CAST(MAX(n) AS BIGINT) AS n,
+         SUM((CAST(n AS HUGEINT) * x - s)
+             * (CAST(n AS HUGEINT) * x - s)) AS den,
+         SUM(CASE WHEN x1 IS NOT NULL THEN
+             (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x1 - s)
+             END) AS num1,
+         SUM(CASE WHEN x2 IS NOT NULL THEN
+             (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x2 - s)
+             END) AS num2,
+         SUM(CASE WHEN x3 IS NOT NULL THEN
+             (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x3 - s)
+             END) AS num3
+  FROM base GROUP BY key)
+SELECT key, n,
+       CASE WHEN den <> 0 AND num1 IS NOT NULL THEN CAST(
+         ((1000000 * num1) - ((((1000000 * num1) % den) + den) % den))
+         // den AS BIGINT) END AS acf1_ppm,
+       CASE WHEN den <> 0 AND num2 IS NOT NULL THEN CAST(
+         ((1000000 * num2) - ((((1000000 * num2) % den) + den) % den))
+         // den AS BIGINT) END AS acf2_ppm,
+       CASE WHEN den <> 0 AND num3 IS NOT NULL THEN CAST(
+         ((1000000 * num3) - ((((1000000 * num3) % den) + den) % den))
+         // den AS BIGINT) END AS acf3_ppm
+FROM g ORDER BY key
+"""
+
+_EXTRA_QUERIES["events_acf"] = q_events_acf
+_EXTRA_ORACLES["events_acf"] = Q_EVENTS_ACF_SQL

@@ -135,3 +135,74 @@ def group_trend(
                    .format(v=v, m=m)),
         ).alias("slope_ppm"),
     )
+
+
+def autocorrelation(df: DataFrame, key_col: str = "key",
+                    t_col: str = "t", v_col: str = "v",
+                    lags=(1, 2, 3)) -> DataFrame:
+    """Exact per-key sample autocorrelation at the given positional lags
+    — the seasonality/persistence read on an integer-valued series
+    (hourly event counts, daily volumes): one row per key with ``n``
+    and ``acf<k>_ppm = floor(1e6 * r_k)`` for each lag, where
+
+        r_k = sum_{t<=n-k} (x_t - mean)(x_{t+k} - mean)
+              / sum_t (x_t - mean)^2
+
+    computed exactly by clearing denominators (multiply through by n²):
+    ``num_k = sum (n*x_t - S)(n*x_{t+k} - S)``, ``den = sum (n*x_t -
+    S)²`` with S = sum x — every quantity an exact decimal(38,0)
+    integer, the floor negative-safe (autocorrelation can be negative;
+    Spark div truncates — CLAUDE.md floor spelling on both engines).
+    NULL for constant series (den = 0) and for lags >= n.
+
+    Lags are POSITIONAL over the per-key sequence ordered by ``t_col``
+    (gaps in t do not insert zeros — resample first if calendar lags
+    are needed; `events_forecast`'s hourly rollup shape does exactly
+    that upstream).
+
+    Scale shape: expects a BOUNDED per-key series (the output of a
+    corpus rollup, e.g. (type, hour) counts — never raw events); all
+    three windows (per-key n/S, the ordered position, the k leads)
+    share ONE hashpartitioning(key) exchange of that bounded table,
+    then a single per-key rollup.  Never a corpus-row window.
+    """
+    from pyspark.sql import Window
+
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be positive integers")
+    w_all = Window.partitionBy(key_col)
+    w_ord = Window.partitionBy(key_col).orderBy(t_col)
+    cols = [
+        F.col(key_col).alias("key"),
+        F.col(v_col).cast("long").alias("x"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        F.sum(F.col(v_col).cast("long")).over(w_all).cast("long")
+        .alias("s"),
+    ]
+    base = df.select(*cols, *[
+        F.lead(F.col(v_col).cast("long"), k).over(w_ord)
+        .alias("x{}".format(k)) for k in lags
+    ])
+    dev = "(cast(n as decimal(38,0)) * {x} - s)"
+    aggs = [
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.expr("{d} * {d}".format(d=dev.format(x="x"))))
+        .alias("_den"),
+    ]
+    for k in lags:
+        aggs.append(
+            F.sum(F.when(
+                F.col("x{}".format(k)).isNotNull(),
+                F.expr("{a} * {b}".format(a=dev.format(x="x"),
+                                          b=dev.format(x="x%d" % k))))
+            ).alias("_num{}".format(k)))
+    g = base.groupBy("key").agg(*aggs)
+    sel = ["key", "n"]
+    for k in lags:
+        v = "(cast(1000000 as decimal(38,0)) * _num{})".format(k)
+        sel.append(F.expr(
+            "CASE WHEN _den <> 0 AND _num{k} IS NOT NULL THEN "
+            "cast(div({v} - pmod({v}, _den), _den) as bigint) END"
+            .format(k=k, v=v)).alias("acf{}_ppm".format(k)))
+    return g.select(*sel)
