@@ -10367,3 +10367,40 @@ FROM g ORDER BY key
 
 _EXTRA_QUERIES["events_acf"] = q_events_acf
 _EXTRA_ORACLES["events_acf"] = Q_EVENTS_ACF_SQL
+
+
+def q_table_simpson(spark, sf_dir):
+    """Per-source categorical diversity of document languages
+    (operators/stats.py: simpson_diversity): Simpson + inverse-Simpson
+    in exact ppm — the log-free domain-mix / source-balance read for
+    corpus curation.  One map-side-combined (source, lang) aggregate;
+    everything after runs on the vocab-bounded count table."""
+    from picogeojson_spark.operators.stats import simpson_diversity
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("key"), F.col("lang").alias("cat"))
+    return simpson_diversity(d).orderBy("key")
+
+
+Q_TABLE_SIMPSON_SQL = """
+WITH cnt AS (
+  SELECT source AS key, lang AS cat, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+g AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cats,
+         SUM(CAST(c AS HUGEINT) * (c - 1)) AS s2w,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM cnt GROUP BY key)
+SELECT key, n, n_cats,
+       CASE WHEN n >= 2 THEN CAST(
+         1000000 - (CAST(1000000 AS HUGEINT) * s2w)
+                   // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       END AS simpson_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * n * n) // s2 AS BIGINT)
+         AS inv_simpson_ppm
+FROM g ORDER BY key
+"""
+
+_EXTRA_QUERIES["table_simpson"] = q_table_simpson
+_EXTRA_ORACLES["table_simpson"] = Q_TABLE_SIMPSON_SQL

@@ -306,3 +306,52 @@ def chi2_association(df: DataFrame, a_col: str = "a",
                F.expr("div(chi2_ppm, n * (least(r, c) - 1))"))
         .cast("long").alias("v2_ppm"),
     )
+
+
+def simpson_diversity(df: DataFrame, key_col: str = "key",
+                      cat_col: str = "cat") -> DataFrame:
+    """Exact per-key categorical diversity — Simpson's index family, the
+    log-free alternative to Shannon entropy (entropy needs float ln;
+    Simpson is a pure rational, so it ships exact):
+
+        n             rows in the group
+        n_cats        distinct categories
+        simpson_ppm   1e6 - floor(1e6 * sum n_i(n_i-1) / (n(n-1)))
+                      (probability two draws WITHOUT replacement differ;
+                       1e6 = maximally diverse, 0 = monoculture; the
+                       floor sits on the concentration term, so the
+                       value rounds UP by <= 1 ppm — spelled identically
+                       in the oracle)
+        inv_simpson_ppm  floor(1e6 * n² / sum n_i²)  (effective number
+                      of categories, scaled — "how many equally-common
+                      categories would look like this?")
+
+    The domain-mix / source-balance read in corpus curation (is one
+    domain eating the crawl?) and the type-mix read per user/shard.
+    NULL simpson for n < 2.
+
+    Scale shape: ONE map-side-combined (key, category) aggregate
+    collapses the corpus to the vocab-bounded count table; the per-key
+    rollup and all ppm arithmetic run on that bounded table (products
+    in decimal(38,0) — n_i² passes int64 only to ~3e9).  Never a
+    corpus-side distinct.
+    """
+    cnt = (
+        df.groupBy(F.col(key_col).alias("key"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    g = cnt.groupBy("key").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cats"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * (c - 1)")).alias("_s2w"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("_s2"),
+    )
+    return g.select(
+        "key", "n", "n_cats",
+        F.when(F.col("n") >= 2, F.expr(
+            "cast(1000000 - div(cast(1000000 as decimal(38,0)) * _s2w,"
+            " cast(n as decimal(38,0)) * (n - 1)) as bigint)"))
+        .alias("simpson_ppm"),
+        F.expr("cast(div(cast(1000000 as decimal(38,0)) * n * n, _s2)"
+               " as bigint)").alias("inv_simpson_ppm"),
+    )
