@@ -10404,3 +10404,65 @@ FROM g ORDER BY key
 
 _EXTRA_QUERIES["table_simpson"] = q_table_simpson
 _EXTRA_ORACLES["table_simpson"] = Q_TABLE_SIMPSON_SQL
+
+
+def q_events_runs(spark, sf_dir):
+    """Runs-test randomness diagnostic (operators/forecast.py:
+    runs_test) on the hourly event-count series per type: observed vs
+    expected same-sign run counts around the exact integer mean —
+    trending series read << 1e6, oscillating >> 1e6.  Same bounded-
+    rollup shape as events_acf."""
+    from picogeojson_spark.operators.forecast import runs_test
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 3600000000").cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    return runs_test(
+        hourly, key_col="event_type", t_col="hour_id", v_col="n_events"
+    ).orderBy("key")
+
+
+Q_EVENTS_RUNS_SQL = """
+WITH hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT key, t, x,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY key) AS BIGINT) AS s
+  FROM hourly),
+signed AS (
+  SELECT key, t,
+         CASE WHEN CAST(n AS HUGEINT) * x > s THEN 1
+              WHEN CAST(n AS HUGEINT) * x < s THEN -1
+              ELSE 0 END AS sign
+  FROM base),
+kept AS (SELECT * FROM signed WHERE sign <> 0),
+marked AS (
+  SELECT key, sign,
+         CASE WHEN LAG(sign) OVER (PARTITION BY key ORDER BY t) IS NULL
+                OR LAG(sign) OVER (PARTITION BY key ORDER BY t) <> sign
+              THEN 1 ELSE 0 END AS boundary
+  FROM kept),
+g AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(boundary) AS BIGINT) AS runs
+  FROM marked GROUP BY key)
+SELECT key, n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(
+         (CAST(runs AS HUGEINT) * 1000000 * (n1 + n2))
+         // (CAST(n1 AS HUGEINT) + n2 + 2 * CAST(n1 AS HUGEINT) * n2)
+         AS BIGINT) END AS ratio_ppm
+FROM g ORDER BY key
+"""
+
+_EXTRA_QUERIES["events_runs"] = q_events_runs
+_EXTRA_ORACLES["events_runs"] = Q_EVENTS_RUNS_SQL

@@ -206,3 +206,67 @@ def autocorrelation(df: DataFrame, key_col: str = "key",
             "cast(div({v} - pmod({v}, _den), _den) as bigint) END"
             .format(k=k, v=v)).alias("acf{}_ppm".format(k)))
     return g.select(*sel)
+
+
+def runs_test(df: DataFrame, key_col: str = "key",
+              t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Wald-Wolfowitz runs diagnostic per key — "is this series random
+    noise, trending, or oscillating?": classify each point above/below
+    the key MEAN (ties dropped, mean compared exactly by
+    cross-multiplying ``n*x <> S`` — no float mean), count maximal
+    same-sign runs, and report the ratio to the expected run count
+    under randomness:
+
+        n1, n2        points above / below the mean
+        runs          observed maximal same-sign blocks (in t order)
+        ratio_ppm     floor(1e6 * runs / E[runs]),
+                      E[runs] = 1 + 2*n1*n2/(n1+n2)
+
+    ~1e6 = random ordering; << 1e6 = trending/clustered (few long
+    runs); >> 1e6 = oscillating.  NULL ratio when n1 = 0 or n2 = 0
+    (one-sided series — the test is undefined).  All integer/exact-
+    rational; deterministic at any parallelism.
+
+    Scale shape: expects the BOUNDED per-key rollup series (same
+    contract as :func:`autocorrelation`); the n/S windows, the sign
+    lag, and the per-key rollup all run over that bounded table on one
+    hashpartitioning(key) exchange.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(key_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).alias("t"),
+        F.col(v_col).cast("long").alias("x"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        F.sum(F.col(v_col).cast("long")).over(w_all).cast("long")
+        .alias("s"),
+    ).select(
+        "key", "t",
+        F.when(F.expr("cast(n as decimal(38,0)) * x > s"), F.lit(1))
+        .when(F.expr("cast(n as decimal(38,0)) * x < s"), F.lit(-1))
+        .otherwise(F.lit(0)).alias("sign"),
+    ).filter(F.col("sign") != 0)
+    w_ord = Window.partitionBy("key").orderBy("t")
+    marked = base.select(
+        "key", "sign",
+        F.when(F.lag("sign").over(w_ord).isNull()
+               | (F.lag("sign").over(w_ord) != F.col("sign")), 1)
+        .otherwise(0).alias("boundary"),
+    )
+    g = marked.groupBy("key").agg(
+        F.sum(F.when(F.col("sign") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("sign") == -1, 1).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum("boundary").cast("long").alias("runs"),
+    )
+    # E[runs] = (n1+n2 + 2*n1*n2) / (n1+n2); ratio = runs/E
+    return g.select(
+        "key", "n1", "n2", "runs",
+        F.when((F.col("n1") > 0) & (F.col("n2") > 0), F.expr(
+            "cast(div(cast(runs as decimal(38,0)) * 1000000 * (n1 + n2),"
+            " cast(n1 as decimal(38,0)) + n2 + 2 * cast(n1 as"
+            " decimal(38,0)) * n2) as bigint)")).alias("ratio_ppm"),
+    )
