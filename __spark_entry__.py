@@ -10466,3 +10466,76 @@ FROM g ORDER BY key
 
 _EXTRA_QUERIES["events_runs"] = q_events_runs
 _EXTRA_ORACLES["events_runs"] = Q_EVENTS_RUNS_SQL
+
+
+def q_events_markov(spark, sf_dir):
+    """Stationary distribution of the clickstream transition matrix
+    (operators/forecast.py: markov_stationary): 6 rounds of fixed-point
+    integer power iteration over the events_transitions count matrix —
+    long-run state occupancy.  Corpus work is the one lag window +
+    count aggregate; the iteration itself runs on the vocab-bounded
+    matrix (broadcast-sized joins)."""
+    from pyspark.sql import Window
+    from picogeojson_spark.operators.forecast import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    trans = pairs.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").cast("long").alias("n"))
+    return markov_stationary(trans, rounds=6).orderBy("state")
+
+
+def _q_events_markov_sql(rounds=6, scale=10 ** 12):
+    parts = ["""
+WITH seq AS (
+  SELECT event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+t AS MATERIALIZED (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+states AS MATERIALIZED (
+  SELECT prev AS state FROM t UNION SELECT nxt FROM t),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+rowt AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS row_total
+         FROM t GROUP BY 1),
+t2 AS MATERIALIZED (
+  SELECT t.prev, t.nxt, t.n, r.row_total
+  FROM t JOIN rowt r ON t.prev = r.prev),
+sinks AS MATERIALIZED (
+  SELECT state FROM states
+  WHERE state NOT IN (SELECT prev FROM t)),
+p0 AS MATERIALIZED (
+  SELECT state, CAST({s} // kk.k AS BIGINT) AS mass
+  FROM states, kk)""".format(s=scale)]
+    for r in range(1, rounds + 1):
+        parts.append("""
+p{r} AS MATERIALIZED (
+  SELECT s.state,
+         CAST(COALESCE(i.infl, 0) + COALESCE(h.mass, 0) AS BIGINT) AS mass
+  FROM states s
+  LEFT JOIN (
+    SELECT t2.nxt AS state,
+           SUM((CAST(p.mass AS HUGEINT) * t2.n) // t2.row_total) AS infl
+    FROM p{q} p JOIN t2 ON p.state = t2.prev GROUP BY 1) i
+    ON s.state = i.state
+  LEFT JOIN (
+    SELECT p.state, p.mass FROM p{q} p
+    JOIN sinks k ON p.state = k.state) h
+    ON s.state = h.state)""".format(r=r, q=r - 1))
+    parts.append("""
+SELECT state, mass, CAST(mass // 1000000 AS BIGINT) AS p_ppm
+FROM p{r} ORDER BY state""".format(r=rounds))
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+Q_EVENTS_MARKOV_SQL = _q_events_markov_sql()
+
+_EXTRA_QUERIES["events_markov"] = q_events_markov
+_EXTRA_ORACLES["events_markov"] = Q_EVENTS_MARKOV_SQL

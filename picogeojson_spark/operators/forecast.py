@@ -270,3 +270,72 @@ def runs_test(df: DataFrame, key_col: str = "key",
             " cast(n1 as decimal(38,0)) + n2 + 2 * cast(n1 as"
             " decimal(38,0)) * n2) as bigint)")).alias("ratio_ppm"),
     )
+
+
+def markov_stationary(trans: DataFrame, rounds: int = 6,
+                      scale: int = 10 ** 12) -> DataFrame:
+    """Stationary distribution of an observed Markov transition matrix
+    by fixed-point integer power iteration — "where does the
+    clickstream settle?" (long-run state occupancy from the
+    `events_transitions` count matrix).
+
+    ``trans``: (prev, next, n) transition counts.  Iteration runs in
+    integers at ``scale``: mass starts uniform (``scale div k``) and
+    each round moves ``div(mass_i * n_ij, row_total_i)`` along every
+    observed edge (truncation loses < k² units/round — deterministic,
+    bit-identical across engines; the pagerank discipline).  SINK
+    states (observed only as ``next``) hold their mass (self-loop
+    semantics).  Returns ``(state, mass, p_ppm)`` after ``rounds``.
+
+    Scale shape: the corpus never enters this operator — it consumes
+    the vocab-bounded count matrix (k states, <= k² edges), so every
+    per-round join is broadcast-sized; each round eagerly
+    localCheckpoints the k-row mass vector (plan depth stays O(1) —
+    the vector re-enters twice per round, which would otherwise square
+    the lazy plan).  The one driver-side value is k itself (the state-
+    vocabulary count — bounded by contract, the kmeans-k discipline).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    t = trans.select(F.col("prev"), F.col("next"),
+                     F.col("n").cast("long").alias("n"))
+    states = (
+        t.select(F.col("prev").alias("state"))
+        .union(t.select(F.col("next").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k = states.count()
+    rowt = t.groupBy("prev").agg(F.sum("n").cast("long").alias("row_total"))
+    t2 = t.join(rowt, on="prev").localCheckpoint(eager=True)
+    sinks = states.join(t.select(F.col("prev").alias("state")).distinct(),
+                        on="state", how="left_anti") \
+        .localCheckpoint(eager=True)
+    pi = states.withColumn("mass",
+                           F.lit(int(scale) // int(k)).cast("long"))
+    for _ in range(int(rounds)):
+        inflow = (
+            pi.join(t2, pi["state"] == t2["prev"])
+            .groupBy(F.col("next").alias("state"))
+            .agg(F.sum(F.expr(
+                "cast(div(cast(mass as decimal(38,0)) * n, row_total)"
+                " as bigint)")).cast("long").alias("_in"))
+        )
+        hold = (
+            pi.join(sinks, on="state", how="left_semi")
+            .select("state", F.col("mass").alias("_hold"))
+        )
+        pi = (
+            states.join(inflow, on="state", how="left")
+            .join(hold, on="state", how="left")
+            .select("state",
+                    (F.coalesce("_in", F.lit(0))
+                     + F.coalesce("_hold", F.lit(0)))
+                    .cast("long").alias("mass"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        "state", "mass",
+        F.expr("cast(div(mass, {}) as bigint)".format(int(scale) // 10**6))
+        .alias("p_ppm"),
+    )
