@@ -10539,3 +10539,90 @@ Q_EVENTS_MARKOV_SQL = _q_events_markov_sql()
 
 _EXTRA_QUERIES["events_markov"] = q_events_markov
 _EXTRA_ORACLES["events_markov"] = Q_EVENTS_MARKOV_SQL
+
+
+def q_geo_union_area(spark, sf_dir):
+    """EXACT rectangle-union area per group (operators/measures.py:
+    rect_union_area): the sweep-line re-expressed relationally —
+    coordinate-compressed slabs + gaps-and-islands interval merge, all
+    equi-joins and windows, overlaps counted once.  Deterministic
+    part-derived boxes with heavy overlap; areas exact integers."""
+    from picogeojson_spark.operators.measures import rect_union_area
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    rects = p.select(
+        F.col("p_brand").alias("grp"),
+        k.cast("long").alias("rid"),
+        (((k * 37) % 50) * 1000).cast("long").alias("x1"),
+        (((k * 37) % 50) * 1000 + 500 + (k % 7) * 700)
+        .cast("long").alias("x2"),
+        (((k * 53) % 40) * 1000).cast("long").alias("y1"),
+        (((k * 53) % 40) * 1000 + 800 + (k % 5) * 600)
+        .cast("long").alias("y2"),
+    )
+    return rect_union_area(rects).orderBy("grp")
+
+
+Q_GEO_UNION_AREA_SQL = """
+WITH r AS (
+  SELECT p_brand AS grp, CAST(p_partkey AS BIGINT) AS rid,
+         CAST(((p_partkey * 37) % 50) * 1000 AS BIGINT) AS x1,
+         CAST(((p_partkey * 37) % 50) * 1000
+              + 500 + (p_partkey % 7) * 700 AS BIGINT) AS x2,
+         CAST(((p_partkey * 53) % 40) * 1000 AS BIGINT) AS y1,
+         CAST(((p_partkey * 53) % 40) * 1000
+              + 800 + (p_partkey % 5) * 600 AS BIGINT) AS y2
+  FROM part),
+rr AS (SELECT * FROM r WHERE x2 > x1 AND y2 > y1),
+edges AS (
+  SELECT DISTINCT grp, x FROM (
+    SELECT grp, x1 AS x FROM rr UNION ALL SELECT grp, x2 FROM rr)),
+slabs AS (
+  SELECT grp, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x)
+              AS BIGINT) AS rx,
+         CAST(LEAD(x) OVER (PARTITION BY grp ORDER BY x) - x
+              AS BIGINT) AS width
+  FROM edges),
+spans AS (
+  SELECT rr.grp, rr.rid, rr.y1, rr.y2,
+         unnest(generate_series(e1.rx, e2.rx - 1)) AS rx
+  FROM rr
+  JOIN slabs e1 ON e1.grp = rr.grp AND e1.x = rr.x1
+  JOIN slabs e2 ON e2.grp = rr.grp AND e2.x = rr.x2),
+isl AS (
+  SELECT grp, rx, y1, y2, rid,
+         CASE WHEN MAX(y2) OVER w IS NULL
+                OR y1 > MAX(y2) OVER w THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+  WINDOW w AS (PARTITION BY grp, rx ORDER BY y1, y2, rid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl2 AS (
+  SELECT grp, rx, y1, y2,
+         CAST(SUM(new_isl) OVER (PARTITION BY grp, rx
+                                 ORDER BY y1, y2, rid
+                                 ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS island
+  FROM isl),
+cov AS (
+  SELECT grp, rx, island,
+         CAST(MAX(y2) - MIN(y1) AS BIGINT) AS cov_len
+  FROM isl2 GROUP BY 1, 2, 3),
+slab_cov AS (
+  SELECT grp, rx, CAST(SUM(cov_len) AS BIGINT) AS cov
+  FROM cov GROUP BY 1, 2),
+area AS (
+  SELECT s.grp, CAST(SUM(CAST(c.cov AS HUGEINT) * s.width) AS BIGINT)
+           AS area
+  FROM slab_cov c JOIN slabs s ON s.grp = c.grp AND s.rx = c.rx
+  GROUP BY 1),
+nr AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rects
+       FROM rr GROUP BY 1)
+SELECT nr.grp, nr.n_rects, COALESCE(area.area, 0) AS area
+FROM nr LEFT JOIN area ON nr.grp = area.grp
+ORDER BY nr.grp
+"""
+
+_EXTRA_QUERIES["geo_union_area"] = q_geo_union_area
+_EXTRA_ORACLES["geo_union_area"] = Q_GEO_UNION_AREA_SQL
