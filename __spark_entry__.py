@@ -10626,3 +10626,56 @@ ORDER BY nr.grp
 
 _EXTRA_QUERIES["geo_union_area"] = q_geo_union_area
 _EXTRA_ORACLES["geo_union_area"] = Q_GEO_UNION_AREA_SQL
+
+
+def q_eval_mcc(spark, sf_dir):
+    """Matthews correlation (operators/evals.py: mcc_signed) for a
+    deterministic binary labeling pair over documents (~flips on %7 and
+    %11) — the imbalance-robust confusion summary; MCC is irrational,
+    so the exact signed-square rational form ships.  One aggregate to
+    four counts; 1-row codegen after."""
+    from picogeojson_spark.operators.evals import mcc_signed
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3 == 0).alias("label"),
+        (((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0))
+         | (F.col("doc_id") % 11 == 0)).alias("pred"),
+    )
+    return mcc_signed(d)
+
+
+Q_EVAL_MCC_SQL = """
+WITH d AS (
+  SELECT (doc_id % 3 = 0) AS label,
+         ((doc_id % 3 = 0 AND doc_id % 7 <> 0) OR doc_id % 11 = 0)
+           AS pred
+  FROM documents),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT)
+      AS tp,
+    CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT)
+      AS fp,
+    CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT)
+      AS fn
+  FROM d)
+SELECT tp, tn, fp, fn,
+       CASE WHEN (CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn)
+                 * (CAST(tn AS HUGEINT) + fp) * (CAST(tn AS HUGEINT) + fn)
+                 <> 0 THEN CAST(
+         (CASE WHEN CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+                    < 0 THEN -1 ELSE 1 END)
+         * ((CAST(1000000 AS HUGEINT)
+             * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+             * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn))
+            // ((CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn)
+                * (CAST(tn AS HUGEINT) + fp)
+                * (CAST(tn AS HUGEINT) + fn))) AS BIGINT)
+       END AS mcc2_signed_ppm
+FROM g
+"""
+
+_EXTRA_QUERIES["eval_mcc"] = q_eval_mcc
+_EXTRA_ORACLES["eval_mcc"] = Q_EVAL_MCC_SQL

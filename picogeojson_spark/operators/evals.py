@@ -440,3 +440,49 @@ def cohen_kappa(df: DataFrame, label_col: str = "label",
             "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
             " as bigint) END".format(v=num, d=den)).alias("kappa_ppm"),
     )
+
+
+def mcc_signed(df: DataFrame, label_col: str = "label",
+               pred_col: str = "pred") -> DataFrame:
+    """Matthews correlation coefficient for a binary labeling pair —
+    the single-number confusion summary robust to class imbalance.
+    MCC itself is a square root (irrational), so the exact-rational
+    form ships: one row ``(tp, tn, fp, fn, mcc2_signed_ppm)`` where
+
+        mcc2_signed_ppm = sign(tp*tn - fp*fn)
+                          * floor(1e6 * (tp*tn - fp*fn)²
+                                  / ((tp+fp)(tp+fn)(tn+fp)(tn+fn)))
+
+    (+1e6 = perfect, 0 = chance, -1e6 = perfect inversion; compare
+    |MCC| thresholds by squaring them).  NULL when any margin is zero
+    (MCC undefined).  Labels/preds are booleans or 0/1 integers.
+
+    All products run in decimal(38,0): the denominator is <= n⁴ —
+    int64 dies at n ~ 55k rows; decimal carries ~1e9.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to the four confusion counts; everything after is 1-row codegen.
+    """
+    l = F.col(label_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    g = df.agg(
+        F.sum(F.when(l & p, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~l & ~p, 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when(~l & p, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(l & ~p, 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    num = ("(cast(tp as decimal(38,0)) * tn"
+           " - cast(fp as decimal(38,0)) * fn)")
+    den = ("((cast(tp as decimal(38,0)) + fp)"
+           " * (cast(tp as decimal(38,0)) + fn)"
+           " * (cast(tn as decimal(38,0)) + fp)"
+           " * (cast(tn as decimal(38,0)) + fn))")
+    return g.select(
+        "tp", "tn", "fp", "fn",
+        F.expr(
+            "CASE WHEN {d} <> 0 THEN cast("
+            "  (CASE WHEN {n} < 0 THEN -1 ELSE 1 END)"
+            "  * div(cast(1000000 as decimal(38,0)) * {n} * {n}, {d})"
+            " as bigint) END".format(n=num, d=den)
+        ).alias("mcc2_signed_ppm"),
+    )
