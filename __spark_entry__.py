@@ -10679,3 +10679,44 @@ FROM g
 
 _EXTRA_QUERIES["eval_mcc"] = q_eval_mcc
 _EXTRA_ORACLES["eval_mcc"] = Q_EVAL_MCC_SQL
+
+
+def q_table_histogram(spark, sf_dir):
+    """Per-type equi-width value histogram (operators/profile.py:
+    equi_width_histogram, 16 bins) over event values in integer cents —
+    the distribution-shape profiling read.  One map-side (key,value)
+    aggregate; min/max rejoin by key on the bounded table; binning pure
+    integer codegen."""
+    from picogeojson_spark.operators.profile import equi_width_histogram
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"))
+    return equi_width_histogram(e, n_bins=16).orderBy("key", "bin")
+
+
+Q_TABLE_HISTOGRAM_SQL = """
+WITH src AS (
+  SELECT event_type AS key, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT key, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM src GROUP BY 1, 2),
+rng AS (SELECT key, CAST(MIN(v) AS BIGINT) AS vmin,
+               CAST(MAX(v) AS BIGINT) AS vmax
+        FROM h GROUP BY 1),
+b AS (
+  SELECT h.key, h.cnt, r.vmin, r.vmax - r.vmin + 1 AS span,
+         LEAST(15, ((h.v - r.vmin) * 16) // (r.vmax - r.vmin + 1))
+           AS bin
+  FROM h JOIN rng r ON h.key = r.key)
+SELECT key, CAST(bin AS BIGINT) AS bin,
+       CAST(vmin + (bin * span) // 16 AS BIGINT) AS bin_lo,
+       CAST(GREATEST(vmin + (bin * span) // 16,
+                     vmin + ((bin + 1) * span) // 16 - 1) AS BIGINT) AS bin_hi,
+       CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM b GROUP BY key, bin, vmin, span
+ORDER BY key, bin
+"""
+
+_EXTRA_QUERIES["table_histogram"] = q_table_histogram
+_EXTRA_ORACLES["table_histogram"] = Q_TABLE_HISTOGRAM_SQL

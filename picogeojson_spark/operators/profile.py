@@ -136,3 +136,70 @@ def benford_deviation(df: DataFrame, value_col: str = "v",
         F.expr("cast(div(sum(dev), 2 * max(n)) as bigint)")
         .alias("tv_ppm"),
     )
+
+
+def equi_width_histogram(df: DataFrame, key_col: str = "key",
+                         value_col: str = "v",
+                         n_bins: int = 16) -> DataFrame:
+    """Exact per-key equi-width histogram of an integer measure — the
+    distribution-shape profiling read next to `group_quantiles` (which
+    answers point quantiles; this answers "what does the whole shape
+    look like?"): sparse ``(key, bin, bin_lo, bin_hi, cnt)`` rows,
+    empty bins omitted.
+
+    Binning is pure integer arithmetic on the per-key closed range
+    ``[vmin, vmax]`` with ``span = vmax - vmin + 1``:
+
+        bin    = min(n_bins-1, ((v - vmin) * n_bins) div span)
+        bin_lo = vmin + (bin * span) div n_bins   (bin covers
+        bin_hi = vmin + ((bin+1) * span) div n_bins - 1    [lo, hi])
+
+    with ``bin_hi`` clamped to ``>= bin_lo`` (when span < n_bins some
+    nominal bins are empty and the raw edge arithmetic inverts on the
+    occupied one — single-valued keys hit this).
+
+    — deterministic in both engines (all operands non-negative after
+    the ``- vmin`` shift), and every value lands in exactly one bin.
+
+    Scale shape: ONE map-side-combined (key, value) aggregate collapses
+    the corpus to the value histogram (the integer-scaled-measure
+    contract, same as `value_cdf`); per-key min/max aggregate over that
+    bounded table and rejoin by KEY (an equi-join on the bounded
+    tables — no scalar broadcast needed, unlike a global histogram);
+    binning and the final (key, bin) rollup are codegen on bounded
+    rows.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    hist = (
+        df.groupBy(F.col(key_col).alias("key"),
+                   F.col(value_col).cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rng = hist.groupBy("key").agg(
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"))
+    j = hist.join(rng, on="key").select(
+        "key", "v", "cnt", "vmin",
+        (F.col("vmax") - F.col("vmin") + 1).alias("span"),
+    ).select(
+        "key", "cnt", "vmin", "span",
+        F.least(F.lit(int(n_bins) - 1),
+                F.expr("div((v - vmin) * {nb}, span)".format(
+                    nb=int(n_bins))))
+        .cast("long").alias("bin"),
+    )
+    return j.groupBy("key", "bin", "vmin", "span").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    ).select(
+        "key", "bin",
+        (F.col("vmin") + F.expr("div(bin * span, {nb})".format(
+            nb=int(n_bins)))).cast("long").alias("bin_lo"),
+        F.greatest(
+            F.col("vmin") + F.expr("div(bin * span, {nb})".format(
+                nb=int(n_bins))),
+            F.col("vmin") + F.expr("div((bin + 1) * span, {nb})".format(
+                nb=int(n_bins))) - 1,
+        ).cast("long").alias("bin_hi"),
+        "cnt",
+    )
