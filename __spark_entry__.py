@@ -10720,3 +10720,57 @@ ORDER BY key, bin
 
 _EXTRA_QUERIES["table_histogram"] = q_table_histogram
 _EXTRA_ORACLES["table_histogram"] = Q_TABLE_HISTOGRAM_SQL
+
+
+def q_embed_pca(spark, sf_dir):
+    """Dominant embedding direction (operators/pca.py: top_direction):
+    8 integer power iterations on the exact quantized Gram matrix —
+    the anisotropy / common-direction read of embedding curation.
+    Corpus-sized work is the one Gram aggregate (tasks x d² shuffle);
+    the iteration runs on the d²-row table with the sanctioned 1-row
+    normalizer attach per round."""
+    from picogeojson_spark.operators.pca import top_direction
+
+    e = _t(spark, sf_dir, "embeddings")
+    return top_direction(e, rounds=8).orderBy("i")
+
+
+def _q_embed_pca_sql(rounds=8):
+    parts = ["""
+WITH q0 AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM q0),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS g
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+dims AS MATERIALIZED (SELECT DISTINCT i AS d FROM g),
+v0 AS MATERIALIZED (
+  SELECT d, CAST(1000000 AS HUGEINT) AS v FROM dims)"""]
+    for r in range(1, rounds + 1):
+        parts.append("""
+w{r} AS (SELECT g.i AS d, SUM(CAST(g.g AS HUGEINT) * p.v) AS w
+         FROM v{p} p JOIN g ON g.j = p.d GROUP BY 1),
+m{r} AS (SELECT MAX(ABS(w)) AS wmax FROM w{r}),
+v{r} AS MATERIALIZED (
+  SELECT w.d,
+         CASE WHEN m.wmax <> 0 THEN
+           ((w.w * 1000000)
+            - ((((w.w * 1000000) % m.wmax) + m.wmax) % m.wmax))
+           // m.wmax
+         ELSE 0 END AS v
+  FROM w{r} w, m{r} m)""".format(r=r, p=r - 1))
+    parts.append("""
+SELECT d AS i, CAST(v AS BIGINT) AS v FROM v{r} ORDER BY i"""
+                 .format(r=rounds))
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+Q_EMBED_PCA_SQL = _q_embed_pca_sql()
+
+_EXTRA_QUERIES["embed_pca"] = q_embed_pca
+_EXTRA_ORACLES["embed_pca"] = Q_EMBED_PCA_SQL

@@ -1,0 +1,99 @@
+"""Top principal direction of an embedding corpus — integer power
+iteration on the Gram matrix.
+
+The PCA-whitening / dominant-direction read of embedding curation:
+anisotropy diagnosis (one direction eating the variance ruins cosine
+retrieval), ABTT-style common-direction removal, and projection features
+all start from the top eigenvector of X^T X.
+
+Exactness contract: components quantize to integers (floor(x * SCALE_Q),
+the IVFPQ quantization discipline — float64 multiply + floor is
+IEEE-identical in both engines), so the Gram matrix is EXACT int64; the
+iteration renormalizes through an exact integer divide by the max
+|component| each round.  The result after R rounds is a pure function of
+the input — bit-identical across engines, partitionings, and reruns (the
+pagerank discipline applied to eigenvectors).  Uncentered second moment
+by design (embeddings are typically length-normalized; center upstream
+if means matter).
+
+Scale shape: the Gram build is the only corpus-sized stage — a double
+posexplode to (i, j, xi*xj) feeding ONE map-side-combined (i, j)
+aggregate, so the shuffle carries tasks x d² rows no matter the corpus
+(at production dims swap the explode for a per-partition numpy matmul
+mapInPandas emitting the same d² partials — identical downstream).  The
+power iteration then runs entirely on the d²-row Gram table: per round
+one broadcast-sized equi-join + d-row aggregate + the sanctioned 1-row
+scalar attach for the normalizer, eagerly localCheckpointed (d-row
+vector) to keep plan depth O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ._util import attach_scalar
+
+#: component quantization scale (floor(x * SCALE_Q) — int per component)
+SCALE_Q = 1000
+#: iteration vector scale (components renormalize into [-SCALE_V, SCALE_V])
+SCALE_V = 10 ** 6
+
+
+def gram_matrix(vectors: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact integer Gram matrix ``(i, j, g)`` (1-based indices) of the
+    quantized corpus: ``g = sum over rows of q_i * q_j`` with
+    ``q = floor(x * SCALE_Q)``."""
+    q = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("i0", "x"),
+    ).select(
+        "vid", (F.col("i0") + 1).cast("int").alias("i"),
+        F.floor(F.col("x").cast("double") * SCALE_Q).cast("long")
+        .alias("xi"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, F.col("a.vid") == F.col("b.vid"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).cast("long").alias("g"))
+    )
+
+
+def top_direction(vectors: DataFrame, rounds: int = 8,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """``(i, v)`` — the dominant eigenvector of the quantized Gram
+    matrix after ``rounds`` integer power iterations, components scaled
+    into ``[-SCALE_V, SCALE_V]`` (max |component| = SCALE_V exactly).
+    Sign follows the all-ones start vector (deterministic).  Negative
+    divisions use the explicit floor spelling on both engines.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    gram = gram_matrix(vectors, id_col=id_col, vec_col=vec_col) \
+        .localCheckpoint(eager=True)
+    dims = gram.select(F.col("i").alias("d")).distinct() \
+        .localCheckpoint(eager=True)
+    v = dims.select("d", F.lit(int(SCALE_V)).cast("long").alias("v"))
+    for _ in range(int(rounds)):
+        w = (
+            gram.join(v, gram["j"] == v["d"])
+            .groupBy(F.col("i").alias("d"))
+            .agg(F.sum(F.expr("cast(g as decimal(38,0)) * v"))
+                 .alias("w"))
+        )
+        wmax = w.agg(F.max(F.abs(F.col("w"))).alias("wmax"))
+        v = (
+            attach_scalar(w, wmax)
+            .select(
+                "d",
+                F.expr(
+                    "CASE WHEN wmax <> 0 THEN cast(div("
+                    " w * {s} - pmod(w * {s}, wmax), wmax) as bigint)"
+                    " ELSE cast(0 as bigint) END".format(s=int(SCALE_V))
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("d").alias("i"), "v")
