@@ -10774,3 +10774,50 @@ Q_EMBED_PCA_SQL = _q_embed_pca_sql()
 
 _EXTRA_QUERIES["embed_pca"] = q_embed_pca
 _EXTRA_ORACLES["embed_pca"] = Q_EMBED_PCA_SQL
+
+
+def q_events_seasonal(spark, sf_dir):
+    """Hour-of-day seasonal fingerprint per event type: 24-bucket
+    count profile with exact ppm shares and peak-hour flags — the
+    diurnal-pattern read behind crawl scheduling and anomaly baselines.
+    Corpus-sized work is ONE map-side-combined (type, hod) aggregate;
+    both windows share the bounded profile's hashpartitioning(type)
+    exchange.  Pure-NTZ hour arithmetic (tz-independent)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 3600000000") % 24).cast("long").alias("hod"),
+    )
+    prof = e.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    return prof.select(
+        "event_type", "hod", "cnt",
+        F.expr("div(cnt * cast(1000000 as bigint), "
+               "sum(cnt) over (partition by event_type))")
+        .cast("long").alias("share_ppm"),
+        (F.col("cnt") == F.max("cnt").over(w)).alias("is_peak"),
+    ).orderBy("event_type", "hod")
+
+
+Q_EVENTS_SEASONAL_SQL = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod
+  FROM events),
+prof AS (
+  SELECT event_type, CAST(hod AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2)
+SELECT event_type, hod, cnt,
+       CAST((cnt * 1000000)
+            // SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm,
+       cnt = MAX(cnt) OVER (PARTITION BY event_type) AS is_peak
+FROM prof ORDER BY event_type, hod
+"""
+
+_EXTRA_QUERIES["events_seasonal"] = q_events_seasonal
+_EXTRA_ORACLES["events_seasonal"] = Q_EVENTS_SEASONAL_SQL
