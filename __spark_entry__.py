@@ -10821,3 +10821,57 @@ FROM prof ORDER BY event_type, hod
 
 _EXTRA_QUERIES["events_seasonal"] = q_events_seasonal
 _EXTRA_ORACLES["events_seasonal"] = Q_EVENTS_SEASONAL_SQL
+
+
+def q_table_drift_chi2(spark, sf_dir):
+    """Two-sample numeric drift via the chi-square composition
+    (operators/stats.py: chi2_association): split orders into two
+    deterministic snapshots (orderkey parity) and compare their price
+    distributions over 10 fixed-width buckets — the log-free PSI
+    substitute (PSI needs float ln; the chi2/V² read is exact).
+    Same one-aggregate shape as table_chi2."""
+    from picogeojson_spark.operators.stats import chi2_association
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).cast("long").alias("a"),
+        F.least(F.lit(9), F.expr(
+            "div(cast(floor(o_totalprice * 100) as bigint), 5000000)"))
+        .cast("long").alias("b"),
+    )
+    return chi2_association(o)
+
+
+Q_TABLE_DRIFT_CHI2_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey % 2 AS BIGINT) AS a,
+         CAST(LEAST(9, CAST(floor(o_totalprice * 100) AS BIGINT)
+                       // 5000000) AS BIGINT) AS b
+  FROM orders),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1, 2),
+m AS (
+  SELECT a, b, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         CAST(SUM(cnt) OVER (PARTITION BY b) AS BIGINT) AS cb
+  FROM cells),
+g AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+         CAST(SUM((CAST(cnt AS HUGEINT) * cnt * 1000000000000)
+                  // (CAST(ra AS HUGEINT) * cb)) AS HUGEINT) AS t
+  FROM m)
+SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       GREATEST(CAST(0 AS BIGINT),
+                CAST((CAST(n AS HUGEINT) * t) // 1000000 AS BIGINT)
+                - n * CAST(1000000 AS BIGINT)) AS chi2_ppm,
+       CASE WHEN LEAST(r, c) > 1 THEN CAST(
+         GREATEST(CAST(0 AS BIGINT),
+                  CAST((CAST(n AS HUGEINT) * t) // 1000000 AS BIGINT)
+                  - n * CAST(1000000 AS BIGINT))
+         // (n * (LEAST(r, c) - 1)) AS BIGINT) END AS v2_ppm
+FROM g
+"""
+
+_EXTRA_QUERIES["table_drift_chi2"] = q_table_drift_chi2
+_EXTRA_ORACLES["table_drift_chi2"] = Q_TABLE_DRIFT_CHI2_SQL
