@@ -10875,3 +10875,52 @@ FROM g
 
 _EXTRA_QUERIES["table_drift_chi2"] = q_table_drift_chi2
 _EXTRA_ORACLES["table_drift_chi2"] = Q_TABLE_DRIFT_CHI2_SQL
+
+
+def q_text_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (operators/textstats.py:
+    code_signals) over documents with deterministic code-ish markup
+    injected on doc_id % 4 == 0 (so both classes exist): exact
+    translate-based symbol/digit densities, is_code at the 2%
+    threshold.  Pure narrow codegen — zero shuffles."""
+    from picogeojson_spark.operators.textstats import code_signals
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("if (x[0] >= 1) { y = f(2); } // "),
+                        F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return code_signals(d).orderBy("doc_id")
+
+
+Q_TEXT_CODE_DETECT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'if (x[0] >= 1) { y = f(2); } // ' || text
+              ELSE text END AS text
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(translate(text, ';{}()=<>[]', ''))
+              AS BIGINT) AS n_sym,
+         CAST(length(text) - length(translate(text, '0123456789', ''))
+              AS BIGINT) AS n_digit
+  FROM d)
+SELECT doc_id, n_chars, n_sym, n_digit,
+       CAST(CASE WHEN n_chars > 0
+                 THEN (n_sym * 1000000) // n_chars ELSE 0 END
+            AS BIGINT) AS sym_ppm,
+       CAST(CASE WHEN n_chars > 0
+                 THEN (n_digit * 1000000) // n_chars ELSE 0 END
+            AS BIGINT) AS digit_ppm,
+       (CASE WHEN n_chars > 0
+             THEN (n_sym * 1000000) // n_chars ELSE 0 END) >= 20000
+         AS is_code
+FROM b ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["text_code_detect"] = q_text_code_detect
+_EXTRA_ORACLES["text_code_detect"] = Q_TEXT_CODE_DETECT_SQL

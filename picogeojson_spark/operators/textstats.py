@@ -978,3 +978,51 @@ def vocab_stats(docs: DataFrame, by: str = "source",
                F.expr("div(hapax * cast(1000000 as bigint), vocab)"))
         .cast("long").alias("hapax_ppm"),
     )
+
+
+#: characters whose density separates code from prose (brace languages,
+#: markup, config) — counted exactly via translate-stripping.
+CODE_CHARS = ";{}()=<>[]"
+
+
+def code_signals(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 sym_threshold_ppm: int = 20_000) -> DataFrame:
+    """Code-vs-prose routing signals per document — the corpus-curation
+    filter that keeps source code out of a prose corpus (or routes it
+    to a code corpus): ``(doc_id, n_chars, sym_ppm, digit_ppm,
+    is_code)`` with
+
+        sym_ppm   = 1e6 * count(chars in CODE_CHARS) div n_chars
+        digit_ppm = 1e6 * count('0'-'9')             div n_chars
+        is_code   = sym_ppm >= sym_threshold_ppm     (default 2%)
+
+    Counting is ``length(x) - length(translate(x, set, ''))`` — exact,
+    locale-free, and byte-identical across engines (no regex engine
+    differences; ``translate`` strips every occurrence of every listed
+    character).  Zero-length documents report 0/0/false.
+
+    Scale shape: a pure narrow codegen projection — zero shuffles, zero
+    joins, zero python; the filter pushes to the scan.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    sym = (F.length(t)
+           - F.length(F.translate(t, CODE_CHARS, ""))).cast("long")
+    dig = (F.length(t)
+           - F.length(F.translate(t, "0123456789", ""))).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_chars"), sym.alias("n_sym"), dig.alias("n_digit"))
+    sym_ppm = F.when(F.col("n_chars") > 0, F.expr(
+        "div(n_sym * cast(1000000 as bigint), n_chars)")) \
+        .otherwise(0).cast("long")
+    dig_ppm = F.when(F.col("n_chars") > 0, F.expr(
+        "div(n_digit * cast(1000000 as bigint), n_chars)")) \
+        .otherwise(0).cast("long")
+    return base.select(
+        "doc_id", "n_chars", "n_sym", "n_digit",
+        sym_ppm.alias("sym_ppm"),
+        dig_ppm.alias("digit_ppm"),
+        (sym_ppm >= F.lit(int(sym_threshold_ppm))).alias("is_code"),
+    )
