@@ -10924,3 +10924,51 @@ FROM b ORDER BY doc_id
 
 _EXTRA_QUERIES["text_code_detect"] = q_text_code_detect
 _EXTRA_ORACLES["text_code_detect"] = Q_TEXT_CODE_DETECT_SQL
+
+
+def q_orders_backlog(spark, sf_dir):
+    """Open-order backlog curve (operators/stats.py:
+    interval_concurrency): each order is active from o_orderdate to its
+    last line-item ship date (pure-NTZ integer day ids — tz-safe); the
+    sweep counts +1/-1 day events and emits the exact concurrency at
+    every breakpoint.  Corpus collapses to the day vocabulary in one
+    aggregate; the running sum runs over that bounded table."""
+    from picogeojson_spark.operators.stats import interval_concurrency
+
+    day = ("timestampdiff(MICROSECOND,"
+           " TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+           " div 86400000000")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(day.format("o_orderdate")).cast("long").alias("d1"))
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.expr(day.format("l_shipdate")).cast("long"))
+        .alias("d2"))
+    iv = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("d1").alias("t1"), F.col("d2").alias("t2"))
+    return interval_concurrency(iv).orderBy("t")
+
+
+Q_ORDERS_BACKLOG_SQL = """
+WITH iv AS (
+  SELECT epoch_us(o.o_orderdate) // 86400000000 AS t1,
+         li.d2 AS t2
+  FROM orders o
+  JOIN (SELECT l_orderkey,
+               MAX(epoch_us(l_shipdate) // 86400000000) AS d2
+        FROM lineitem GROUP BY 1) li
+    ON o.o_orderkey = li.l_orderkey
+  WHERE li.d2 >= epoch_us(o.o_orderdate) // 86400000000),
+d AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT t1 AS t, 1 AS d FROM iv
+    UNION ALL SELECT t2 + 1, -1 FROM iv)
+  GROUP BY t)
+SELECT CAST(t AS BIGINT) AS t, delta,
+       CAST(SUM(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS active
+FROM d ORDER BY t
+"""
+
+_EXTRA_QUERIES["orders_backlog"] = q_orders_backlog
+_EXTRA_ORACLES["orders_backlog"] = Q_ORDERS_BACKLOG_SQL
