@@ -318,6 +318,10 @@ def main():
     provisional = provisional_regressions(timings, sf, cpus)
     retry_pass = {}
     for name in provisional:
+        if name not in qs:
+            # timings also carries non-registry entries (pages_spine);
+            # the spine already reports best-of-3 — nothing to retry
+            continue
         t_retry = time_query(name)
         retry_pass[name] = {"first_read": timings[name],
                             "retry": round(t_retry, 3)}
