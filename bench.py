@@ -182,6 +182,26 @@ BENCH_QUERIES = [
     "web_crawl_schedule",
     "geo_gistar",
     "ann_ivfpq",
+    # fifth-session additions
+    "graph_walks",
+    "table_chi2",
+    "orders_basket",
+    "text_vocab_stats",
+    "table_benford",
+    "graph_reciprocity",
+    "eval_kappa",
+    "events_acf",
+    "events_runs",
+    "events_markov",
+    "table_simpson",
+    "geo_union_area",
+    "eval_mcc",
+    "table_histogram",
+    "embed_pca",
+    "events_seasonal",
+    "table_drift_chi2",
+    "text_code_detect",
+    "orders_backlog",
 ]
 
 
