@@ -10972,3 +10972,60 @@ FROM d ORDER BY t
 
 _EXTRA_QUERIES["orders_backlog"] = q_orders_backlog
 _EXTRA_ORACLES["orders_backlog"] = Q_ORDERS_BACKLOG_SQL
+
+
+def q_events_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust outlier hours per event type (operators/
+    forecast.py: robust_anomaly, k=3) over the hourly count series —
+    the spike detector one huge outlier cannot mask.  Division-free
+    exact integer comparison; two bounded rank windows."""
+    from picogeojson_spark.operators.forecast import robust_anomaly
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 3600000000").cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    return robust_anomaly(
+        hourly, key_col="event_type", t_col="hour_id",
+        v_col="n_events", k=3,
+    ).orderBy("key", "t")
+
+
+Q_EVENTS_ANOMALY_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+r1 AS (
+  SELECT key, t, v,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS _r,
+         COUNT(*) OVER (PARTITION BY key) AS _n
+  FROM hourly),
+med AS (
+  SELECT key, CAST(MIN(CASE WHEN _r = (_n + 1) // 2 THEN v END)
+                   AS BIGINT) AS med
+  FROM r1 GROUP BY key),
+dev AS (
+  SELECT h.key, h.t, h.v, m.med, abs(h.v - m.med) AS _dev
+  FROM hourly h JOIN med m ON h.key = m.key),
+r2 AS (
+  SELECT key, _dev,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY _dev) AS _r,
+         COUNT(*) OVER (PARTITION BY key) AS _n
+  FROM dev),
+mad AS (
+  SELECT key, CAST(MIN(CASE WHEN _r = (_n + 1) // 2 THEN _dev END)
+                   AS BIGINT) AS mad
+  FROM r2 GROUP BY key)
+SELECT d.key, d.t, d.v, d.med, md.mad
+FROM dev d JOIN mad md ON d.key = md.key
+WHERE d._dev > 3 * md.mad
+ORDER BY d.key, d.t
+"""
+
+_EXTRA_QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
+_EXTRA_ORACLES["events_anomaly_mad"] = Q_EVENTS_ANOMALY_MAD_SQL

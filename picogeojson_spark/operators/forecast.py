@@ -339,3 +339,50 @@ def markov_stationary(trans: DataFrame, rounds: int = 6,
         F.expr("cast(div(mass, {}) as bigint)".format(int(scale) // 10**6))
         .alias("p_ppm"),
     )
+
+
+def robust_anomaly(df: DataFrame, key_col: str = "key",
+                   t_col: str = "t", v_col: str = "v",
+                   k: int = 5) -> DataFrame:
+    """Median/MAD outlier detection per key — the robust complement to
+    the trailing-mean spike detector (`events_anomaly`): a point is
+    anomalous when ``|x - median| > k * MAD`` (both the median and the
+    MAD are the exact DISCRETE medians — `group_quantiles`' p50
+    position math, ``pos = ceil(n/2)`` — so every quantity is an
+    integer drawn from the data and the comparison needs no division
+    at all).  Unlike mean/stddev rules, one huge spike cannot mask
+    another.  When MAD = 0 (a majority-constant series) any nonzero
+    deviation flags (documented fallback).  Returns only the flagged
+    rows: ``(key, t, v, med, mad)``.
+
+    Scale shape: expects the BOUNDED per-key rollup series (the
+    `autocorrelation` contract); two rank-window passes (values, then
+    deviations) and two key-bounded equi-joins, all on
+    hashpartitioning(key) exchanges of that bounded table.
+    """
+    from pyspark.sql import Window
+
+    def _median(frame, col, out):
+        w = Window.partitionBy("key").orderBy(col)
+        ranked = frame.select(
+            "key", F.col(col),
+            F.row_number().over(w).alias("_r"),
+            F.count("*").over(Window.partitionBy("key")).alias("_n"),
+        )
+        return ranked.groupBy("key").agg(
+            F.min(F.when(F.expr("_r = (_n + 1) div 2"), F.col(col)))
+            .cast("long").alias(out))
+
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("v"))
+    med = _median(base, "v", "med")
+    dev = base.join(med, on="key").select(
+        "key", "t", "v", "med",
+        F.abs(F.col("v") - F.col("med")).alias("_dev"))
+    mad = _median(dev, "_dev", "mad")
+    return (
+        dev.join(mad, on="key")
+        .filter((F.col("_dev") > F.lit(int(k)) * F.col("mad")))
+        .select("key", "t", "v", "med", "mad")
+    )
