@@ -11029,3 +11029,43 @@ ORDER BY d.key, d.t
 
 _EXTRA_QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
 _EXTRA_ORACLES["events_anomaly_mad"] = Q_EVENTS_ANOMALY_MAD_SQL
+
+
+def q_table_abc(spark, sf_dir):
+    """ABC/Pareto classification of parts by revenue (operators/
+    olap.py: abc_classes): the 80-15-5 inventory cut in exact
+    cross-multiplied integers.  Corpus work is one map-side-combined
+    part-revenue rollup; the rank/cumsum windows run over that
+    dimension-sized table."""
+    from picogeojson_spark.operators.olap import abc_classes
+
+    rev = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("key")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long")
+        .alias("v"))
+    return abc_classes(rev).orderBy("rnk")
+
+
+Q_TABLE_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS key,
+         CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS v
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT key, v,
+         CAST(ROW_NUMBER() OVER (ORDER BY v DESC, key ASC)
+              AS BIGINT) AS rnk,
+         CAST(SUM(v) OVER (ORDER BY v DESC, key ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(v) OVER () AS BIGINT) AS total
+  FROM rev)
+SELECT key, v, rnk, cum,
+       CASE WHEN (cum - v) * 100 < 80 * total THEN 'A'
+            WHEN (cum - v) * 100 < 95 * total THEN 'B'
+            ELSE 'C' END AS cls
+FROM ranked ORDER BY rnk
+"""
+
+_EXTRA_QUERIES["table_abc"] = q_table_abc
+_EXTRA_ORACLES["table_abc"] = Q_TABLE_ABC_SQL
