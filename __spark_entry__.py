@@ -11069,3 +11069,100 @@ FROM ranked ORDER BY rnk
 
 _EXTRA_QUERIES["table_abc"] = q_table_abc
 _EXTRA_ORACLES["table_abc"] = Q_TABLE_ABC_SQL
+
+
+def q_eval_lift(spark, sf_dir):
+    """Cumulative gains / decile-lift table (operators/evals.py:
+    gains_table): rank-by-score-desc cut into 10 equal-population
+    buckets computed from the score HISTOGRAM (one corpus aggregate;
+    rank/total windows over the bounded histogram, never over rows —
+    the auc_exact discipline); tie groups never straddle buckets so
+    the cut is deterministic; lift/capture/depth in exact ppm."""
+    from picogeojson_spark.operators.evals import gains_table
+
+    return gains_table(_eval_scored(spark, sf_dir), k=10).orderBy("bucket")
+
+
+Q_EVAL_LIFT_SQL = """
+WITH sc AS ({scored}),
+hist AS (
+  SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM sc GROUP BY score),
+r AS (
+  SELECT s, n, n1,
+         CAST(SUM(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) - n
+              AS BIGINT) AS above,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(n1) OVER () AS BIGINT) AS p_tot
+  FROM hist),
+g AS (
+  SELECT CAST(above * 10 // n_tot AS INT) AS bucket,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(n1) AS BIGINT) AS pos,
+         MAX(n_tot) AS n_tot, MAX(p_tot) AS p_tot
+  FROM r GROUP BY 1),
+c AS (
+  SELECT bucket, n_rows, pos,
+         CAST(SUM(n_rows) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rows,
+         CAST(SUM(pos) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_pos,
+         n_tot, p_tot
+  FROM g)
+SELECT bucket, n_rows, pos, cum_rows, cum_pos,
+       CAST(cum_rows * 1000000 // n_tot AS BIGINT) AS depth_ppm,
+       CAST(CASE WHEN p_tot > 0 THEN cum_pos * 1000000 // p_tot END
+            AS BIGINT) AS capture_ppm,
+       CAST(CASE WHEN p_tot > 0
+                 THEN cum_pos * n_tot * 1000000 // (cum_rows * p_tot) END
+            AS BIGINT) AS lift_ppm
+FROM c ORDER BY bucket
+""".format(scored=_EVAL_SCORED_SQL)
+
+_EXTRA_QUERIES["eval_lift"] = q_eval_lift
+_EXTRA_ORACLES["eval_lift"] = Q_EVAL_LIFT_SQL
+
+
+def q_eval_brier(spark, sf_dir):
+    """Brier score + skill vs climatology (operators/evals.py:
+    brier_score): the proper-scoring companion to AUC — exact integer
+    sum of squared milli-probability errors, scaled divisions in
+    decimal(38,0), negative skill via the explicit floor spelling; the
+    corpus collapses in ONE map-side-combined aggregate."""
+    from picogeojson_spark.operators.evals import brier_score
+
+    p = _eval_scored(spark, sf_dir).select(
+        F.expr("least(1000L, score * 16)").alias("p"), "label")
+    return brier_score(p, scale=1000)
+
+
+Q_EVAL_BRIER_SQL = """
+WITH sc AS ({scored}),
+pr AS (
+  SELECT greatest(0, least(1000, score * 16)) AS p,
+         CASE WHEN label THEN 1000 ELSE 0 END AS ys
+  FROM sc),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ys > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM((p - ys) * (p - ys)) AS BIGINT) AS ssq
+  FROM pr),
+nd AS (
+  SELECT n, pos, ssq,
+         1000000 * pos * (n - pos) AS refp,
+         1000000 * (1000000 * pos * (n - pos) - ssq * n) AS num
+  FROM g)
+SELECT n, pos, ssq,
+       CAST(CASE WHEN n > 0 THEN ssq * 1000000 // (n * 1000000) END
+            AS BIGINT) AS brier_ppm,
+       CAST(CASE WHEN refp <> 0
+                 THEN ((num) - (((num) % refp + refp) % refp)) // refp
+            END AS BIGINT) AS skill_ppm
+FROM nd
+""".format(scored=_EVAL_SCORED_SQL)
+
+_EXTRA_QUERIES["eval_brier"] = q_eval_brier
+_EXTRA_ORACLES["eval_brier"] = Q_EVAL_BRIER_SQL

@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "table_drift_chi2",
     "text_code_detect",
     "orders_backlog",
+    # sixth-session additions
+    "eval_lift",
+    "eval_brier",
 ]
 
 

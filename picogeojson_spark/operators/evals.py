@@ -486,3 +486,158 @@ def mcc_signed(df: DataFrame, label_col: str = "label",
             " as bigint) END".format(n=num, d=den)
         ).alias("mcc2_signed_ppm"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    k: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cumulative gains / decile-lift table — the campaign-targeting and
+    quality-threshold read after an AUC: rank rows by score DESC, cut
+    into ``k`` equal-population buckets, and report per-bucket and
+    cumulative capture.  One row per NON-EMPTY bucket:
+    ``(bucket, n_rows, pos, cum_rows, cum_pos, depth_ppm, capture_ppm,
+    lift_ppm)`` with
+
+        lift_ppm    = floor(1e6 * cum_pos * n_total / (cum_rows * pos_total))
+        capture_ppm = floor(1e6 * cum_pos / pos_total)
+        depth_ppm   = floor(1e6 * cum_rows / n_total)
+
+    Ties never straddle buckets: every row of a tied score group lands
+    in the bucket of the group's FIRST row (``bucket = floor(k *
+    rows_strictly_above / n_total)``), so the cut is deterministic under
+    any row order — the ntile-over-rows spelling is not.  All operands
+    are non-negative, so floor = both engines' truncating division;
+    products run in decimal(38,0) (``cum_pos * n_total * 1e6`` passes
+    int64 at ~3e3 rows).  ``lift_ppm`` / ``capture_ppm`` are NULL when
+    the corpus has no positives.
+
+    Scale shape: the auc_exact discipline — ONE corpus-sized map-side
+    combined aggregate to the score histogram; the rank and total
+    windows run over that bounded histogram (never over rows), then a
+    k-sized rollup + k-sized cumulative window.  Never a global row
+    sort, no ntile, no python.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    lbl = F.col(label_col).cast("boolean")
+    hist = (
+        df.select(F.col(score_col).alias("s"), lbl.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long")
+            .alias("n1"),
+        )
+    )
+    # rank + total windows over the HISTOGRAM (score-cardinality-bounded)
+    wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = hist.select(
+        "s", "n", "n1",
+        (F.sum("n").over(wdesc) - F.col("n")).cast("long").alias("above"),
+        F.sum("n").over(wall).cast("long").alias("n_tot"),
+        F.sum("n1").over(wall).cast("long").alias("p_tot"),
+    )
+    buckets = (
+        ranked.select(
+            F.expr("cast(div(above * {k}L, n_tot) as int)".format(k=int(k)))
+            .alias("bucket"),
+            "n", "n1", "n_tot", "p_tot",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("n1").cast("long").alias("pos"),
+            F.max("n_tot").alias("n_tot"),
+            F.max("p_tot").alias("p_tot"),
+        )
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bucket", "n_rows", "pos",
+        F.sum("n_rows").over(wb).cast("long").alias("cum_rows"),
+        F.sum("pos").over(wb).cast("long").alias("cum_pos"),
+        "n_tot", "p_tot",
+    )
+    return cum.select(
+        "bucket", "n_rows", "pos", "cum_rows", "cum_pos",
+        F.expr("cast(div(cast(cum_rows as decimal(38,0)) * 1000000,"
+               " n_tot) as bigint)").alias("depth_ppm"),
+        F.when(F.col("p_tot") > 0,
+               F.expr("cast(div(cast(cum_pos as decimal(38,0)) * 1000000,"
+                      " p_tot) as bigint)"))
+        .alias("capture_ppm"),
+        F.when(F.col("p_tot") > 0,
+               F.expr("cast(div(cast(cum_pos as decimal(38,0)) * n_tot"
+                      " * 1000000, cast(cum_rows as decimal(38,0))"
+                      " * p_tot) as bigint)"))
+        .alias("lift_ppm"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    scale: int = 1000,
+    prob_col: str = "p",
+    label_col: str = "label",
+) -> DataFrame:
+    """Brier score + skill vs climatology for probabilistic predictions
+    — the proper-scoring companion to the AUC/calibration pair (AUC is
+    rank-only; Brier charges miscalibrated CONFIDENCE).  ``prob_col``
+    is an integer probability in ``[0, scale]`` (out-of-range values
+    clamp); output is ONE row ``(n, pos, ssq, brier_ppm, skill_ppm)``:
+
+        brier_ppm = floor(1e6 * sum((p - y*scale)^2) / (n * scale^2))
+        skill_ppm = floor(1e6 * (scale^2*pos*neg - ssq*n)
+                          / (scale^2*pos*neg))
+
+    ``skill_ppm`` is the Brier skill score vs always-predicting the
+    base rate (1e6 = perfect, 0 = no better than climatology, negative
+    = worse); it is NULL for a one-class corpus (reference score 0).
+    The numerator goes negative, so the scaled division uses the
+    explicit floor spelling ``div(v - pmod(v, m), m)`` (Spark div
+    truncates toward zero — CLAUDE.md); products run in decimal(38,0).
+    Exactness bound: ``ssq`` accumulates in int64 — safe while
+    ``n * scale^2`` <= ~9.2e18 (1e9 rows at the default milli scale is
+    1e15).
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to four counters; everything after is 1-row codegen.  No join, no
+    window, no python.
+    """
+    if scale < 1:
+        raise ValueError("need scale >= 1")
+    p = F.expr("greatest(0L, least({s}L, cast({c} as long)))".format(
+        s=int(scale), c=prob_col))
+    y = F.col(label_col).cast("boolean")
+    g = df.select(
+        p.alias("_p"),
+        F.when(y, F.lit(int(scale))).otherwise(F.lit(0)).cast("long")
+        .alias("_ys"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("cast(_ys > 0 as long)")).cast("long").alias("pos"),
+        F.sum(F.expr("(_p - _ys) * (_p - _ys)")).cast("long").alias("ssq"),
+    )
+    s2 = int(scale) * int(scale)
+    num = ("(cast(1000000 as decimal(38,0)) * ({s2} *"
+           " cast(pos as decimal(38,0)) * (n - pos)"
+           " - cast(ssq as decimal(38,0)) * n))").format(s2=s2)
+    den = ("({s2} * cast(pos as decimal(38,0)) * (n - pos))"
+           .format(s2=s2))
+    return g.select(
+        "n", "pos", "ssq",
+        F.when(F.col("n") > 0,
+               F.expr("cast(div(cast(ssq as decimal(38,0)) * 1000000,"
+                      " cast(n as decimal(38,0)) * {s2}) as bigint)"
+                      .format(s2=s2)))
+        .alias("brier_ppm"),
+        F.expr(
+            "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
+            " as bigint) END".format(v=num, d=den)).alias("skill_ppm"),
+    )
