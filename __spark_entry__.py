@@ -11166,3 +11166,92 @@ FROM nd
 
 _EXTRA_QUERIES["eval_brier"] = q_eval_brier
 _EXTRA_ORACLES["eval_brier"] = Q_EVAL_BRIER_SQL
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Fano factor (index of dispersion) per event type over the hourly
+    count series (operators/forecast.py:dispersion_index) — the
+    burstiness companion to the runs test: Poisson ~1e6 ppm, bursty
+    above, clockwork below.  Zero-count hours enter through the exact
+    span closed form (never an explode of the span); ONE map-side
+    rollup + ONE per-key aggregate; pure-NTZ hour ids."""
+    from picogeojson_spark.operators.forecast import dispersion_index
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 3600000000").cast("long").alias("hour_id"),
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(
+        F.count("*").cast("long").alias("n_events"))
+    return dispersion_index(
+        hourly, key_col="event_type", t_col="hour_id", v_col="n_events",
+    ).orderBy("key")
+
+
+Q_EVENTS_BURSTINESS_SQL = """
+WITH hourly AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT key, CAST(MAX(t) - MIN(t) + 1 AS BIGINT) AS n_slots,
+         CAST(COUNT(*) AS BIGINT) AS nz_slots,
+         CAST(SUM(v) AS BIGINT) AS total,
+         SUM(v * v) AS svv
+  FROM hourly GROUP BY key)
+SELECT key, n_slots, nz_slots, total,
+       CAST(CASE WHEN total > 0 THEN
+         (1000000 * (n_slots * svv - total * total))
+         // (n_slots * total) END AS BIGINT) AS fano_ppm
+FROM g ORDER BY key
+"""
+
+_EXTRA_QUERIES["events_burstiness"] = q_events_burstiness
+_EXTRA_ORACLES["events_burstiness"] = Q_EVENTS_BURSTINESS_SQL
+
+
+def q_text_zipf(spark, sf_dir):
+    """Rank-frequency Zipf profile in doubling rank buckets
+    (operators/textstats.py:zipf_profile): floor(log2(rank)) computed
+    exactly as binary digit count (no float log); one tokenized explode
+    to ONE map-side-combined word aggregate, rank/bucket/total windows
+    all over the VOCAB-bounded frequency table."""
+    from picogeojson_spark.operators.textstats import zipf_profile
+
+    return zipf_profile(_t(spark, sf_dir, "documents")).orderBy("bucket")
+
+
+Q_TEXT_ZIPF_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+freq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w WHERE word <> '' GROUP BY 1),
+ranked AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC)
+                 AS BIGINT) AS rank
+  FROM freq),
+b AS (
+  SELECT CAST(length(bin(rank)) - 1 AS INT) AS bucket,
+         CAST(MIN(rank) AS BIGINT) AS rank_lo,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(n) AS BIGINT) AS tokens
+  FROM ranked GROUP BY 1),
+c AS (
+  SELECT bucket, rank_lo, n_types, tokens,
+         CAST(SUM(tokens) OVER () AS BIGINT) AS tot,
+         CAST(SUM(tokens) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM b)
+SELECT bucket, rank_lo, n_types, tokens,
+       CAST(tokens * 1000000 // tot AS BIGINT) AS share_ppm,
+       CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm
+FROM c ORDER BY bucket
+"""
+
+_EXTRA_QUERIES["text_zipf"] = q_text_zipf
+_EXTRA_ORACLES["text_zipf"] = Q_TEXT_ZIPF_SQL

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     # sixth-session additions
     "eval_lift",
     "eval_brier",
+    "events_burstiness",
+    "text_zipf",
 ]
 
 

@@ -386,3 +386,53 @@ def robust_anomaly(df: DataFrame, key_col: str = "key",
         .filter((F.col("_dev") > F.lit(int(k)) * F.col("mad")))
         .select("key", "t", "v", "med", "mad")
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    v_col: str = "v",
+) -> DataFrame:
+    """Fano factor (index of dispersion) per key over a slotted count
+    series — the burstiness diagnostic that complements the runs test:
+    a Poisson arrival stream reads ~1e6 ppm, clumped/bursty traffic
+    reads above, clockwork-regular traffic below.  Input rows are
+    ``(key, t, v)`` with ``t`` an integer slot id and ``v`` the slot's
+    event count; SLOTS WITH ZERO EVENTS NEED NO ROW — the statistic is
+    computed over the key's full observed span ``[min t, max t]``, with
+    missing slots entering as exact zeros through the closed form
+    (never an explode of the span):
+
+        n         = max(t) - min(t) + 1        (span slots)
+        fano_ppm  = floor(1e6 * (n*svv - sv^2) / (n * sv))
+
+    where ``sv``/``svv`` are the sum and sum-of-squares of the present
+    values (zero slots contribute 0 to both; the n*m^2 mean-shift term
+    in the variance identity accounts for them exactly).  The numerator
+    is non-negative by Cauchy-Schwarz over the n slots, so plain
+    truncating division is the floor on both engines.  ``fano_ppm`` is
+    NULL when the key has zero total mass.  Sums run in decimal(38,0)
+    (svv passes int64 only up to ~3e9 per-slot counts).
+
+    Output: ``(key, n_slots, nz_slots, total, fano_ppm)``.
+
+    Scale shape: ONE map-side-combined per-key aggregate collapses the
+    (already slot-rolled) series; the ratio is pure codegen on the
+    key-bounded rollup.  No window, no join, no python.
+    """
+    v = F.col(v_col).cast("decimal(38,0)")
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        (F.max(t_col) - F.min(t_col) + 1).cast("long").alias("n_slots"),
+        F.count("*").cast("long").alias("nz_slots"),
+        F.sum(v).alias("_sv"),
+        F.sum(v * v).alias("_svv"),
+    )
+    return g.select(
+        "key", "n_slots", "nz_slots",
+        F.col("_sv").cast("long").alias("total"),
+        F.when(F.col("_sv") > 0,
+               F.expr("cast(div(1000000 * (n_slots * _svv - _sv * _sv),"
+                      " cast(n_slots as decimal(38,0)) * _sv) as bigint)"))
+        .alias("fano_ppm"),
+    )

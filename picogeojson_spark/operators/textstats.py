@@ -1026,3 +1026,67 @@ def code_signals(docs: DataFrame, id_col: str = "doc_id",
         dig_ppm.alias("digit_ppm"),
         (sym_ppm >= F.lit(int(sym_threshold_ppm))).alias("is_code"),
     )
+
+
+def zipf_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rank-frequency (Zipf) profile of the corpus vocabulary in
+    doubling rank buckets — the log-free power-law read: bucket b holds
+    the words with frequency rank in ``[2^b, 2^(b+1))`` (rank by
+    frequency DESC, word ASC for determinism), and under Zipf's law
+    with exponent ~1 each bucket carries roughly constant token mass.
+    A corpus whose head buckets dwarf the tail is boilerplate/templated;
+    a flat-by-types profile is random-ish spam.  Output, one row per
+    non-empty bucket:
+
+        bucket        floor(log2(rank))  (0, 1, 2, ...)
+        rank_lo       smallest rank in the bucket (= 2^bucket)
+        n_types       distinct words in the bucket
+        tokens        total occurrences of those words
+        share_ppm     floor(1e6 * tokens / corpus tokens)
+        cum_share_ppm floor(1e6 * cumulative tokens / corpus tokens)
+
+    ``floor(log2(rank))`` is computed exactly as ``length(bin(rank))-1``
+    — binary digit count, no float log (both engines print minimal
+    binary, probed).
+
+    Scale shape: the vocab_stats discipline — one tokenized explode
+    feeds ONE map-side-combined word aggregate; the rank window, bucket
+    rollup, and total/cumulative windows all run over the VOCAB-bounded
+    frequency table (documented contract: vocabularies are bounded;
+    corpus-cardinality keys do not belong here).  Never a global sort
+    of token occurrences.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    words = (
+        docs.select(F.explode(F.split(t, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    freq = words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = freq.select(
+        "n",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).select(
+        "n", "rank",
+        (F.length(F.bin(F.col("rank"))) - 1).cast("int").alias("bucket"),
+    )
+    g = ranked.groupBy("bucket").agg(
+        F.min("rank").cast("long").alias("rank_lo"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("tokens"),
+    )
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return g.select(
+        "bucket", "rank_lo", "n_types", "tokens",
+        F.sum("tokens").over(wall).cast("long").alias("_tot"),
+        F.sum("tokens").over(wcum).cast("long").alias("_cum"),
+    ).select(
+        "bucket", "rank_lo", "n_types", "tokens",
+        F.expr("cast(div(cast(tokens as decimal(38,0)) * 1000000, _tot)"
+               " as bigint)").alias("share_ppm"),
+        F.expr("cast(div(cast(_cum as decimal(38,0)) * 1000000, _tot)"
+               " as bigint)").alias("cum_share_ppm"),
+    )
