@@ -11255,3 +11255,138 @@ FROM c ORDER BY bucket
 
 _EXTRA_QUERIES["text_zipf"] = q_text_zipf
 _EXTRA_ORACLES["text_zipf"] = Q_TEXT_ZIPF_SQL
+
+
+def q_table_fd(spark, sf_dir):
+    """Functional-dependency discovery (operators/profile.py:
+    fd_profile): candidate (det, dep) pairs over orders — key FDs hold
+    exactly, non-key candidates report g3 error (min rows to delete,
+    Kivinen-Mannila) in exact ppm.  Per candidate ONE map-side-combined
+    (det, dep) aggregate + bounded rollups; NULL det is its own group
+    (documented)."""
+    from picogeojson_spark.operators.profile import fd_profile
+
+    return fd_profile(
+        _t(spark, sf_dir, "orders"),
+        [("o_orderkey", "o_custkey"),
+         ("o_custkey", "o_orderpriority"),
+         ("o_orderpriority", "o_orderstatus")],
+    ).orderBy("det", "dep")
+
+
+_FD_BLOCK_SQL = """
+SELECT '{det}' AS det, '{dep}' AS dep,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(rows_ - plur) AS BIGINT) AS g3_rows,
+       CAST(SUM(rows_) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN SUM(rows_) > 0 THEN
+         SUM(rows_ - plur) * 1000000 // SUM(rows_) END AS BIGINT)
+         AS error_ppm,
+       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT _d, CAST(SUM(n) AS BIGINT) AS rows_,
+         CAST(COUNT(*) AS BIGINT) AS ndep,
+         CAST(MAX(n) AS BIGINT) AS plur
+  FROM (SELECT {det} AS _d, {dep} AS _v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2)
+  GROUP BY _d)
+"""
+
+Q_TABLE_FD_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _FD_BLOCK_SQL.format(det=d, dep=p) for d, p in [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ])
+    + ") ORDER BY det, dep"
+)
+
+_EXTRA_QUERIES["table_fd"] = q_table_fd
+_EXTRA_ORACLES["table_fd"] = Q_TABLE_FD_SQL
+
+
+def q_web_url_templates(spark, sf_dir):
+    """Structural URL templating (operators/web.py:url_templates): the
+    site-map read that collapses digit-bearing paths into patterns.
+    URLs are synthesized deterministically from doc_id (four path
+    shapes, www/query variants) so the oracle can re-derive every
+    template ARITHMETICALLY — the hash equality proves the operator's
+    whole regex parse/mask chain against ground truth.  Two-level
+    exact-distinct aggregate; host-total + rank windows share one
+    exchange; WindowGroupLimit top-k."""
+    from picogeojson_spark.operators.web import url_templates
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 4 == 0,
+               F.concat(F.lit("/p"), (did % 11).cast("string")))
+        .when(did % 4 == 1,
+              F.concat(F.lit("/article/"), (did % 997).cast("string"),
+                       F.lit("/view")))
+        .when(did % 4 == 2,
+              F.concat(F.lit("/s"), (did % 5).cast("string"),
+                       F.lit("/item"), (did % 97).cast("string")))
+        .otherwise(F.lit("/about"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (did % 7).cast("string"), F.lit(".com"),
+        path,
+        F.when(did % 4 == 0,
+               F.concat(F.lit("?page="), (did % 13).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return url_templates(d.select(url.alias("url")), top_k=3).orderBy(
+        "host", "rnk")
+
+
+Q_WEB_URL_TEMPLATES_SQL = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '/p{n}'
+           WHEN 1 THEN '/article/{n}/view'
+           WHEN 2 THEN '/s{n}/item{n}'
+           ELSE '/about' END AS template,
+         'https://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+           || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+           || CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN '/p' || CAST(doc_id % 11 AS VARCHAR)
+                WHEN 1 THEN '/article/' || CAST(doc_id % 997 AS VARCHAR)
+                            || '/view'
+                WHEN 2 THEN '/s' || CAST(doc_id % 5 AS VARCHAR)
+                            || '/item' || CAST(doc_id % 97 AS VARCHAR)
+                ELSE '/about' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN '?page=' || CAST(doc_id % 13 AS VARCHAR)
+                   ELSE '' END AS url
+  FROM documents),
+pu AS (
+  SELECT host, template, url, CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2, 3),
+pt AS (
+  SELECT host, template, CAST(SUM(n) AS BIGINT) AS n_pages,
+         CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM pu GROUP BY 1, 2),
+r AS (
+  SELECT host, template, n_pages, n_urls,
+         CAST(SUM(n_pages) OVER (PARTITION BY host) AS BIGINT) AS tot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                 ORDER BY n_pages DESC, template ASC)
+              AS INT) AS rnk
+  FROM pt)
+SELECT host, template, n_pages, n_urls,
+       CAST(n_pages * 1000000 // tot AS BIGINT) AS share_ppm, rnk
+FROM r WHERE rnk <= 3 ORDER BY host, rnk
+"""
+
+_EXTRA_QUERIES["web_url_templates"] = q_web_url_templates
+_EXTRA_ORACLES["web_url_templates"] = Q_WEB_URL_TEMPLATES_SQL

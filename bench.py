@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "eval_brier",
     "events_burstiness",
     "text_zipf",
+    "table_fd",
+    "web_url_templates",
 ]
 
 

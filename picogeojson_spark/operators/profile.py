@@ -203,3 +203,68 @@ def equi_width_histogram(df: DataFrame, key_col: str = "key",
         ).cast("long").alias("bin_hi"),
         "cnt",
     )
+
+
+def fd_profile(df: DataFrame, candidates) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the schema-inference / data-quality read ("is url -> host exact?
+    how dirty is custkey -> nation?"): for each candidate ``(det, dep)``
+    report whether ``det`` functionally determines ``dep`` and the g3
+    error (the minimum number of rows to delete to make the FD hold —
+    Kivinen & Mannila's measure).  One output row per candidate:
+
+        det, dep           the candidate pair (column names)
+        n_groups           distinct det values
+        violating_groups   det values mapping to >1 distinct dep
+        g3_rows            sum over groups of (group rows - plurality)
+        n_rows             total rows scanned
+        error_ppm          floor(1e6 * g3_rows / n_rows)
+        holds              violating_groups == 0
+
+    NULL semantics: a NULL det is its own group and a NULL dep is a
+    value (both engines' GROUP BY equality) — documented, matching the
+    expectations-module convention.
+
+    Scale shape: per candidate, the corpus collapses in ONE map-side
+    combined (det, dep) aggregate; the per-det rollup and the 1-row
+    final aggregate run on the (det x dep)-bounded table.  Candidates
+    are a bounded config list; their result rows union lazily.  No
+    windows, no joins, no python.
+    """
+    if not candidates:
+        raise ValueError("need at least one (det, dep) candidate")
+    outs = []
+    for det, dep in candidates:
+        cells = (
+            df.groupBy(F.col(det).alias("_d"), F.col(dep).alias("_v"))
+            .agg(F.count("*").cast("long").alias("_n"))
+        )
+        per_det = cells.groupBy("_d").agg(
+            F.sum("_n").cast("long").alias("_rows"),
+            F.count("*").cast("long").alias("_ndep"),
+            F.max("_n").cast("long").alias("_plur"),
+        )
+        outs.append(per_det.agg(
+            F.lit(det).alias("det"),
+            F.lit(dep).alias("dep"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("_ndep") > 1, 1).otherwise(0)),
+                F.lit(0)).cast("long").alias("violating_groups"),
+            F.coalesce(F.sum(F.col("_rows") - F.col("_plur")),
+                       F.lit(0)).cast("long").alias("g3_rows"),
+            F.coalesce(F.sum("_rows"), F.lit(0)).cast("long")
+            .alias("n_rows"),
+        ).select(
+            "det", "dep", "n_groups", "violating_groups", "g3_rows",
+            "n_rows",
+            F.when(F.col("n_rows") > 0,
+                   F.expr("cast(div(cast(g3_rows as decimal(38,0))"
+                          " * 1000000, n_rows) as bigint)"))
+            .alias("error_ppm"),
+            (F.col("violating_groups") == 0).alias("holds"),
+        ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

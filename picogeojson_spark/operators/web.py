@@ -663,3 +663,70 @@ def crawl_schedule(
         "slot_ms",
         ((F.row_number().over(w) - 1) * F.col("delay_ms")).cast("long"),
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    top_k: int = 5,
+) -> DataFrame:
+    """Structural URL templating — the crawl-frontier/site-map read that
+    collapses ``/article/482/view`` and ``/article/9171/view`` into one
+    pattern: per host, mask every digit run in the path with ``{n}``
+    and rank the resulting templates by page count.  Output, the top
+    ``top_k`` templates per host:
+
+        host         lowercased, ``www.`` and port stripped
+        template     query-stripped path with ``[0-9]+ -> {n}``
+                     (``'/'`` when the URL has no path)
+        n_pages      rows carrying the template
+        n_urls       DISTINCT urls carrying it (recrawl-dedup)
+        share_ppm    floor(1e6 * n_pages / host pages)  (pre-cut total)
+        rnk          1-based rank within host (pages DESC, template ASC)
+
+    Hex/uuid ids with letters do NOT mask (documented: digit runs only
+    — locale-free, engine-portable regex).
+
+    Scale shape: the corpus collapses in ONE map-side-combined
+    (host, template, url) aggregate (the exact-distinct two-level
+    spelling — never countDistinct over raw rows), then a
+    (host, template) rollup; the host-total window and the rank window
+    share the template table's hashpartitioning(host) exchange, and the
+    top-k filter is a WindowGroupLimit.  No python, no cross join.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("need top_k >= 1")
+    _, host, _, pathq = url_parts(F.col(url_col))
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(pathq, r"\?.*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tpl = F.regexp_replace(path, "[0-9]+", "{n}")
+    per_url = (
+        pages.select(host_n.alias("host"), tpl.alias("template"),
+                     F.col(url_col).alias("_u"))
+        .groupBy("host", "template", "_u")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    per_tpl = per_url.groupBy("host", "template").agg(
+        F.sum("_n").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_urls"),
+    )
+    wh = Window.partitionBy("host")
+    wr = Window.partitionBy("host").orderBy(
+        F.col("n_pages").desc(), F.col("template").asc())
+    return (
+        per_tpl.select(
+            "host", "template", "n_pages", "n_urls",
+            F.sum("n_pages").over(wh).cast("long").alias("_tot"),
+            F.row_number().over(wr).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= int(top_k))
+        .select(
+            "host", "template", "n_pages", "n_urls",
+            F.expr("cast(div(cast(n_pages as decimal(38,0)) * 1000000,"
+                   " _tot) as bigint)").alias("share_ppm"),
+            "rnk",
+        )
+    )
