@@ -11390,3 +11390,106 @@ FROM r WHERE rnk <= 3 ORDER BY host, rnk
 
 _EXTRA_QUERIES["web_url_templates"] = q_web_url_templates
 _EXTRA_ORACLES["web_url_templates"] = Q_WEB_URL_TEMPLATES_SQL
+
+
+def q_graph_closeness(spark, sf_dir):
+    """Bounded-hop closeness centrality for a seed sample (operators/
+    graph.py:closeness_sample): per-seed BFS waves carried as
+    (seed, node) frontier pairs — landmark centrality (Eppstein-Wang
+    style, md5-free hash sample) with within-reach closeness and exact
+    integer harmonic centrality.  Frontier-only equi-joins per round
+    against the persisted symmetric co-occurrence edge table; the
+    oracle unrolls the identical per-seed layer expansion."""
+    from picogeojson_spark.operators.graph import closeness_sample, \
+        cooccurrence_edges
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    seeds = (
+        edges.select(F.col("u").alias("seed"))
+        .union(edges.select(F.col("v").alias("seed")))
+        .distinct()
+        .filter(F.col("seed") % 97 == 0)
+    )
+    return closeness_sample(edges, seeds, max_hops=3).orderBy("seed")
+
+
+def _q_graph_closeness_sql(max_hops=3):
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+s AS MATERIALIZED (
+  SELECT DISTINCT u AS seed FROM e WHERE u % 97 = 0),
+d0 AS MATERIALIZED (
+  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS hops FROM s),
+f0 AS MATERIALIZED (SELECT seed, node FROM d0)"""]
+    for i in range(1, max_hops + 1):
+        parts.append("""
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT f.seed, e.v AS node
+  FROM f{j} f JOIN e ON e.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM d{j} d
+                    WHERE d.seed = f.seed AND d.node = e.v)),
+d{i} AS MATERIALIZED (
+  SELECT seed, node, hops FROM d{j}
+  UNION ALL SELECT seed, node, CAST({i} AS BIGINT) AS hops FROM f{i})"""
+                     .format(i=i, j=i - 1))
+    parts.append("""
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS reached,
+       CAST(SUM(hops) AS BIGINT) AS sum_hops,
+       CAST(CASE WHEN SUM(hops) > 0 THEN
+         (COUNT(*) - 1) * 1000000 // SUM(hops) END AS BIGINT)
+         AS closeness_ppm,
+       CAST(SUM(CASE WHEN hops > 0 THEN 1000000 // hops ELSE 0 END)
+            AS BIGINT) AS harmonic_x1e6
+FROM d{h} GROUP BY seed ORDER BY seed""".format(h=max_hops))
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+Q_GRAPH_CLOSENESS_SQL = _q_graph_closeness_sql()
+
+_EXTRA_QUERIES["graph_closeness"] = q_graph_closeness
+_EXTRA_ORACLES["graph_closeness"] = Q_GRAPH_CLOSENESS_SQL
+
+
+def q_embed_outliers(spark, sf_dir):
+    """Embedding-space outlier screen (operators/pca.py:
+    centroid_outliers): top-25 farthest vectors from the exact-floored
+    quantized centroid — curation read for mis-embedded docs.  Centroid
+    is a d-bounded aggregate packed by a keys=[] global aggregate and
+    attached via the structural scalar attach; distances are JVM-side
+    HOF folds; top-k is TakeOrderedAndProject."""
+    from picogeojson_spark.operators.pca import centroid_outliers
+
+    return centroid_outliers(_t(spark, sf_dir, "embeddings"), k=25)
+
+
+Q_EMBED_OUTLIERS_SQL = """
+WITH q0 AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x
+  FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM q0),
+d AS (
+  SELECT i, CAST(SUM(xi) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY i),
+c AS (
+  SELECT i, ((s) - (((s) % n + n) % n)) // n AS cv FROM d),
+sc AS (
+  SELECT q.vec_id,
+         CAST(SUM((q.xi - c.cv) * (q.xi - c.cv)) AS BIGINT) AS dist2
+  FROM q JOIN c ON q.i = c.i GROUP BY q.vec_id)
+SELECT vec_id, dist2 FROM sc
+ORDER BY dist2 DESC, vec_id ASC LIMIT 25
+"""
+
+_EXTRA_QUERIES["embed_outliers"] = q_embed_outliers
+_EXTRA_ORACLES["embed_outliers"] = Q_EMBED_OUTLIERS_SQL

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "text_zipf",
     "table_fd",
     "web_url_templates",
+    "graph_closeness",
+    "embed_outliers",
 ]
 
 

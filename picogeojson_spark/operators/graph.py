@@ -1242,3 +1242,104 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         return out
     finally:
         e.unpersist()
+
+
+def closeness_sample(edges: DataFrame, seeds: DataFrame,
+                     max_hops: int = 4) -> DataFrame:
+    """Bounded-hop closeness centrality for a SEED SAMPLE — the
+    landmark-centrality read (which nodes sit in the core vs the
+    periphery) at the cost of |seeds| parallel BFS waves, not n.
+    For each seed, one row:
+
+        seed
+        reached        nodes within max_hops (including the seed)
+        sum_hops       sum of hop distances to those nodes
+        closeness_ppm  floor(1e6 * (reached-1) / sum_hops)
+                       (within-reach closeness; NULL when nothing
+                        else is reached)
+        harmonic_x1e6  sum over reached nodes of floor(1e6 / hops)
+                       (bounded-hop harmonic centrality — every term
+                        an exact integer, no global-n scalar needed)
+
+    Bounded-hop is the contract (the bfs_hops justification): at web
+    scale full-diameter closeness is neither computable nor meaningful;
+    k-hop closeness over a deterministic seed sample is the standard
+    landmark substitute (Eppstein-Wang style, with a hash sample
+    playing the RNG).
+
+    Determinism: hop distances are unique per (seed, node), so both
+    outputs are pure functions of the edge/seed sets; the oracle
+    unrolls the identical per-seed layer expansion.
+
+    Scale shape: bfs_hops's frontier discipline carrying (seed, node)
+    pairs — per round ONE hash equi-join of the CURRENT frontier
+    against the persisted symmetric edge table, one distinct, one
+    anti-join against the visited set; one-round-late persist handoff;
+    early exit on an empty frontier.  Final rollup is ONE per-seed
+    aggregate.  Frontier volume is sum of per-seed reach — the
+    documented cost of sampling more landmarks.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .persist()
+    )
+    dist = (
+        seeds.select("seed").distinct()
+        .select("seed", F.col("seed").alias("node"),
+                F.lit(0).cast("long").alias("hops"))
+        .persist()
+    )
+    dist.count()
+    frontier = dist.select("seed", "node")
+    stale = []
+    try:
+        for h in range(1, max_hops + 1):
+            cand = (
+                sym.join(frontier.withColumnRenamed("node", "u"), on="u")
+                .select("seed", F.col("v").alias("node"))
+                .distinct()
+            )
+            new = (
+                cand.join(dist.select("seed", "node"),
+                          on=["seed", "node"], how="left_anti")
+                .withColumn("hops", F.lit(h).cast("long"))
+                .persist()
+            )
+            if new.count() == 0:
+                new.unpersist()
+                break
+            nxt = dist.union(new).persist()
+            nxt.count()
+            stale.append(dist)
+            stale.append(new)
+            if len(stale) > 4:
+                stale.pop(0).unpersist()
+                stale.pop(0).unpersist()
+            dist, frontier = nxt, new.select("seed", "node")
+        out = (
+            dist.groupBy("seed").agg(
+                F.count("*").cast("long").alias("reached"),
+                F.sum("hops").cast("long").alias("sum_hops"),
+                F.sum(F.when(F.col("hops") > 0,
+                             F.expr("div(1000000L, hops)"))
+                      .otherwise(F.lit(0))).cast("long")
+                .alias("harmonic_x1e6"),
+            ).select(
+                "seed", "reached", "sum_hops",
+                F.when(F.col("sum_hops") > 0,
+                       F.expr("cast(div((reached - 1) * 1000000L,"
+                              " sum_hops) as bigint)"))
+                .alias("closeness_ppm"),
+                "harmonic_x1e6",
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        sym.unpersist()
+        for df in stale:
+            df.unpersist()
+        dist.unpersist()
+    return out

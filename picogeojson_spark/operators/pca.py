@@ -97,3 +97,65 @@ def top_direction(vectors: DataFrame, rounds: int = 8,
             .localCheckpoint(eager=True)
         )
     return v.select(F.col("d").alias("i"), "v")
+
+
+def centroid_outliers(vectors: DataFrame, k: int = 20,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space outlier screen — the curation read that flags
+    mis-embedded / off-distribution documents: the ``k`` vectors
+    farthest (squared L2) from the corpus centroid, in the exact
+    quantized integer space (``q = floor(x * SCALE_Q)``, the module's
+    quantization discipline — float only in the per-value quantize,
+    never in an order-dependent aggregate).  The centroid uses the
+    explicit-floor per-dimension mean (off by < 1 quantum per dim from
+    the true mean — irrelevant for a screen, and exactly reproducible
+    on both engines).  Output: ``(vec_id, dist2)``, ``dist2`` the exact
+    integer squared distance, ordered farthest first (ties break on
+    vec_id).
+
+    Scale shape: the centroid is ONE posexplode + per-dim aggregate
+    (d-bounded) packed into a 1-row array by a keys=[] global aggregate
+    and attached via the sanctioned structural scalar attach; the
+    per-vector distance is a JVM-side higher-order fold whose lambdas
+    touch only their own lambda vars (the documented HOF-safe shape);
+    top-k is TakeOrderedAndProject (per-partition heaps, never a global
+    sort).  The corpus never shuffles.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    dims = vectors.select(
+        F.posexplode(F.col(vec_col)).alias("i0", "x"),
+    ).select(
+        F.col("i0").cast("int").alias("i"),
+        F.floor(F.col("x").cast("double") * SCALE_Q).cast("long")
+        .alias("xi"),
+    ).groupBy("i").agg(
+        F.sum("xi").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "i",
+        F.expr("cast(div(s - pmod(s, n), n) as bigint)").alias("c"),
+    )
+    cvec = dims.agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))),"
+               " p -> p.c)").alias("_cvec"))
+    from ._util import attach_scalar
+
+    scored = attach_scalar(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_v")),
+        cvec,
+    ).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with({v}, _cvec,"
+            " (x, y) -> (floor(cast(x as double) * {sq}) - y)"
+            "           * (floor(cast(x as double) * {sq}) - y)),"
+            " 0L, (acc, t) -> acc + t)".format(v="_v", sq=SCALE_Q))
+        .cast("long").alias("dist2"),
+    )
+    return (
+        scored.orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+        .limit(int(k))
+    )
