@@ -11493,3 +11493,93 @@ ORDER BY dist2 DESC, vec_id ASC LIMIT 25
 
 _EXTRA_QUERIES["embed_outliers"] = q_embed_outliers
 _EXTRA_ORACLES["embed_outliers"] = Q_EMBED_OUTLIERS_SQL
+
+
+def q_eval_regression(spark, sf_dir):
+    """Regression-model evaluation (operators/evals.py:
+    regression_metrics): exact integer MAE/SSE and division-free R^2
+    (negative-safe explicit floor, NULL on constant target) for a
+    deterministic length predictor.  ONE map-side-combined aggregate
+    to five counters; 1-row decimal codegen after."""
+    from picogeojson_spark.operators.evals import regression_metrics
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") + F.col("doc_id") % 21 - 10).cast("long")
+        .alias("pred"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    return regression_metrics(d)
+
+
+Q_EVAL_REGRESSION_SQL = """
+WITH sc AS (
+  SELECT n_chars + doc_id % 21 - 10 AS pred, n_chars AS y
+  FROM documents),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(abs(pred - y)) AS BIGINT) AS sae,
+         CAST(SUM((pred - y) * (pred - y)) AS BIGINT) AS sse,
+         SUM(y) AS sy, SUM(y * y) AS syy
+  FROM sc),
+nd AS (
+  SELECT n, sae, sse,
+         n * syy - sy * sy AS sst,
+         1000000 * ((n * syy - sy * sy) - n * sse) AS num
+  FROM g)
+SELECT n, sae, sse,
+       CAST(CASE WHEN n > 0 THEN sae * 1000 // n END AS BIGINT)
+         AS mae_x1000,
+       CAST(CASE WHEN sst <> 0
+                 THEN ((num) - (((num) % sst + sst) % sst)) // sst
+            END AS BIGINT) AS r2_ppm
+FROM nd
+"""
+
+_EXTRA_QUERIES["eval_regression"] = q_eval_regression
+_EXTRA_ORACLES["eval_regression"] = Q_EVAL_REGRESSION_SQL
+
+
+def q_graph_negsample(spark, sf_dir):
+    """Deterministic link-prediction negative sampling (operators/
+    graph.py:negative_sample): k=2 md5 draws per node over the
+    market-basket co-occurrence graph; real nodes only, self and true
+    edges excluded; fixed-trials (dropped collisions) so every row is
+    a pure function of (edges, k, salt).  |nodes| x k candidate table,
+    one semi-join + one anti-join; max_id via the structural scalar
+    attach.  The oracle replays the identical md5 picks."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, \
+        negative_sample
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return negative_sample(edges, k=2, salt="ns0").orderBy("u", "j")
+
+
+Q_GRAPH_NEGSAMPLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)),
+mx AS (SELECT MAX(node) AS m FROM nodes),
+cand AS (
+  SELECT n.node AS u, t.j,
+         CAST(('0x' || substring(md5(
+           'ns0:' || CAST(n.node AS VARCHAR)
+           || ':' || CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (mx.m + 1) AS neg
+  FROM nodes n, mx, (SELECT unnest(range(0, 2)) AS j) t)
+SELECT u, CAST(j AS INT) AS j, CAST(neg AS BIGINT) AS neg
+FROM cand
+WHERE neg IN (SELECT node FROM nodes)
+  AND neg <> u
+  AND NOT EXISTS (SELECT 1 FROM e0
+                  WHERE (e0.u = cand.u AND e0.v = cand.neg)
+                     OR (e0.u = cand.neg AND e0.v = cand.u))
+ORDER BY u, j
+"""
+
+_EXTRA_QUERIES["graph_negsample"] = q_graph_negsample
+_EXTRA_ORACLES["graph_negsample"] = Q_GRAPH_NEGSAMPLE_SQL

@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "web_url_templates",
     "graph_closeness",
     "embed_outliers",
+    "eval_regression",
+    "graph_negsample",
 ]
 
 

@@ -641,3 +641,56 @@ def brier_score(
             "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
             " as bigint) END".format(v=num, d=den)).alias("skill_ppm"),
     )
+
+
+def regression_metrics(
+    df: DataFrame,
+    pred_col: str = "pred",
+    target_col: str = "y",
+) -> DataFrame:
+    """Regression-model evaluation over integer (pre-scaled) predictions
+    and targets — the quality-REGRESSOR companion to the classifier
+    evals (length predictors, quality scorers trained as regressions,
+    calibration-by-regression reads).  ONE row:
+
+        n, sae, sse      exact integer error sums (|e| and e^2)
+        mae_x1000        floor(1000 * sae / n)
+        r2_ppm           floor(1e6 * (sst_n - n*sse) / sst_n)  with
+                         sst_n = n*sum(y^2) - sum(y)^2  (n x the
+                         centered target variance — division-free)
+
+    R^2 is NEGATIVE when the model is worse than predicting the mean,
+    so the scaled division uses the explicit floor spelling; it is NULL
+    for a constant target (sst_n = 0).  Products run in decimal(38,0);
+    the int64 accumulation bound (n * max|e|^2 <= ~9.2e18) is the
+    module's documented contract.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to five counters; everything after is 1-row codegen.
+    """
+    p = F.col(pred_col).cast("long")
+    y = F.col(target_col).cast("long")
+    g = df.select(
+        (p - y).alias("_e"), y.alias("_y"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("_e"))).cast("long").alias("sae"),
+        F.sum(F.col("_e") * F.col("_e")).cast("long").alias("sse"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    num = ("(cast(1000000 as decimal(38,0))"
+           " * ((cast(n as decimal(38,0)) * _syy"
+           "     - cast(_sy as decimal(38,0)) * _sy)"
+           "    - cast(n as decimal(38,0)) * sse))")
+    den = ("(cast(n as decimal(38,0)) * _syy"
+           " - cast(_sy as decimal(38,0)) * _sy)")
+    return g.select(
+        "n", "sae", "sse",
+        F.when(F.col("n") > 0,
+               F.expr("cast(div(cast(sae as decimal(38,0)) * 1000, n)"
+                      " as bigint)")).alias("mae_x1000"),
+        F.expr(
+            "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
+            " as bigint) END".format(v=num, d=den)).alias("r2_ppm"),
+    )

@@ -1343,3 +1343,65 @@ def closeness_sample(edges: DataFrame, seeds: DataFrame,
             df.unpersist()
         dist.unpersist()
     return out
+
+
+def negative_sample(edges: DataFrame, k: int = 3,
+                    salt: str = "ns0") -> DataFrame:
+    """Deterministic negative sampling over an undirected edge set
+    (``u < v``, distinct) — the link-prediction / graph-embedding
+    TRAINING-DATA step (skip-gram negative sampling, GraphSAGE loss):
+    for every node ``u``, draw ``k`` candidate partners with the
+    repo-standard md5 RNG and keep those that are real nodes, not
+    ``u`` itself, and NOT an actual neighbor.  Returns
+    ``(u, j, neg)`` with ``j`` the draw index (0-based); collisions
+    with real edges/self are DROPPED, not redrawn (documented: the
+    expected yield is k*(1 - degree/n), the standard practice — a
+    fixed-trials scheme keeps every row a pure function of
+    (edge set, k, salt), bit-identical across engines).
+
+    Draw ``j`` for node ``u`` targets id ``pmod(md5int(salt:u:j),
+    max_id + 1)``; ids that don't exist in the node set are dropped by
+    the semi-join (sparse id spaces yield fewer negatives — documented,
+    and exact).
+
+    Scale shape: the candidate table is |nodes| x k rows (one explode
+    of a k-literal sequence — never node x node); existence check is
+    one hash semi-join against the node table; the edge check is one
+    hash anti-join against the symmetrized edge table; ``max_id``
+    attaches via the sanctioned structural scalar attach.  No python,
+    no cross join, no windows.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1")
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    mx = nodes.agg(F.max("node").cast("long").alias("_mx"))
+    from ._util import attach_scalar
+
+    cand = attach_scalar(nodes, mx).select(
+        F.col("node").alias("u"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("j"),
+        "_mx",
+    ).select(
+        "u", F.col("j").cast("int").alias("j"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(
+                F.lit(salt + ":"), F.col("u").cast("string"),
+                F.lit(":"), F.col("j").cast("string"))), 1, 8),
+                16, 10).cast("long"),
+            F.col("_mx") + 1,
+        ).cast("long").alias("neg"),
+    )
+    exists = cand.join(
+        nodes.withColumnRenamed("node", "neg"), on="neg", how="left_semi")
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        exists.filter(F.col("u") != F.col("neg"))
+        .join(sym.withColumnRenamed("v", "neg"), on=["u", "neg"],
+              how="left_anti")
+        .select("u", "j", "neg")
+    )
