@@ -11583,3 +11583,91 @@ ORDER BY u, j
 
 _EXTRA_QUERIES["graph_negsample"] = q_graph_negsample
 _EXTRA_ORACLES["graph_negsample"] = Q_GRAPH_NEGSAMPLE_SQL
+
+
+def q_graph_skipgram(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walk corpus
+    (operators/graph.py:skipgram_pairs over random_walks): the DeepWalk
+    data-prep chain walks -> (center, context) pair counts (negatives
+    via graph_negsample).  One bounded offset explode + ONE hash
+    equi-join on (walk_id, step) + ONE map-side-combined pair
+    aggregate; the oracle replays the identical md5 walk picks and
+    pairs them."""
+    from picogeojson_spark.operators.graph import cooccurrence_edges, \
+        random_walks, skipgram_pairs
+
+    und = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    walks = random_walks(sym, walk_length=4, salt="w0")
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
+def _q_graph_skipgram_sql(walk_length=4, salt="w0", window=2):
+    base = _q_graph_walks_sql(walk_length, salt)
+    head, tail = base.split("\nSELECT walk_id, step, node FROM (\n", 1)
+    inner = tail.rsplit(")\nORDER BY walk_id, step", 1)[0]
+    offs = [d for d in range(-window, window + 1) if d != 0]
+    return (head
+            + ",\nwalks AS MATERIALIZED (\n" + inner + "),\n"
+            + "offs AS (SELECT unnest([" + ", ".join(map(str, offs))
+            + "]) AS d)\n"
+            + """SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a
+JOIN offs o ON TRUE
+JOIN walks b ON b.walk_id = a.walk_id AND b.step = a.step + o.d
+GROUP BY 1, 2 ORDER BY center, context""")
+
+
+Q_GRAPH_SKIPGRAM_SQL = _q_graph_skipgram_sql()
+
+_EXTRA_QUERIES["graph_skipgram"] = q_graph_skipgram
+_EXTRA_ORACLES["graph_skipgram"] = Q_GRAPH_SKIPGRAM_SQL
+
+
+def q_geo_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification (operators/knn.py:
+    knn_classify): customers labelled by the dominant class of their 3
+    nearest suppliers (label = suppkey % 5) — votes DESC, nearest rank
+    ASC, label ASC tie chain, fully deterministic.  knn_join's
+    cell-pruned join + one label equi-join + one (query,label)
+    aggregate + WindowGroupLimit top-1."""
+    from picogeojson_spark.operators.knn import knn_classify
+
+    q = _points_from_customer(spark, sf_dir).withColumnRenamed(
+        "point_id", "query_id")
+    cand = _cand_points_from_supplier(spark, sf_dir).withColumn(
+        "label", F.concat(F.lit("c"),
+                          (F.col("neighbor_id") % 5).cast("string")))
+    return knn_classify(q, cand, k=3, level=4, radius=2).orderBy(
+        "query_id")
+
+
+Q_GEO_KNN_CLASSIFY_SQL = """
+WITH q AS (SELECT point_id AS query_id, lon, lat FROM ({points})),
+     c AS ({cands}),
+     d AS (
+       SELECT q.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY (q.lon - c.lon) * (q.lon - c.lon)
+                                        + (q.lat - c.lat) * (q.lat - c.lat) ASC,
+                                          c.neighbor_id ASC) AS rank
+       FROM q CROSS JOIN c),
+     v AS (
+       SELECT query_id, 'c' || CAST(neighbor_id % 5 AS VARCHAR) AS label,
+              CAST(COUNT(*) AS BIGINT) AS votes,
+              CAST(MIN(rank) AS INTEGER) AS nearest_rank
+       FROM d WHERE rank <= 3 GROUP BY 1, 2),
+     p AS (
+       SELECT query_id, label, votes, nearest_rank,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, nearest_rank ASC,
+                                          label ASC) AS r
+       FROM v)
+SELECT query_id, label, votes, nearest_rank
+FROM p WHERE r = 1 ORDER BY query_id
+""".format(points=_POINTS_SQL, cands=_CANDS_SQL)
+
+_EXTRA_QUERIES["geo_knn_classify"] = q_geo_knn_classify
+_EXTRA_ORACLES["geo_knn_classify"] = Q_GEO_KNN_CLASSIFY_SQL

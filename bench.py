@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "embed_outliers",
     "eval_regression",
     "graph_negsample",
+    "graph_skipgram",
+    "geo_knn_classify",
 ]
 
 

@@ -1405,3 +1405,44 @@ def negative_sample(edges: DataFrame, k: int = 3,
               how="left_anti")
         .select("u", "j", "neg")
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a walk corpus —
+    the word2vec-style training-pair extraction that turns
+    :func:`random_walks` output into graph-embedding training data
+    (DeepWalk's corpus stage).  For every walk and every offset
+    ``d in [-window, window] \\ {0}``, the node at ``step`` pairs with
+    the node at ``step + d``; output is the aggregated
+    ``(center, context, cnt)`` multiset — exactly what a downstream
+    embedding trainer consumes (with :func:`negative_sample` providing
+    the negatives).
+
+    Determinism: pure function of the walk corpus (itself md5-
+    deterministic); counts are integers.
+
+    Scale shape: one bounded offset explode (2*window literals — never
+    a walk x walk join) followed by ONE hash equi-join on
+    (walk_id, step) and ONE map-side-combined pair aggregate.  Pair
+    volume is <= 2*window*|walk rows| by construction.
+    """
+    if window < 1:
+        raise ValueError("need window >= 1")
+    offs = [d for d in range(-window, window + 1) if d != 0]
+    centers = walks.select(
+        "walk_id", "step", F.col("node").alias("center"),
+    ).withColumn(
+        "_d", F.explode(F.array(*[F.lit(d) for d in offs]))
+    ).select(
+        "walk_id", "center",
+        (F.col("step") + F.col("_d")).cast("long").alias("_ctx_step"),
+    )
+    contexts = walks.select(
+        "walk_id", F.col("step").cast("long").alias("_ctx_step"),
+        F.col("node").alias("context"),
+    )
+    return (
+        centers.join(contexts, on=["walk_id", "_ctx_step"])
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -614,3 +614,47 @@ def idw_interpolate(
             "w_sum", "n_used",
         )
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    **knn_kwargs,
+):
+    """k-nearest-neighbor majority-vote classification — the geo-ML
+    read on top of :func:`knn_join` (assign a point the dominant class
+    of its k nearest labelled sites: land-use from tagged POIs,
+    region from labelled anchors).  ``candidates`` carries
+    ``(neighbor_id, lon, lat, <label_col>)``.  Output one row per
+    query: ``(query_id, label, votes, nearest_rank)`` where the winner
+    is decided by votes DESC, then the label's nearest rank ASC (the
+    closer class wins ties), then label ASC — fully deterministic.
+
+    Scale shape: knn_join's cell-pruned join produces the k*|queries|
+    neighbor rows; the label attach is ONE hash equi-join on
+    neighbor_id; the vote is ONE map-side-combined (query, label)
+    aggregate; the winner pick is a WindowGroupLimit top-1 on the
+    k-bounded vote table.
+    """
+    nn = knn_join(
+        queries, candidates.select("neighbor_id", "lon", "lat"),
+        k=k, **knn_kwargs)
+    lab = candidates.select(
+        "neighbor_id", F.col(label_col).alias("_lbl"))
+    votes = (
+        nn.join(lab, on="neighbor_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count("*").cast("long").alias("votes"),
+             F.min("rank").cast("int").alias("nearest_rank"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nearest_rank").asc(),
+        F.col("_lbl").asc())
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("_lbl").alias("label"), "votes",
+                "nearest_rank")
+    )

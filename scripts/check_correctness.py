@@ -309,9 +309,11 @@ KEEP_FOR_SPECIAL = {"ann_topk", "ann_lsh", "ann_ivf", "ann_ivfpq",
 #:   geo_knn_haversine — the polar remnant: the per-query guard provably
 #:       cannot settle polar queries (meridians converge), so the polar
 #:       remnant cross-joins the candidate table — unsettled side only;
-#:   geo_idw — kNN composition, same exact-brute-tail rationale.
+#:   geo_idw — kNN composition, same exact-brute-tail rationale;
+#:   geo_knn_classify — kNN composition (majority vote over knn_join
+#:       output), same exact-brute-tail rationale.
 PLAN_ALLOW_CROSS = {"embed_cosine_pairs", "geo_knn", "geo_knn_haversine",
-                    "geo_idw"}
+                    "geo_idw", "geo_knn_classify"}
 
 
 # ---------------------------------------------------------------------------
