@@ -11671,3 +11671,81 @@ FROM p WHERE r = 1 ORDER BY query_id
 
 _EXTRA_QUERIES["geo_knn_classify"] = q_geo_knn_classify
 _EXTRA_ORACLES["geo_knn_classify"] = Q_GEO_KNN_CLASSIFY_SQL
+
+
+def q_sketch_ams(spark, sf_dir):
+    """AMS F2 (self-join-size / skew) sketch (operators/sketches.py:
+    ams_f2): 16 one-counter estimators over events.user_id, signs from
+    bit r of ONE md5 per row, lower-median + floor-mean finalization —
+    exact integers, mergeable (Z vectors add).  ONE map-side-combined
+    aggregate; the oracle replays the identical bit-sign sums."""
+    from picogeojson_spark.operators.sketches import ams_f2
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"))
+    return ams_f2(e, k=16, salt="ams0")
+
+
+def _q_sketch_ams_sql(k=16, salt="ams0"):
+    zs = ",\n         ".join(
+        "CAST(SUM(1 - 2 * ((h >> {r}) & 1)) AS BIGINT) AS z{r}"
+        .format(r=r) for r in range(k))
+    arr = ", ".join("z{r} * z{r}".format(r=r) for r in range(k))
+    tot = " + ".join(
+        ("CAST(z0 AS HUGEINT) * z0" if r == 0
+         else "CAST(z{r} AS HUGEINT) * z{r}".format(r=r))
+        for r in range(k))
+    return """
+WITH h AS (
+  SELECT CAST(('0x' || substring(md5('{salt}:'
+           || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events),
+z AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {zs}
+  FROM h)
+SELECT n_rows,
+       CAST(list_sort([{arr}])[{m}] AS BIGINT) AS f2_median,
+       CAST(({tot}) // {k} AS BIGINT) AS f2_mean
+FROM z
+""".format(salt=salt, zs=zs, arr=arr, m=k // 2, tot=tot, k=k)
+
+
+Q_SKETCH_AMS_SQL = _q_sketch_ams_sql()
+
+_EXTRA_QUERIES["sketch_ams"] = q_sketch_ams
+_EXTRA_ORACLES["sketch_ams"] = Q_SKETCH_AMS_SQL
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment pairs at t=0.9 (operators/
+    dedup.py:containment_pairs): the syndication/quotation read Jaccard
+    misses — src-side prefix filter (rarest sz-ceil(t*sz)+1 shingles),
+    full dst postings, exact array-intersect verify; every post-prefix
+    stage candidate-bounded.  The brute all-pairs oracle doubles as the
+    completeness proof."""
+    from picogeojson_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, n=3, t_num=9, t_den=10).orderBy(
+        "src", "dst")
+
+
+Q_DEDUP_CONTAINMENT_SQL = """
+WITH sh AS ({shingles}),
+     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS inter_sz
+       FROM sh a JOIN sh b ON a.shingle = b.shingle
+                          AND a.doc_id <> b.doc_id
+       GROUP BY 1, 2)
+SELECT src, dst, CAST(inter_sz AS BIGINT) AS inter_sz,
+       CAST(s.sz AS BIGINT) AS src_sz,
+       CAST(inter_sz * 1000000 // s.sz AS BIGINT) AS containment_ppm
+FROM inter JOIN sizes s ON s.doc_id = src
+WHERE inter_sz * 10 >= 9 * s.sz
+ORDER BY src, dst
+""".format(shingles=_SHINGLES_SQL)
+
+_EXTRA_QUERIES["dedup_containment"] = q_dedup_containment
+_EXTRA_ORACLES["dedup_containment"] = Q_DEDUP_CONTAINMENT_SQL

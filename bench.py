@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "graph_negsample",
     "graph_skipgram",
     "geo_knn_classify",
+    "sketch_ams",
+    "dedup_containment",
 ]
 
 

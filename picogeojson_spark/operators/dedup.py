@@ -772,3 +772,85 @@ def ed1_pairs(
             F.levenshtein("name_a", "name_b").cast("long").alias("ed"))
         .filter(F.col("ed") <= 1)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 9,
+    t_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-SUPERSET detection — shingle containment
+    ``C(src -> dst) = |src ∩ dst| / |src| >= t`` — the syndication /
+    quotation / aggregator read that Jaccard misses (a short article
+    fully embedded in a long page has high containment but LOW
+    Jaccard).  Output: ``(src, dst, inter_sz, src_sz,
+    containment_ppm)`` for every ORDERED pair with ``src != dst`` and
+    exact integer containment ``>= t_num/t_den`` (the threshold test
+    cross-multiplies: ``inter * t_den >= t_num * src_sz`` — no
+    floats).
+
+    Completeness (prefix-filter argument, one-sided): if C >= t, dst
+    misses at most ``src_sz - ceil(t*src_sz)`` of src's shingles, so
+    dst must share at least one of src's ``src_sz - ceil(t*src_sz)+1``
+    RAREST shingles (df ASC, shingle ASC rank — the prefix_jaccard
+    ordering).  Unlike the symmetric join, the DST side must index all
+    its shingles (containment has no dst-side prefix); candidate
+    volume per prefix occurrence is that shingle's df — the prefix
+    prefers the rarest shingles, which is what bounds it (documented:
+    a df cap with a recall contract is the knob if a corpus's rare
+    tail is still hot; kept exact here).
+
+    Shuffles: shingle distinct, df aggregate, join-back + one per-doc
+    rank window, prefix ⋈ postings equi-join, candidate distinct, one
+    array-intersect verify join — every post-prefix stage is
+    candidate-bounded.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sh = shingles_df(docs, n, id_col, text_col)
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked_w = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.asc("shingle"))
+    size_w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_tab, on="shingle")
+        .withColumn("rank", F.row_number().over(ranked_w))
+        .withColumn("sz", F.count("*").over(size_w))
+    )
+    # prefix length = sz - ceil(t*sz) + 1, exact integers
+    ceil_t_sz = F.expr(
+        "div(sz * {tn} + {tdm1}, {td})".format(
+            tn=int(t_num), tdm1=int(t_den) - 1, td=int(t_den)))
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("sz") - ceil_t_sz + 1
+    ).select(F.col("doc_id").alias("src"), "shingle")
+    postings = sh.select(F.col("doc_id").alias("dst"), "shingle")
+    cand = (
+        prefix.join(postings, on="shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    arr = shingle_arrays(docs, n, id_col, text_col)
+    a = arr.select(F.col("doc_id").alias("src"),
+                   F.col("shingles").alias("_sa"),
+                   F.col("sz").alias("src_sz"))
+    b = arr.select(F.col("doc_id").alias("dst"),
+                   F.col("shingles").alias("_sb"))
+    out = (
+        cand.join(a, on="src").join(b, on="dst")
+        .withColumn("inter_sz",
+                    F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .filter(F.col("inter_sz") * t_den >= t_num * F.col("src_sz"))
+    )
+    return out.select(
+        "src", "dst", "inter_sz", F.col("src_sz").cast("long").alias(
+            "src_sz"),
+        F.expr("cast(div(cast(inter_sz as decimal(38,0)) * 1000000,"
+               " src_sz) as bigint)").alias("containment_ppm"),
+    )

@@ -666,3 +666,56 @@ def heavy_hitters(
         .filter(F.col("rnk") <= int(k))
         .select("rnk", "word", "n", "n_sample")
     )
+
+
+def ams_f2(df: DataFrame, key_col: str = "key", k: int = 16,
+           salt: str = "ams0") -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch — the one-pass
+    F2 = sum of squared key frequencies estimator, the classic
+    join-size / self-join-size / skew estimate a planner reads before
+    choosing a strategy (F2/n^2 is also a concentration read).  Each of
+    ``k`` estimators keeps one counter ``Z_r = sum over rows of
+    s_r(key)`` with a ±1 sign per (estimator, key); ``E[Z_r^2] = F2``
+    exactly.  The signs come from one md5 per DISTINCT key VALUE per
+    row — bit ``r`` of the first 32 hash bits (md5 plays the 4-wise
+    hash; one hash feeds all k estimators).  Output is ONE row:
+
+        n_rows        rows consumed
+        f2_median     lower median of the k estimates (the AMS
+                      median-of-means robustness step; k/2-th smallest
+                      — percentile_disc convention, deterministic)
+        f2_mean       floor(sum of estimates / k)
+
+    Everything is an exact integer and a pure function of (input
+    multiset, k, salt) — the DuckDB oracle replays the identical
+    bit-sign sums.  |Z_r| <= n so each estimate fits int64 to n ~ 3e9;
+    the mean accumulates in decimal(38,0).
+
+    Scale shape: ONE map-side-combined aggregate with k conditional
+    sums (one md5 + k bit-extracts per row, all codegen); the median
+    runs over the k-element literal array.  Mergeable: Z vectors from
+    shards ADD — re-aggregate partials and finalize identically.
+    """
+    if k < 1 or k > 32:
+        raise ValueError("need 1 <= k <= 32 (one 32-bit hash word)")
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for r in range(k):
+        aggs.append(
+            F.sum(F.lit(1) - 2 * F.expr(
+                "shiftright(_h, {r}) & 1".format(r=r)))
+            .cast("long").alias("z{}".format(r)))
+    g = df.select(h.alias("_h")).agg(*aggs)
+    ests = "array({})".format(", ".join(
+        "z{r} * z{r}".format(r=r) for r in range(k)))
+    return g.select(
+        "n_rows",
+        F.expr("element_at(array_sort({e}), {m})".format(
+            e=ests, m=k // 2)).cast("long").alias("f2_median"),
+        F.expr(
+            "cast(div(aggregate({e}, cast(0 as decimal(38,0)),"
+            " (acc, v) -> acc + cast(v as decimal(38,0))), {k}) as bigint)".format(
+                e=ests, k=k)).alias("f2_mean"),
+    )
