@@ -11749,3 +11749,63 @@ ORDER BY src, dst
 
 _EXTRA_QUERIES["dedup_containment"] = q_dedup_containment
 _EXTRA_ORACLES["dedup_containment"] = Q_DEDUP_CONTAINMENT_SQL
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing with an exact oracle (operators/
+    multimodal.py:frame_sample): the per-frame fan-out is JVM-side
+    (sequence + explode from the typed metadata — never in Python);
+    only the per-frame extraction is an Arrow-batched pandas UDF.  The
+    injected frame_fn hashes ASCII (payload:ts) so DuckDB predicts
+    every frame digest exactly — the production seam point is the same
+    one an ffmpeg seek+decode plugs into."""
+    import hashlib as _hl
+
+    from picogeojson_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            ((F.col("doc_id") % 30) * 1000).cast("int")
+            .alias("duration_ms"),
+            F.lit("av1").alias("codec"),
+        ).alias("meta"),
+    )
+
+    def ascii_frame(p, t):
+        return _hl.sha256(p + (":" + str(t)).encode()).hexdigest().encode()
+
+    frames = frame_sample(media, every_ms=1000, max_frames=16,
+                          frame_fn=ascii_frame)
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.decode(F.col("frame"), "UTF-8").alias("frame_sha"),
+    ).orderBy("media_id", "frame_idx")
+
+
+Q_MULTIMODAL_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         CAST(doc_id % 30 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT media_id, text,
+         unnest(range(0, least(n_frames, 16))) AS frame_idx
+  FROM v WHERE n_frames >= 1)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS ts_ms,
+       sha256(text || ':' || CAST(frame_idx * 1000 AS VARCHAR))
+         AS frame_sha
+FROM f ORDER BY media_id, frame_idx
+"""
+
+_EXTRA_QUERIES["multimodal_frames"] = q_multimodal_frames
+_EXTRA_ORACLES["multimodal_frames"] = Q_MULTIMODAL_FRAMES_SQL

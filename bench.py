@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "geo_knn_classify",
     "sketch_ams",
     "dedup_containment",
+    "multimodal_frames",
 ]
 
 

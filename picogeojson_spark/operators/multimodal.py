@@ -190,16 +190,25 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000,
-                 max_frames: int = 16) -> DataFrame:
+                 max_frames: int = 16, frame_fn=None) -> DataFrame:
     """video rows -> one row per sampled frame:
     (media_id, frame_idx, ts_ms, frame payload).
 
     The frame count comes from the typed metadata JVM-side (sequence +
     explode — the fan-out never runs in Python); only the per-frame byte
     extraction is a Pandas UDF, and the deterministic fake stands in for
-    an ffmpeg seek+decode."""
+    an ffmpeg seek+decode.
+
+    ``frame_fn(payload: bytes, ts_ms: int) -> bytes`` is injectable
+    (the decode_media ``decoder=`` seam): a production environment
+    plugs the real ffmpeg seek+decode here with zero code change; the
+    default is the sha256(payload + 8-byte-BE ts) fake."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if frame_fn is None:
+        def frame_fn(p, t):
+            return hashlib.sha256(p + int(t).to_bytes(8, "big")).digest()
 
     n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
     frames = (
@@ -224,9 +233,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     def extract_frame(payload, ts_ms):
         out = []
         for p, t in zip(payload, ts_ms):
-            out.append(
-                hashlib.sha256(bytes(p) + int(t).to_bytes(8, "big")).digest()
-            )
+            out.append(frame_fn(bytes(p), int(t)))
         return pd.Series(out)
 
     return frames.select(

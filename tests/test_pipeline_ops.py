@@ -1523,6 +1523,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert not (zero & {f.media_id for f in frames})
 
 
+def test_frame_sample_frame_fn_seam(spark):
+    """The injectable frame_fn (the decoder= seam) replaces the fake
+    digest with zero code change — the production ffmpeg plug point."""
+    from picogeojson_spark.operators.multimodal import frame_sample, \
+        synth_media
+
+    media = synth_media(spark, 12)
+    got = frame_sample(media, every_ms=1000, max_frames=2,
+                       frame_fn=lambda p, t: b"F%d:%d" % (len(p), t))
+    rows = got.collect()
+    assert rows and all(
+        bytes(r.frame) == b"F%d:%d" % (
+            len(bytes(orig.payload)), r.ts_ms)
+        for r in rows
+        for orig in [next(m for m in media.collect()
+                          if m.media_id == r.media_id)])
+
+
 def test_resumable_job_cleans_stale_partial_buckets(spark, tmp_path):
     """A crash between data write and marker write must not duplicate rows
     on resume (stale unmarked bucket dirs are removed before re-running)."""
