@@ -11809,3 +11809,144 @@ FROM f ORDER BY media_id, frame_idx
 
 _EXTRA_QUERIES["multimodal_frames"] = q_multimodal_frames
 _EXTRA_ORACLES["multimodal_frames"] = Q_MULTIMODAL_FRAMES_SQL
+
+
+def q_geo_silhouette(spark, sf_dir):
+    """Simplified silhouette for the kmeans centroid model (operators/
+    spatial_cluster.py:centroid_silhouette): per point a = nearest-
+    centroid distance, b = second nearest, s = (b-a)/max(a,b) in exact
+    ppm; floor(sqrt(int64)) distances (the kmeans inertia rule);
+    encoded (dist,cid) min ties to the smaller id.  Centroids are
+    literals (the mllib broadcast shape) so the whole per-point stage
+    is codegen with NO join; rollup is ONE k-group aggregate."""
+    from picogeojson_spark.operators.spatial_cluster import \
+        centroid_silhouette
+
+    pts = _points_from_customer(spark, sf_dir).select(
+        F.floor(F.col("lat") * 1000000.0).cast("long").alias("lat_u"),
+        F.floor(F.col("lon") * 1000000.0).cast("long").alias("lon_u"),
+    )
+    return centroid_silhouette(pts, _KMEANS_SEEDS).orderBy("cid")
+
+
+def _q_geo_silhouette_sql(seeds=None):
+    seeds = seeds or _KMEANS_SEEDS
+    k = len(seeds)
+    ds, encs = [], []
+    for cid, (cla, clo) in enumerate(seeds):
+        d = ("CAST(floor(sqrt(CAST((lat_u - ({cla})) * (lat_u - ({cla}))"
+             " + (lon_u - ({clo})) * (lon_u - ({clo})) AS DOUBLE)))"
+             " AS BIGINT)").format(cla=int(cla), clo=int(clo))
+        ds.append(d)
+        encs.append("({d}) * {k} + {cid}".format(d=d, k=k, cid=cid))
+    return """
+WITH p AS (
+  SELECT CAST(floor((CAST((c_custkey * 61) % 360 AS DOUBLE) / 2 - 90
+                     + 0.25) * 1000000.0) AS BIGINT) AS lat_u,
+         CAST(floor((CAST((c_custkey * 37) % 720 AS DOUBLE) / 2 - 180
+                     + 0.25) * 1000000.0) AS BIGINT) AS lon_u
+  FROM customer),
+d AS (
+  SELECT CAST(list_sort([{encs}])[1] % {k} AS INT) AS cid,
+         list_sort([{ds}])[1] AS a,
+         list_sort([{ds}])[2] AS b
+  FROM p),
+s AS (
+  SELECT cid,
+         CASE WHEN greatest(a, b) > 0
+              THEN (b - a) * 1000000 // greatest(a, b)
+              ELSE 0 END AS s
+  FROM d)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+       CAST(MIN(s) AS BIGINT) AS min_s_ppm,
+       CAST(MAX(s) AS BIGINT) AS max_s_ppm
+FROM s GROUP BY cid ORDER BY cid
+""".format(encs=", ".join(encs), ds=", ".join(ds), k=k)
+
+
+Q_GEO_SILHOUETTE_SQL = _q_geo_silhouette_sql()
+
+_EXTRA_QUERIES["geo_silhouette"] = q_geo_silhouette
+_EXTRA_ORACLES["geo_silhouette"] = Q_GEO_SILHOUETTE_SQL
+
+
+def q_eval_ngram_overlap(spark, sf_dir):
+    """BLEU-style clipped 1/2-gram precision (operators/textstats.py:
+    ngram_overlap) of a deterministic candidate (every 7th token
+    dropped) against the original document text — the generation /
+    distillation eval read.  Map-side (doc, gram) counts, ONE clip
+    join per n, positional bigram self-join; corpus rollup via the
+    structural scalar-attach chain."""
+    from picogeojson_spark.operators.textstats import ngram_overlap
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.filter(toks, lambda x, i: (i + 1) % 7 != 0), " ")
+        .alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return ngram_overlap(d)
+
+
+Q_EVAL_NGRAM_OVERLAP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS rtoks
+  FROM documents),
+kept AS (
+  SELECT doc_id, i, rtoks[i + 1] AS tok
+  FROM base, LATERAL (SELECT unnest(range(0, len(rtoks))) AS i) t
+  WHERE (i + 1) % 7 <> 0),
+kagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cand
+  FROM kept GROUP BY doc_id),
+cand AS (
+  SELECT b.doc_id, COALESCE(k.cand, '') AS cand,
+         lower(trim(b.text)) AS ref
+  FROM base b LEFT JOIN kagg k ON b.doc_id = k.doc_id),
+ct AS (
+  SELECT doc_id, i AS pos, ctoks[i + 1] AS tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(cand, '\s+') AS ctoks
+        FROM cand),
+       LATERAL (SELECT unnest(range(0, len(ctoks))) AS i) t
+  WHERE ctoks[i + 1] <> ''),
+rt AS (
+  SELECT doc_id, i AS pos, rtoks[i + 1] AS tok
+  FROM base, LATERAL (SELECT unnest(range(0, len(rtoks))) AS i) t
+  WHERE rtoks[i + 1] <> ''),
+c1 AS (SELECT doc_id, tok AS gram, COUNT(*) AS n FROM ct GROUP BY 1, 2),
+r1 AS (SELECT doc_id, tok AS gram, COUNT(*) AS n FROM rt GROUP BY 1, 2),
+c2 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, COUNT(*) AS n
+  FROM ct a JOIN ct b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+r2 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, COUNT(*) AS n
+  FROM rt a JOIN rt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+j1 AS (
+  SELECT CAST(COALESCE(SUM(LEAST(c.n, COALESCE(r.n, 0))), 0) AS BIGINT)
+           AS p1_num,
+         CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS p1_den
+  FROM c1 c LEFT JOIN r1 r ON c.doc_id = r.doc_id AND c.gram = r.gram),
+j2 AS (
+  SELECT CAST(COALESCE(SUM(LEAST(c.n, COALESCE(r.n, 0))), 0) AS BIGINT)
+           AS p2_num,
+         CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS p2_den
+  FROM c2 c LEFT JOIN r2 r ON c.doc_id = r.doc_id AND c.gram = r.gram),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, p1_num, p1_den,
+       CAST(CASE WHEN p1_den > 0 THEN p1_num * 1000000 // p1_den END
+            AS BIGINT) AS p1_ppm,
+       p2_num, p2_den,
+       CAST(CASE WHEN p2_den > 0 THEN p2_num * 1000000 // p2_den END
+            AS BIGINT) AS p2_ppm
+FROM nd, j1, j2
+"""
+
+_EXTRA_QUERIES["eval_ngram_overlap"] = q_eval_ngram_overlap
+_EXTRA_ORACLES["eval_ngram_overlap"] = Q_EVAL_NGRAM_OVERLAP_SQL

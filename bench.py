@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "sketch_ams",
     "dedup_containment",
     "multimodal_frames",
+    "geo_silhouette",
+    "eval_ngram_overlap",
 ]
 
 

@@ -552,3 +552,64 @@ def gi_star(
                  - F.col("w") * F.col("total_pts"))
         .cast("int").alias("hot"),
     )
+
+
+def centroid_silhouette(
+    points: DataFrame,
+    centroids,
+    lat_col: str = "lat_u",
+    lon_col: str = "lon_u",
+) -> DataFrame:
+    """Simplified silhouette (Hruschka's centroid variant) for a GIVEN
+    centroid model — the cluster-quality read after kmeans_points: per
+    point, ``a`` = distance to its (nearest) centroid, ``b`` = distance
+    to the second-nearest, ``s = (b - a) / max(a, b)`` in exact ppm
+    (``b >= a`` by construction, so s is in [0, 1e6]; a point ON its
+    centroid with ``b > 0`` scores 1e6; the degenerate ``a = b = 0``
+    scores 0 by convention).  Distances are ``floor(sqrt(int64))``
+    micro-degrees (the kmeans_points inertia rule — correctly-rounded
+    IEEE sqrt of an exact integer).  Assignment ties break to the
+    smaller centroid id via the encoded ``(dist, cid)`` min, matching
+    kmeans_points.  Output, one row per cluster id:
+    ``(cid, n_points, mean_s_ppm, min_s_ppm, max_s_ppm)``.
+
+    Scale shape: the k centroids are LITERALS (the mllib broadcast
+    shape — kmeans_points' bounded-collect output feeds straight in),
+    so the whole per-point computation is whole-stage codegen over a
+    k-literal array with NO join; the rollup is ONE map-side-combined
+    k-group aggregate.
+    """
+    k = len(centroids)
+    if k < 2:
+        raise ValueError("a silhouette needs >= 2 centroids")
+    if k > 64:
+        raise ValueError("centroid list is a broadcast literal; k > 64 "
+                         "suggests a join-based variant instead")
+    d_exprs = []
+    enc_exprs = []
+    for cid, (clat, clon) in enumerate(centroids):
+        d = ("cast(floor(sqrt(cast(({la} - {cla}) * ({la} - {cla})"
+             " + ({lo} - {clo}) * ({lo} - {clo}) as double))) as bigint)"
+             ).format(la=lat_col, lo=lon_col, cla=int(clat), clo=int(clon))
+        d_exprs.append(d)
+        enc_exprs.append("({d}) * {k} + {cid}".format(d=d, k=k, cid=cid))
+    ds = "array_sort(array({}))".format(", ".join(d_exprs))
+    enc = "array_min(array({}))".format(", ".join(enc_exprs))
+    per_point = points.select(
+        F.expr("cast(pmod({e}, {k}) as int)".format(e=enc, k=k))
+        .alias("cid"),
+        F.expr("element_at({ds}, 1)".format(ds=ds)).alias("_a"),
+        F.expr("element_at({ds}, 2)".format(ds=ds)).alias("_b"),
+    ).select(
+        "cid",
+        F.expr("CASE WHEN greatest(_a, _b) > 0 THEN"
+               " div((_b - _a) * 1000000L, greatest(_a, _b))"
+               " ELSE 0L END").alias("_s"),
+    )
+    return per_point.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.expr("cast(div(sum(_s), count(*)) as bigint)")
+        .alias("mean_s_ppm"),
+        F.min("_s").cast("long").alias("min_s_ppm"),
+        F.max("_s").cast("long").alias("max_s_ppm"),
+    )

@@ -1090,3 +1090,85 @@ def zipf_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr("cast(div(cast(_cum as decimal(38,0)) * 1000000, _tot)"
                " as bigint)").alias("cum_share_ppm"),
     )
+
+
+def ngram_overlap(
+    df: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BLEU-style clipped n-gram precision (1- and 2-gram, no brevity
+    float) of candidate texts against per-document references — the
+    generation / distillation / paraphrase-quality eval read.  Per doc
+    and n, every candidate n-gram counts at most ``min(count in cand,
+    count in ref)`` (the BLEU clip); output is ONE corpus row:
+
+        n_docs
+        p1_num, p1_den, p1_ppm     clipped / total unigrams, floor ppm
+        p2_num, p2_den, p2_ppm     same for bigrams
+
+    Tokenization is repo-standard (lower, trim, whitespace split);
+    everything integer, both dens NULL-safe (empty corpus -> ppm NULL).
+
+    Scale shape: two tokenized explodes feed map-side-combined
+    (doc, gram) count aggregates; the clip is ONE left equi-join of
+    cand counts against ref counts per n; bigram formation is a
+    positional self-join on (doc, pos+1) — per-doc bounded, exactly
+    the collocations shape.  Final rollup is ONE global aggregate.
+    """
+    def toks(col):
+        t = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        return (
+            df.select(F.col(id_col).alias("doc"), t.alias("_t"))
+            .select("doc", F.posexplode("_t").alias("pos", "tok"))
+            .filter(F.col("tok") != "")
+            .select("doc", F.col("pos").cast("long").alias("pos"), "tok")
+        )
+
+    cand_t = toks(cand_col)
+    ref_t = toks(ref_col)
+
+    def grams(t, n):
+        if n == 1:
+            g = t.select("doc", F.col("tok").alias("gram"))
+        else:
+            nxt = t.select("doc",
+                           (F.col("pos") - 1).alias("pos"),
+                           F.col("tok").alias("_tok2"))
+            g = (t.join(nxt, on=["doc", "pos"])
+                 .select("doc", F.concat_ws(" ", "tok", "_tok2")
+                         .alias("gram")))
+        return g.groupBy("doc", "gram").agg(
+            F.count("*").cast("long").alias("n"))
+
+    parts = []
+    for n in (1, 2):
+        c = grams(cand_t, n)
+        r = grams(ref_t, n).withColumnRenamed("n", "n_ref")
+        j = c.join(r, on=["doc", "gram"], how="left").select(
+            F.col("n").alias("den"),
+            F.least(F.col("n"), F.coalesce("n_ref", F.lit(0)))
+            .alias("num"),
+        )
+        parts.append(j.agg(
+            F.coalesce(F.sum("num"), F.lit(0)).cast("long")
+            .alias("p{}_num".format(n)),
+            F.coalesce(F.sum("den"), F.lit(0)).cast("long")
+            .alias("p{}_den".format(n)),
+        ))
+    nd = df.agg(F.count("*").cast("long").alias("n_docs"))
+    from ._util import attach_scalar
+
+    out = attach_scalar(attach_scalar(nd, parts[0]), parts[1])
+    return out.select(
+        "n_docs",
+        "p1_num", "p1_den",
+        F.when(F.col("p1_den") > 0,
+               F.expr("cast(div(cast(p1_num as decimal(38,0)) * 1000000,"
+                      " p1_den) as bigint)")).alias("p1_ppm"),
+        "p2_num", "p2_den",
+        F.when(F.col("p2_den") > 0,
+               F.expr("cast(div(cast(p2_num as decimal(38,0)) * 1000000,"
+                      " p2_den) as bigint)")).alias("p2_ppm"),
+    )
