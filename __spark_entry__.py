@@ -11950,3 +11950,104 @@ FROM nd, j1, j2
 
 _EXTRA_QUERIES["eval_ngram_overlap"] = q_eval_ngram_overlap
 _EXTRA_ORACLES["eval_ngram_overlap"] = Q_EVAL_NGRAM_OVERLAP_SQL
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition (operators/graph.py:
+    modularity over label_propagation): the partition-quality number —
+    exact rational Q in ppm (negative-safe explicit floor).  Two label
+    equi-joins on the edge stream (assortativity discipline), bounded
+    rollups to 1-row scalars, structural scalar-attach chain; the
+    oracle replays the unrolled LPA rounds then the same HUGEINT
+    algebra."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+        modularity,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    labels = label_propagation(edges, rounds=4)
+    return modularity(edges, labels)
+
+
+def _q_graph_modularity_sql(rounds=4):
+    base = _lpa_oracle_sql(rounds)
+    tail = "\nSELECT node, label FROM l{r} ORDER BY node".format(r=rounds)
+    prefix = base.rsplit(tail, 1)[0]
+    return prefix + """,
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+intra AS (
+  SELECT CAST(COALESCE(SUM(ec), 0) AS BIGINT) AS intra_edges FROM (
+    SELECT lu.label, COUNT(*) AS ec
+    FROM e JOIN l{r} lu ON lu.node = e.u
+           JOIN l{r} lv ON lv.node = e.v
+    WHERE lu.label = lv.label GROUP BY 1)),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY u),
+comm AS (
+  SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS dc
+  FROM deg JOIN l{r} l ON l.node = deg.node GROUP BY 1),
+cs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         COALESCE(SUM(CAST(dc AS HUGEINT) * dc), 0) AS sum_deg_sq
+  FROM comm),
+nd AS (
+  SELECT m_edges, n_communities, intra_edges, sum_deg_sq,
+         1000000 * (4 * CAST(m_edges AS HUGEINT) * intra_edges
+                    - sum_deg_sq) AS num,
+         4 * CAST(m_edges AS HUGEINT) * m_edges AS den
+  FROM m, intra, cs)
+SELECT m_edges, n_communities, intra_edges,
+       CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+       CAST(CASE WHEN den <> 0
+                 THEN ((num) - (((num) % den + den) % den)) // den
+            END AS BIGINT) AS q_ppm
+FROM nd
+""".format(r=rounds)
+
+
+Q_GRAPH_MODULARITY_SQL = _q_graph_modularity_sql()
+
+_EXTRA_QUERIES["graph_modularity"] = q_graph_modularity
+_EXTRA_ORACLES["graph_modularity"] = Q_GRAPH_MODULARITY_SQL
+
+
+def q_events_wau(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness per observed day (operators/cohort.py:
+    rolling_active_users): corpus collapses to the distinct (user, day)
+    rollup, each window explodes that rollup forward w days (bounded
+    literal sequence — never a range join) and re-distincts; pure-NTZ
+    integer day ids (tz variants green)."""
+    from picogeojson_spark.operators.cohort import rolling_active_users
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 86400000000").cast("long").alias("day_id"),
+    )
+    return rolling_active_users(e, week=7, month=30).orderBy("day_id")
+
+
+Q_EVENTS_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+  FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+w AS (
+  SELECT dy.d AS day_id,
+         CAST(COUNT(DISTINCT CASE WHEN ud.d = dy.d THEN ud.u END)
+              AS BIGINT) AS dau,
+         CAST(COUNT(DISTINCT CASE WHEN ud.d >= dy.d - 6 THEN ud.u END)
+              AS BIGINT) AS wau,
+         CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS mau
+  FROM days dy JOIN ud ON ud.d BETWEEN dy.d - 29 AND dy.d
+  GROUP BY dy.d)
+SELECT day_id, dau, wau, mau,
+       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+FROM w ORDER BY day_id
+"""
+
+_EXTRA_QUERIES["events_wau"] = q_events_wau
+_EXTRA_ORACLES["events_wau"] = Q_EVENTS_WAU_SQL

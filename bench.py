@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "geo_silhouette",
     "eval_ngram_overlap",
+    "graph_modularity",
+    "events_wau",
 ]
 
 

@@ -71,3 +71,61 @@ WHERE a.week - f.cohort_week BETWEEN 0 AND {int(max_offset)}
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day_id",
+    week: int = 7,
+    month: int = 30,
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness per observed day — the
+    product-analytics engagement read.  Input rows are
+    ``(user, day_id)`` events (``day_id`` an integer day, pure-NTZ);
+    output one row per OBSERVED day:
+
+        day_id, dau, wau, mau         exact distinct-user counts over
+                                      [d-w+1, d] windows
+        stickiness_ppm                floor(1e6 * dau / mau)
+
+    Scale shape: the corpus collapses to the DISTINCT (user, day)
+    rollup first (ONE map-side-combined aggregate); each window then
+    EXPLODES that rollup forward w days (a bounded literal sequence —
+    never a range join against the day table) and re-distincts, so the
+    window-w pass costs w x |rollup| narrow rows and one exchange.
+    Observed-day filtering is one equi-join against the bounded day
+    vocabulary.  No inequality joins, no windows over raw events.
+    """
+    if not (0 < week <= month):
+        raise ValueError("need 0 < week <= month")
+    ud = (
+        events.select(F.col(user_col).alias("u"),
+                      F.col(day_col).cast("long").alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+
+    def window_count(w, name):
+        cov = ud.select(
+            "u",
+            F.explode(F.sequence(F.col("d"),
+                                 F.col("d") + F.lit(int(w) - 1)))
+            .alias("d_t"),
+        ).distinct()
+        return (
+            cov.join(days.withColumnRenamed("d", "d_t"), on="d_t")
+            .groupBy("d_t")
+            .agg(F.count("*").cast("long").alias(name))
+            .withColumnRenamed("d_t", "day_id")
+        )
+
+    dau = window_count(1, "dau")
+    wau = window_count(week, "wau")
+    mau = window_count(month, "mau")
+    out = dau.join(wau, on="day_id").join(mau, on="day_id")
+    return out.select(
+        "day_id", "dau", "wau", "mau",
+        F.expr("cast(div(cast(dau as decimal(38,0)) * 1000000, mau)"
+               " as bigint)").alias("stickiness_ppm"),
+    )

@@ -1446,3 +1446,69 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over an undirected
+    edge set (``u < v``, distinct) — the partition-quality number that
+    turns label_propagation's output into a comparable score:
+
+        Q = sum_c [ e_c/m - (d_c / 2m)^2 ]
+          = (4m * sum_c e_c - sum_c d_c^2) / (4 m^2)
+
+    with ``e_c`` = intra-community edges and ``d_c`` = total degree of
+    community ``c``.  ``labels`` is ``(node, label)`` (every endpoint
+    must be labelled — inner joins drop unlabelled strays, documented).
+    ONE row out: ``(m_edges, n_communities, intra_edges, sum_deg_sq,
+    q_ppm)``; Q is NEGATIVE for anti-community partitions, so the ppm
+    division uses the explicit floor spelling in decimal(38,0)
+    (``sum_c d_c^2 <= 4m^2`` bounds every operand).  NULL q_ppm on an
+    empty edge set.
+
+    Scale shape: the degree_assortativity discipline — two hash
+    equi-joins of the edge stream against the label vector (never an
+    edge-edge join), one symmetrize+aggregate degree table, three
+    community-bounded rollups each reducing to ONE row, combined via
+    the sanctioned structural scalar-attach chain.
+    """
+    lab_u = labels.select(F.col("node").alias("u"),
+                          F.col("label").alias("_lu"))
+    lab_v = labels.select(F.col("node").alias("v"),
+                          F.col("label").alias("_lv"))
+    e = edges.select("u", "v")
+    m_agg = e.agg(F.count("*").cast("long").alias("m_edges"))
+    intra = (
+        e.join(lab_u, on="u").join(lab_v, on="v")
+        .filter(F.col("_lu") == F.col("_lv"))
+        .groupBy("_lu").agg(F.count("*").cast("long").alias("_ec"))
+        .agg(F.coalesce(F.sum("_ec"), F.lit(0)).cast("long")
+             .alias("intra_edges"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("_d"))
+    )
+    comm = (
+        deg.join(labels, on="node")
+        .groupBy("label").agg(F.sum("_d").cast("long").alias("_dc"))
+    )
+    csum = comm.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.coalesce(F.sum(F.expr("cast(_dc as decimal(38,0)) * _dc")),
+                   F.lit(0).cast("decimal(38,0)")).alias("sum_deg_sq"),
+    )
+    from ._util import attach_scalar
+
+    out = attach_scalar(attach_scalar(m_agg, intra), csum)
+    num = ("(cast(1000000 as decimal(38,0))"
+           " * (4 * cast(m_edges as decimal(38,0)) * intra_edges"
+           "    - sum_deg_sq))")
+    den = "(4 * cast(m_edges as decimal(38,0)) * m_edges)"
+    return out.select(
+        "m_edges", "n_communities", "intra_edges",
+        F.col("sum_deg_sq").cast("long").alias("sum_deg_sq"),
+        F.expr(
+            "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
+            " as bigint) END".format(v=num, d=den)).alias("q_ppm"),
+    )
