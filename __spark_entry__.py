@@ -12051,3 +12051,130 @@ FROM w ORDER BY day_id
 
 _EXTRA_QUERIES["events_wau"] = q_events_wau
 _EXTRA_ORACLES["events_wau"] = Q_EVENTS_WAU_SQL
+
+
+def q_text_garbage(spark, sf_dir):
+    """Encoding-garbage / mojibake screen (operators/textstats.py:
+    garbage_signals): control-char, U+FFFD, and multibyte-density
+    signals via the translate/replace-strip discipline (regex-free,
+    locale-free).  Garbage is PLANTED deterministically (doc_id%7: a
+    C0 control + replacement char; doc_id%5: accented chars) so both
+    engines see identical damage.  Pure narrow codegen projection."""
+    from picogeojson_spark.operators.textstats import garbage_signals
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\x01�")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("ééé")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return garbage_signals(d).orderBy("doc_id")
+
+
+def _q_text_garbage_sql():
+    ctrl = " || ".join(
+        "chr({})".format(c)
+        for c in list(range(1, 9)) + [11, 12] + list(range(14, 32)))
+    return """
+WITH t AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(1) || chr(65533) ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN 'ééé' ELSE '' END AS x
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(length(x) AS BIGINT) AS n_chars,
+         CAST(strlen(x) AS BIGINT) AS n_bytes,
+         CAST(strlen(x) - length(x) AS BIGINT) AS multibyte_bytes,
+         CAST(length(x) - length(translate(x, {ctrl}, ''))
+              AS BIGINT) AS control_n,
+         CAST(length(x) - length(replace(x, chr(65533), ''))
+              AS BIGINT) AS repl_n
+  FROM t)
+SELECT doc_id, n_chars, n_bytes, multibyte_bytes, control_n, repl_n,
+       (control_n > 0 OR repl_n > 0
+        OR multibyte_bytes * 1000000 > 300000 * n_bytes) AS is_garbage
+FROM c ORDER BY doc_id
+""".format(ctrl=ctrl)
+
+
+Q_TEXT_GARBAGE_SQL = _q_text_garbage_sql()
+
+_EXTRA_QUERIES["text_garbage"] = q_text_garbage
+_EXTRA_ORACLES["text_garbage"] = Q_TEXT_GARBAGE_SQL
+
+
+def q_table_fk(spark, sf_dir):
+    """Referential-integrity orphan profile (operators/expectations.py:
+    fk_orphans) for three FK candidates — two clean TPC-H keys plus a
+    simulated lost-shard parent (supplier rows with s_suppkey%3=0
+    dropped) that MUST report orphans.  Child collapses to its key
+    histogram first; anti-join runs at key cardinality; structural
+    scalar attach combines the 1-row rollups."""
+    from picogeojson_spark.operators.expectations import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 3 != 0)
+    parts = [
+        fk_orphans(li, o, "l_orderkey", "o_orderkey"),
+        fk_orphans(o, c, "o_custkey", "c_custkey"),
+        fk_orphans(li, s, "l_suppkey", "s_suppkey",
+                   fk_name="l_suppkey->supplier(lost-shard)"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
+
+
+_FK_BLOCK_SQL = """
+SELECT '{label}' AS fk,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+        WHERE {ck} IS NOT NULL) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+        WHERE {ck} IS NULL) AS n_null,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS orphan_rows,
+       CAST(COUNT(*) AS BIGINT) AS orphan_keys,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM {child}
+                       WHERE {ck} IS NOT NULL) > 0
+            THEN COALESCE(SUM(n), 0) * 1000000
+                 // (SELECT COUNT(*) FROM {child}
+                     WHERE {ck} IS NOT NULL) END AS BIGINT)
+         AS orphan_ppm
+FROM (
+  SELECT {ck} AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {child} WHERE {ck} IS NOT NULL GROUP BY 1) kk
+WHERE NOT EXISTS (SELECT 1 FROM ({parent}) p WHERE p.pk = kk.k)
+"""
+
+Q_TABLE_FK_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join([
+        _FK_BLOCK_SQL.format(
+            label="l_orderkey->o_orderkey", child="lineitem",
+            ck="l_orderkey",
+            parent="SELECT o_orderkey AS pk FROM orders"),
+        _FK_BLOCK_SQL.format(
+            label="o_custkey->c_custkey", child="orders",
+            ck="o_custkey",
+            parent="SELECT c_custkey AS pk FROM customer"),
+        _FK_BLOCK_SQL.format(
+            label="l_suppkey->supplier(lost-shard)", child="lineitem",
+            ck="l_suppkey",
+            parent="SELECT s_suppkey AS pk FROM supplier"
+                   " WHERE s_suppkey % 3 <> 0"),
+    ])
+    + ") ORDER BY fk"
+)
+
+_EXTRA_QUERIES["table_fk"] = q_table_fk
+_EXTRA_ORACLES["table_fk"] = Q_TABLE_FK_SQL

@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "eval_ngram_overlap",
     "graph_modularity",
     "events_wau",
+    "text_garbage",
+    "table_fk",
 ]
 
 

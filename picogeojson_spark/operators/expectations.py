@@ -112,3 +112,60 @@ def expectation_report(
         raise ValueError("no expectations declared")
     out = reduce(lambda a, b: a.unionByName(b), parts)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame,
+               child_key: str, parent_key: str,
+               fk_name: str = None) -> DataFrame:
+    """Referential-integrity profile for one foreign-key candidate —
+    the data-quality read CDC/late-arrival pipelines run before a
+    join is trusted: how many child rows point at a parent that does
+    not exist?  ONE row:
+
+        fk              label ("child_key->parent_key" by default)
+        n_child         child rows with a NON-NULL key
+        n_null          child rows with a NULL key (not orphans —
+                        reported separately, the unique-rule NULL
+                        convention)
+        orphan_rows     non-null child rows with no parent match
+        orphan_keys     distinct missing key values
+        orphan_ppm      floor(1e6 * orphan_rows / n_child)
+
+    Scale shape: the child collapses to its KEY HISTOGRAM first (ONE
+    map-side-combined aggregate), so the anti-join against the
+    parent's distinct key set runs at key cardinality, never row
+    cardinality; two 1-row rollups combine via the structural scalar
+    attach.  No windows, no python.
+    """
+    from ._util import attach_scalar
+
+    label = fk_name or "{}->{}".format(child_key, parent_key)
+    keys = (
+        child.select(F.col(child_key).alias("_k"))
+        .groupBy("_k").agg(F.count("*").cast("long").alias("_n"))
+    )
+    nn = keys.filter(F.col("_k").isNotNull())
+    totals = keys.agg(
+        F.coalesce(F.sum(F.when(F.col("_k").isNotNull(), F.col("_n"))),
+                   F.lit(0)).cast("long").alias("n_child"),
+        F.coalesce(F.sum(F.when(F.col("_k").isNull(), F.col("_n"))),
+                   F.lit(0)).cast("long").alias("n_null"),
+    )
+    orphans = (
+        nn.join(parent.select(F.col(parent_key).alias("_k")).distinct(),
+                on="_k", how="left_anti")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+            .alias("orphan_rows"),
+            F.count("*").cast("long").alias("orphan_keys"),
+        )
+    )
+    out = attach_scalar(totals, orphans)
+    return out.select(
+        F.lit(label).alias("fk"), "n_child", "n_null", "orphan_rows",
+        "orphan_keys",
+        F.when(F.col("n_child") > 0,
+               F.expr("cast(div(cast(orphan_rows as decimal(38,0))"
+                      " * 1000000, n_child) as bigint)"))
+        .alias("orphan_ppm"),
+    )

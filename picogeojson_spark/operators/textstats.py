@@ -1172,3 +1172,58 @@ def ngram_overlap(
                F.expr("cast(div(cast(p2_num as decimal(38,0)) * 1000000,"
                       " p2_den) as bigint)")).alias("p2_ppm"),
     )
+
+
+#: C0 control characters EXCEPT tab/newline/carriage-return (legitimate
+#: in text) — the mojibake/binary-leak tell.
+CONTROL_CHARS = "".join(
+    chr(c) for c in list(range(1, 9)) + [11, 12] + list(range(14, 32)))
+
+
+def garbage_signals(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    multibyte_threshold_ppm: int = 300_000) -> DataFrame:
+    """Encoding-garbage / mojibake screen per document — the curation
+    filter that catches binary leakage, double-decoded text, and
+    replacement-char damage before it poisons a corpus:
+
+        n_chars, n_bytes      exact char / utf-8 byte lengths
+        multibyte_bytes       n_bytes - n_chars (0 for pure ASCII)
+        control_n             C0 control chars except \\t \\n \\r
+        repl_n                U+FFFD replacement characters
+        is_garbage            control_n > 0 OR repl_n > 0 OR
+                              multibyte_bytes * 1e6 >
+                              threshold_ppm * n_bytes
+
+    Counting is the code_signals discipline — ``length`` /
+    ``octet_length`` / ``translate``-strip / ``replace``-strip: exact,
+    locale-free, regex-free, byte-identical across engines.  The
+    multibyte share is a *density* signal (legitimate non-Latin text
+    also scores high — the threshold is a routing knob, not a verdict;
+    pair with text_langid).  Empty documents report zeros / false.
+
+    Scale shape: pure narrow codegen projection — zero shuffles, zero
+    joins, zero python.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    nb = F.octet_length(t).cast("long")
+    ctrl = (F.length(t)
+            - F.length(F.translate(t, CONTROL_CHARS, ""))).cast("long")
+    repl = (F.length(t)
+            - F.length(F.replace(t, F.lit("�"), F.lit("")))
+            ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_chars"), nb.alias("n_bytes"),
+        (nb - n).alias("multibyte_bytes"),
+        ctrl.alias("control_n"), repl.alias("repl_n"),
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_bytes", "multibyte_bytes", "control_n",
+        "repl_n",
+        ((F.col("control_n") > 0) | (F.col("repl_n") > 0)
+         | (F.col("multibyte_bytes") * 1000000
+            > F.lit(int(multibyte_threshold_ppm)) * F.col("n_bytes")))
+        .alias("is_garbage"),
+    )
