@@ -12178,3 +12178,39 @@ Q_TABLE_FK_SQL = (
 
 _EXTRA_QUERIES["table_fk"] = q_table_fk
 _EXTRA_ORACLES["table_fk"] = Q_TABLE_FK_SQL
+
+
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival gap percentiles per event type (operators/
+    forecast.py:interarrival_quantiles): per (type, user) successive
+    time differences, exact discrete p50/p90/p99 via the
+    group_quantiles primitive; gap multiset (and so every percentile)
+    invariant under tie order; pure-NTZ microsecond arithmetic."""
+    from picogeojson_spark.operators.forecast import \
+        interarrival_quantiles
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").alias("entity"),
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .cast("long").alias("t"),
+    )
+    return interarrival_quantiles(e).orderBy("key")
+
+
+def _q_events_interarrival_sql():
+    from picogeojson_spark.operators.stats import quantiles_oracle_sql
+
+    src = ("SELECT key, gap FROM ("
+           "SELECT event_type AS key, "
+           "epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+           "PARTITION BY event_type, user_id ORDER BY epoch_us(ts)"
+           ") AS gap FROM events) WHERE gap IS NOT NULL")
+    return quantiles_oracle_sql(src, "gap", "key")
+
+
+Q_EVENTS_INTERARRIVAL_SQL = _q_events_interarrival_sql()
+
+_EXTRA_QUERIES["events_interarrival"] = q_events_interarrival
+_EXTRA_ORACLES["events_interarrival"] = Q_EVENTS_INTERARRIVAL_SQL

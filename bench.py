@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "events_wau",
     "text_garbage",
     "table_fk",
+    "events_interarrival",
 ]
 
 

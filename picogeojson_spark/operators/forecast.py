@@ -436,3 +436,41 @@ def dispersion_index(
                       " cast(n_slots as decimal(38,0)) * _sv) as bigint)"))
         .alias("fano_ppm"),
     )
+
+
+def interarrival_quantiles(
+    events: DataFrame,
+    key_col: str = "key",
+    entity_col: str = "entity",
+    t_col: str = "t",
+    percentiles=(50, 90, 99),
+) -> DataFrame:
+    """Inter-arrival gap percentiles per key — the latency/engagement
+    cadence read (median seconds between a user's events, p99 crawl
+    revisit gap): per (key, entity) the events sort by time and emit
+    successive differences; per key the exact discrete percentiles of
+    those gaps ship via the stats.group_quantiles primitive.
+    Determinism: ties in ``t`` permute only equal values, so the GAP
+    MULTISET — and therefore every percentile — is a pure function of
+    the input multiset.  Output: ``(key, n, p50, p90, p99)`` with
+    ``n`` = gap count (events minus one per active entity).
+
+    Scale shape: ONE hash exchange on (key, entity) for the lag window
+    (per-entity sequences are session-bounded — the events_paths
+    contract); the quantile ranks run on the per-key gap table (one
+    exchange on key, reused by rank/count/final agg — the
+    group_quantiles shape).  No python, no corpus-wide window.
+    """
+    from pyspark.sql import Window
+
+    from .stats import group_quantiles
+
+    w = Window.partitionBy(key_col, entity_col).orderBy("_t")
+    gaps = (
+        events.select(key_col, entity_col,
+                      F.col(t_col).cast("long").alias("_t"))
+        .withColumn("_gap", F.col("_t") - F.lag("_t").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    return group_quantiles(gaps, "_gap", key_col,
+                           percentiles=percentiles)
