@@ -12214,3 +12214,28 @@ Q_EVENTS_INTERARRIVAL_SQL = _q_events_interarrival_sql()
 
 _EXTRA_QUERIES["events_interarrival"] = q_events_interarrival
 _EXTRA_ORACLES["events_interarrival"] = Q_EVENTS_INTERARRIVAL_SQL
+
+
+def q_stream_ams(spark, sf_dir):
+    """STREAMING AMS F2 sketch — the mergeability proof in the
+    streaming dimension: the SAME ams_f2 operator (one global
+    aggregate of k bit-sign sums + array finalization) runs unchanged
+    over the replayed event file stream in complete mode (state = one
+    row of k counters; Z vectors ADD across microbatches exactly
+    because the sketch is mergeable).  Oracle is the SAME SQL as
+    sketch_ams — the hash IS the stream==batch proof (stream_decay
+    pattern)."""
+    from picogeojson_spark.operators.sketches import ams_f2
+
+    src = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    sk = ams_f2(src.select(F.col("user_id").alias("key")),
+                k=16, salt="ams0")
+    return _run_stream(spark, sk, "stream_ams", "complete")
+
+
+_EXTRA_QUERIES["stream_ams"] = q_stream_ams
+_EXTRA_ORACLES["stream_ams"] = Q_SKETCH_AMS_SQL

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "text_garbage",
     "table_fk",
     "events_interarrival",
+    "stream_ams",
 ]
 
 
