@@ -12239,3 +12239,117 @@ def q_stream_ams(spark, sf_dir):
 
 _EXTRA_QUERIES["stream_ams"] = q_stream_ams
 _EXTRA_ORACLES["stream_ams"] = Q_SKETCH_AMS_SQL
+
+
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact binary-payload dedup (operators/multimodal.py:
+    media_dedup): recrawled/mirrored assets collapse on the payload's
+    content hash (md5 of base64 — engine-portable digest; payload
+    bytes never shuffle, only hashes).  Duplicates are planted
+    deterministically (payload keyed by doc_id % 200).  ONE map-side-
+    combined aggregate; smallest id wins as canonical."""
+    from picogeojson_spark.operators.multimodal import media_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("asset-"),
+                          (F.col("doc_id") % 200).cast("string"),
+                          F.lit("-payload")), "UTF-8").alias("payload"),
+    )
+    return media_dedup(media, min_copies=2).orderBy("payload_md5")
+
+
+Q_MULTIMODAL_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         md5(base64(encode('asset-' || CAST(doc_id % 200 AS VARCHAR)
+                           || '-payload'))) AS payload_md5
+  FROM documents)
+SELECT payload_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(media_id) AS BIGINT) AS canonical_id
+FROM m GROUP BY payload_md5
+HAVING COUNT(*) >= 2
+ORDER BY payload_md5
+"""
+
+_EXTRA_QUERIES["multimodal_dedup"] = q_multimodal_dedup
+_EXTRA_ORACLES["multimodal_dedup"] = Q_MULTIMODAL_DEDUP_SQL
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Doubling-bucket degree distribution (operators/graph.py:
+    degree_profile) of the market-basket co-occurrence graph — the
+    hub/power-law read that decides skew strategy; floor(log2) as
+    binary digit count (zipf_profile rule, no float logs).  One
+    symmetrize + ONE map-side degree aggregate; bucket rollup + total
+    window on the <= 64-row table."""
+    from picogeojson_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_profile,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return degree_profile(edges).orderBy("bucket")
+
+
+Q_GRAPH_DEGREES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem),
+e0 AS (SELECT DISTINCT a.item AS u, b.item AS v
+       FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node),
+b AS (
+  SELECT CAST(length(bin(d)) - 1 AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1)
+SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS deg_lo, n_nodes,
+       CAST(n_nodes * 1000000 // (SUM(n_nodes) OVER ()) AS BIGINT)
+         AS share_ppm
+FROM b ORDER BY bucket
+"""
+
+_EXTRA_QUERIES["graph_degrees"] = q_graph_degrees
+_EXTRA_ORACLES["graph_degrees"] = Q_GRAPH_DEGREES_SQL
+
+
+def q_embed_norms(spark, sf_dir):
+    """Embedding-norm health profile (operators/pca.py:norm_profile):
+    squared L2 norms in the exact quantized space, doubling buckets
+    (bucket -1 = exact zero) — the collapsed/exploded-norm encoder
+    diagnostic.  JVM-side HOF norm fold + ONE map-side bucket
+    aggregate; vectors never shuffle."""
+    from picogeojson_spark.operators.pca import norm_profile
+
+    return norm_profile(_t(spark, sf_dir, "embeddings")).orderBy(
+        "bucket")
+
+
+Q_EMBED_NORMS_SQL = """
+WITH q0 AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+n2 AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+              AS BIGINT) AS norm2
+  FROM q0 GROUP BY vec_id),
+b AS (
+  SELECT CASE WHEN norm2 = 0 THEN -1
+              ELSE CAST(length(bin(norm2)) - 1 AS INT) END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM n2 GROUP BY 1)
+SELECT bucket,
+       CAST(CASE WHEN bucket >= 0 THEN pow(2, bucket) ELSE 0 END
+            AS BIGINT) AS norm2_lo,
+       n_vecs,
+       CAST(n_vecs * 1000000 // (SUM(n_vecs) OVER ()) AS BIGINT)
+         AS share_ppm
+FROM b ORDER BY bucket
+"""
+
+_EXTRA_QUERIES["embed_norms"] = q_embed_norms
+_EXTRA_ORACLES["embed_norms"] = Q_EMBED_NORMS_SQL

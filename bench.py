@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "table_fk",
     "events_interarrival",
     "stream_ams",
+    "multimodal_dedup",
+    "graph_degrees",
+    "embed_norms",
 ]
 
 

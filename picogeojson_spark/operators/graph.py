@@ -1512,3 +1512,38 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
             " as bigint) END".format(v=num, d=den)).alias("q_ppm"),
     )
+
+
+def degree_profile(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected edge set (``u < v``,
+    distinct) in doubling buckets — the hub/power-law read that decides
+    skew strategy before any heavier graph work: one row per non-empty
+    bucket ``(bucket, deg_lo, n_nodes, share_ppm)`` where bucket ``b``
+    holds nodes with degree in ``[2^b, 2^(b+1))`` (``floor(log2)`` =
+    binary digit count — the zipf_profile rule, no float logs).
+
+    Scale shape: one symmetrize + ONE map-side-combined degree
+    aggregate, then a bucket rollup and a total window on the
+    log-bounded (<= 64-row) bucket table.  No joins, no python.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("_d"))
+    )
+    b = deg.select(
+        (F.length(F.bin(F.col("_d"))) - 1).cast("int").alias("bucket"),
+    ).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_nodes"))
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return b.select(
+        "bucket",
+        F.expr("cast(pow(2, bucket) as bigint)").alias("deg_lo"),
+        "n_nodes",
+        F.sum("n_nodes").over(wall).cast("long").alias("_tot"),
+    ).select(
+        "bucket", "deg_lo", "n_nodes",
+        F.expr("cast(div(cast(n_nodes as decimal(38,0)) * 1000000,"
+               " _tot) as bigint)").alias("share_ppm"),
+    )

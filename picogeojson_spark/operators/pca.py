@@ -159,3 +159,43 @@ def centroid_outliers(vectors: DataFrame, k: int = 20,
         scored.orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
         .limit(int(k))
     )
+
+
+def norm_profile(vectors: DataFrame, vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Embedding-norm health profile — collapsed (near-zero) or
+    exploded norms are the classic sign of a broken encoder run or a
+    mixed-model corpus: squared L2 norms in the exact quantized space
+    (``q = floor(x * SCALE_Q)``), bucketed by doubling ranges; one row
+    per non-empty bucket ``(bucket, norm2_lo, n_vecs, share_ppm)``
+    plus bucket -1 for exact-zero norms (log2 undefined).
+
+    Scale shape: per-vector norm2 is a JVM-side HOF fold (lambda vars
+    only); ONE map-side-combined bucket aggregate; total window on the
+    <= 64-row bucket table.  The corpus never shuffles vectors.
+    """
+    norm2 = F.expr(
+        "aggregate(transform({v}, x -> cast(floor(cast(x as double)"
+        " * {sq}) as bigint)), 0L, (acc, q) -> acc + q * q)".format(
+            v=vec_col, sq=SCALE_Q))
+    b = vectors.select(norm2.alias("_n2")).select(
+        F.when(F.col("_n2") == 0, F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("_n2"))) - 1).cast("int")
+        .alias("bucket"),
+    ).groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+    from pyspark.sql import Window
+
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return b.select(
+        "bucket",
+        F.when(F.col("bucket") >= 0,
+               F.expr("cast(pow(2, bucket) as bigint)"))
+        .otherwise(F.lit(0)).alias("norm2_lo"),
+        "n_vecs",
+        F.sum("n_vecs").over(wall).cast("long").alias("_tot"),
+    ).select(
+        "bucket", "norm2_lo", "n_vecs",
+        F.expr("cast(div(cast(n_vecs as decimal(38,0)) * 1000000,"
+               " _tot) as bigint)").alias("share_ppm"),
+    )
