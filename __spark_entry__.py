@@ -12353,3 +12353,103 @@ FROM b ORDER BY bucket
 
 _EXTRA_QUERIES["embed_norms"] = q_embed_norms
 _EXTRA_ORACLES["embed_norms"] = Q_EMBED_NORMS_SQL
+
+
+def q_eval_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic (operators/
+    evals.py:ks_statistic): max CDF gap cross-multiplied to pure
+    integers over the score HISTOGRAM (auc_exact discipline — never a
+    row sort), with the gap's location (smallest argmax score).  The
+    binning-free companion to table_drift_chi2."""
+    from picogeojson_spark.operators.evals import ks_statistic
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a")).otherwise(
+            F.lit("b")).alias("sample"),
+        (F.expr("div(n_chars, 10)")
+         + F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 9)
+         .otherwise(F.lit(0))).cast("long").alias("score"),
+    )
+    return ks_statistic(d, "a", "b")
+
+
+Q_EVAL_KS_SQL = """
+WITH sc AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'a' ELSE 'b' END AS g,
+         CAST(n_chars // 10
+              + CASE WHEN doc_id % 3 = 0 THEN doc_id % 9 ELSE 0 END
+              AS BIGINT) AS s
+  FROM documents),
+hist AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM sc GROUP BY s),
+d AS (
+  SELECT s,
+         CAST(SUM(ca) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b,
+         CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+         CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+  FROM hist),
+d2 AS (
+  SELECT s, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS dd,
+         MAX(abs(cum_a * n_b - cum_b * n_a)) OVER () AS dmax
+  FROM d)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0
+            THEN MAX(dmax) * 1000000 // (MAX(n_a) * MAX(n_b)) END
+            AS BIGINT) AS ks_ppm,
+       CAST(CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0
+            THEN MIN(CASE WHEN dd = dmax THEN s END) END
+            AS BIGINT) AS ks_at
+FROM d2
+"""
+
+_EXTRA_QUERIES["eval_ks"] = q_eval_ks
+_EXTRA_ORACLES["eval_ks"] = Q_EVAL_KS_SQL
+
+
+def q_orders_lag_quantiles(spark, sf_dir):
+    """Order-to-ship lag percentiles per priority (operators/stats.py:
+    group_quantiles over the per-lineitem day lag): the SLA read —
+    exact discrete p50/p90/p99 on pure-NTZ integer day ids; one
+    equi-join + the shared one-exchange quantile shape."""
+    from picogeojson_spark.operators.stats import group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+               " div 86400000000").cast("long").alias("_sd"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+               " div 86400000000").cast("long").alias("_od"),
+    )
+    lag = li.join(o, on="l_orderkey").select(
+        "prio", (F.col("_sd") - F.col("_od")).alias("lag_days"))
+    return group_quantiles(lag, "lag_days", "prio").orderBy("prio")
+
+
+def _q_orders_lag_sql():
+    from picogeojson_spark.operators.stats import quantiles_oracle_sql
+
+    src = ("SELECT o.o_orderpriority AS prio, "
+           "epoch_us(l.l_shipdate) // 86400000000"
+           " - epoch_us(o.o_orderdate) // 86400000000 AS lag_days "
+           "FROM lineitem l JOIN orders o"
+           " ON l.l_orderkey = o.o_orderkey")
+    return quantiles_oracle_sql(src, "lag_days", "prio")
+
+
+Q_ORDERS_LAG_SQL = _q_orders_lag_sql()
+
+_EXTRA_QUERIES["orders_lag_quantiles"] = q_orders_lag_quantiles
+_EXTRA_ORACLES["orders_lag_quantiles"] = Q_ORDERS_LAG_SQL

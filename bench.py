@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "multimodal_dedup",
     "graph_degrees",
     "embed_norms",
+    "eval_ks",
+    "orders_lag_quantiles",
 ]
 
 

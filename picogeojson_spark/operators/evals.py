@@ -694,3 +694,75 @@ def regression_metrics(
             "CASE WHEN {d} <> 0 THEN cast(div({v} - pmod({v}, {d}), {d})"
             " as bigint) END".format(v=num, d=den)).alias("r2_ppm"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    label_a,
+    label_b,
+    group_col: str = "sample",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic over integer
+    scores — the distribution-shift read that complements the binned
+    chi-square drift check (KS sees location/shape shifts fixed bins
+    blur, and has no binning knob).  ``label_a``/``label_b`` name the
+    two samples in ``group_col`` (explicit, so the contract is
+    deterministic — rows with other labels are ignored).  ONE row out:
+
+        n_a, n_b       sample sizes
+        ks_ppm         floor(1e6 * max_s |F_a(s) - F_b(s)|)  computed
+                       cross-multiplied: max |cum_a*n_b - cum_b*n_a|
+                       / (n_a*n_b) — every operand an exact integer
+        ks_at          the smallest score achieving the max (the
+                       shift's location, deterministic)
+
+    NULL ks/ks_at when either sample is empty.  Products run in
+    decimal(38,0) (``cum * n`` passes int64 at ~3e9 x 3e9 rows).
+
+    Scale shape: the auc_exact discipline — ONE map-side-combined
+    aggregate to the per-score (c_a, c_b) histogram; the cumulative and
+    total windows run over that score-cardinality-bounded table; one
+    final 1-row aggregate.  Never a sort of rows.
+    """
+    hist = (
+        df.select(F.col(group_col).alias("_g"),
+                  F.col(score_col).alias("s"))
+        .filter(F.col("_g").isin([label_a, label_b]))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("_g") == F.lit(label_a), 1).otherwise(0))
+            .cast("long").alias("ca"),
+            F.sum(F.when(F.col("_g") == F.lit(label_b), 1).otherwise(0))
+            .cast("long").alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    d = hist.select(
+        "s",
+        F.sum("ca").over(wcum).cast("long").alias("cum_a"),
+        F.sum("cb").over(wcum).cast("long").alias("cum_b"),
+        F.sum("ca").over(wall).cast("long").alias("n_a"),
+        F.sum("cb").over(wall).cast("long").alias("n_b"),
+    ).select(
+        "s", "n_a", "n_b",
+        F.expr("abs(cast(cum_a as decimal(38,0)) * n_b"
+               " - cast(cum_b as decimal(38,0)) * n_a)").alias("_d"),
+    )
+    # argmax needs the max first: one more window pass over the
+    # histogram-sized table (join-free)
+    wmax = Window.partitionBy()
+    d2 = d.withColumn("_dmax", F.max("_d").over(wmax))
+    return d2.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.when((F.max("n_a") > 0) & (F.max("n_b") > 0),
+               F.expr("cast(div(max(_dmax) * 1000000,"
+                      " cast(max(n_a) as decimal(38,0)) * max(n_b))"
+                      " as bigint)")).alias("ks_ppm"),
+        F.when((F.max("n_a") > 0) & (F.max("n_b") > 0),
+               F.min(F.when(F.col("_d") == F.col("_dmax"), F.col("s")))
+               .cast("long")).alias("ks_at"),
+    )
