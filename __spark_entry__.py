@@ -12453,3 +12453,44 @@ Q_ORDERS_LAG_SQL = _q_orders_lag_sql()
 
 _EXTRA_QUERIES["orders_lag_quantiles"] = q_orders_lag_quantiles
 _EXTRA_ORACLES["orders_lag_quantiles"] = Q_ORDERS_LAG_SQL
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution (operators/dedup.py:
+    cluster_size_histogram over duplicate_clusters): the dedup-audit
+    read — removable mass per cluster size over the verified
+    minhash/LSH pair graph.  Two map-side-combined aggregates on top
+    of the O(log n) large-star/small-star components."""
+    from picogeojson_spark.operators.dedup import (
+        cluster_size_histogram,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4,
+                              threshold=0.5)
+    return cluster_size_histogram(duplicate_clusters(pairs)).orderBy(
+        "size")
+
+
+def _q_dedup_cluster_sizes_sql():
+    base = _dedup_clusters_sql()
+    head = base.rsplit("SELECT s AS doc_id", 1)[0]
+    return head.rstrip() + """,
+clusters AS (
+  SELECT s AS doc_id, LEAST(s, MIN(t)) AS rep
+  FROM reach GROUP BY s),
+csz AS (
+  SELECT rep, CAST(COUNT(*) AS BIGINT) AS size
+  FROM clusters GROUP BY rep)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS docs
+FROM csz GROUP BY size ORDER BY size
+"""
+
+
+Q_DEDUP_CLUSTER_SIZES_SQL = _q_dedup_cluster_sizes_sql()
+
+_EXTRA_QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+_EXTRA_ORACLES["dedup_cluster_sizes"] = Q_DEDUP_CLUSTER_SIZES_SQL

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "embed_norms",
     "eval_ks",
     "orders_lag_quantiles",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -854,3 +854,29 @@ def containment_pairs(
         F.expr("cast(div(cast(inter_sz as decimal(38,0)) * 1000000,"
                " src_sz) as bigint)").alias("containment_ppm"),
     )
+
+
+def cluster_size_histogram(clusters: DataFrame,
+                           cluster_col: str = "rep_id") -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup-audit read (how
+    much duplication mass does the corpus carry, and is it pairs or
+    giant mirror blobs?): from a ``(member, cluster)`` assignment
+    (:func:`duplicate_clusters` output), one row per observed cluster
+    size: ``(size, n_clusters, docs)`` with ``docs = size *
+    n_clusters`` (the removable mass at that size is ``docs -
+    n_clusters``).  Only non-trivial clusters appear (singletons never
+    enter the pair graph — documented).
+
+    Scale shape: two map-side-combined aggregates (cluster -> size,
+    size -> count); the histogram is size-bounded.  No joins, no
+    windows, no python.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select("size", "n_clusters",
+                (F.col("size") * F.col("n_clusters")).cast("long")
+                .alias("docs"))
+    )
