@@ -12494,3 +12494,64 @@ Q_DEDUP_CLUSTER_SIZES_SQL = _q_dedup_cluster_sizes_sql()
 
 _EXTRA_QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
 _EXTRA_ORACLES["dedup_cluster_sizes"] = Q_DEDUP_CLUSTER_SIZES_SQL
+
+
+def q_geo_compact(spark, sf_dir):
+    """Quadtree cell-set compaction (operators/tiling.py:compact_cells
+    — the H3 `compact` analog): the customer-lattice coverage at a
+    z=6 equirectangular grid collapses to its minimal mixed-resolution
+    form (full 4-child blocks promote, recursively, down to z=2).
+    Bounded rounds; per round ONE parent aggregate + ONE anti-join on
+    a monotonically shrinking set; the oracle unrolls the identical
+    rounds."""
+    from picogeojson_spark.operators.tiling import compact_cells
+
+    p = _points_from_customer(spark, sf_dir)
+    cells = p.select(
+        F.expr("least(63L, greatest(0L,"
+               " cast(floor((lon + 180) / 360 * 64) as bigint)))")
+        .alias("x"),
+        F.expr("least(63L, greatest(0L,"
+               " cast(floor((lat + 90) / 180 * 64) as bigint)))")
+        .alias("y"),
+    )
+    return compact_cells(cells, z_max=6, z_min=2).orderBy("z", "x", "y")
+
+
+def _q_geo_compact_sql(z_max=6, z_min=2):
+    parts = ["""
+WITH p AS ({points}),
+c{zm} AS MATERIALIZED (
+  SELECT DISTINCT
+         least(63, greatest(0, CAST(floor((lon + 180) / 360 * 64)
+                                    AS BIGINT))) AS x,
+         least(63, greatest(0, CAST(floor((lat + 90) / 180 * 64)
+                                    AS BIGINT))) AS y
+  FROM p)""".format(points=_POINTS_SQL, zm=z_max)]
+    for z in range(z_max, z_min, -1):
+        parts.append("""
+f{z} AS MATERIALIZED (
+  SELECT x // 2 AS px, y // 2 AS py FROM c{z}
+  GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k{z} AS (
+  SELECT CAST({z} AS INTEGER) AS z, x, y FROM c{z}
+  WHERE NOT EXISTS (SELECT 1 FROM f{z}
+                    WHERE f{z}.px = c{z}.x // 2
+                      AND f{z}.py = c{z}.y // 2)),
+c{p} AS MATERIALIZED (SELECT px AS x, py AS y FROM f{z})""".format(
+            z=z, p=z - 1))
+    unions = ["SELECT CAST({zn} AS INTEGER) AS z, x, y FROM c{zn}"
+              .format(zn=z_min)]
+    for z in range(z_max, z_min, -1):
+        unions.append("SELECT z, x, y FROM k{z}".format(z=z))
+    return (",".join(parts)
+            + "\nSELECT z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT)"
+              " AS y FROM (\n  "
+            + "\n  UNION ALL ".join(unions)
+            + ")\nORDER BY z, x, y")
+
+
+Q_GEO_COMPACT_SQL = _q_geo_compact_sql()
+
+_EXTRA_QUERIES["geo_compact"] = q_geo_compact
+_EXTRA_ORACLES["geo_compact"] = Q_GEO_COMPACT_SQL

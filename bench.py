@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "eval_ks",
     "orders_lag_quantiles",
     "dedup_cluster_sizes",
+    "geo_compact",
 ]
 
 

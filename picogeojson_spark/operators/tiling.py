@@ -177,3 +177,59 @@ def bbox_cell_weights(
         (w * h).cast("long").alias("area_u2"),
         ((lon1 - lon0) * (lat1 - lat0)).cast("long").alias("box_area_u2"),
     )
+
+
+def compact_cells(cells: DataFrame, z_max: int, z_min: int = 0
+                  ) -> DataFrame:
+    """Quadtree cell-set compaction — the H3 ``compact`` analog on the
+    z/x/y grid: wherever all FOUR children of a parent cell are
+    present, replace them by the parent, repeating up the pyramid, so
+    a coverage set ships in its minimal mixed-resolution form (an
+    order-of-magnitude smaller broadcast for dense regions; geofence /
+    coverage sets are the consumers).  Input: DISTINCT ``(x, y)``
+    occupied cells, all at level ``z_max``; output: ``(z, x, y)``
+    rows, ``z_min <= z <= z_max``, whose implied coverage EQUALS the
+    input's (the round-trip test expands every output cell back to
+    z_max and compares sets).
+
+    Determinism: pure set algebra — no ordering anywhere.
+
+    Scale shape: ``z_max - z_min`` bounded rounds; per round ONE
+    map-side-combined parent aggregate (count == 4 detects full
+    parents — children are distinct by contract) and ONE hash
+    anti-join keeping the non-promoted cells; the working set SHRINKS
+    monotonically (promoted cells leave, parents are 4x fewer).
+    Emissions union lazily.
+    """
+    if not (0 <= z_min <= z_max):
+        raise ValueError("need 0 <= z_min <= z_max")
+    cur = cells.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    ).distinct()
+    kept = []
+    for z in range(z_max, z_min, -1):
+        parents = (
+            cur.groupBy(
+                F.expr("div(x, 2)").alias("px"),
+                F.expr("div(y, 2)").alias("py"))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == 4)
+            .select("px", "py")
+        )
+        keep = (
+            cur.join(
+                parents.select(F.col("px").alias("_px"),
+                               F.col("py").alias("_py")),
+                on=[F.expr("div(x, 2)") == F.col("_px"),
+                    F.expr("div(y, 2)") == F.col("_py")],
+                how="left_anti")
+            .select(F.lit(z).cast("int").alias("z"), "x", "y")
+        )
+        kept.append(keep)
+        cur = parents.select(F.col("px").alias("x"),
+                             F.col("py").alias("y"))
+    out = cur.select(F.lit(z_min).cast("int").alias("z"), "x", "y")
+    for k in kept:
+        out = out.unionByName(k)
+    return out

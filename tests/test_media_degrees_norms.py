@@ -83,3 +83,15 @@ def test_norm_profile_negative_components(spark):
     rows = [(1, [-0.001])]
     out = norm_profile(_vecs(spark, rows)).collect()
     assert len(out) == 1 and out[0].bucket == 2 and out[0].n_vecs == 1
+
+
+def test_cluster_size_histogram(spark):
+    from picogeojson_spark.operators.dedup import cluster_size_histogram
+
+    rows = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20),
+            (21, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, rep_id long")
+    out = {r.size: r for r in cluster_size_histogram(df).collect()}
+    assert out[3].n_clusters == 1 and out[3].docs == 3
+    assert out[2].n_clusters == 2 and out[2].docs == 4
+    assert set(out) == {2, 3}
