@@ -12555,3 +12555,43 @@ Q_GEO_COMPACT_SQL = _q_geo_compact_sql()
 
 _EXTRA_QUERIES["geo_compact"] = q_geo_compact
 _EXTRA_ORACLES["geo_compact"] = Q_GEO_COMPACT_SQL
+
+
+def q_geo_uncompact(spark, sf_dir):
+    """Round-trip identity of the compaction pair (operators/
+    tiling.py: compact_cells + uncompact_cells): the customer-lattice
+    z=6 cover compacts to its minimal mixed-resolution form, then
+    expands back — and the ORACLE IS THE ORIGINAL CELL SET, so the
+    driver hash proves compact∘uncompact = identity cross-engine.
+    Bounded promote rounds one way, one bounded descendant explode +
+    distinct the other."""
+    from picogeojson_spark.operators.tiling import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    p = _points_from_customer(spark, sf_dir)
+    cells = p.select(
+        F.expr("least(63L, greatest(0L,"
+               " cast(floor((lon + 180) / 360 * 64) as bigint)))")
+        .alias("x"),
+        F.expr("least(63L, greatest(0L,"
+               " cast(floor((lat + 90) / 180 * 64) as bigint)))")
+        .alias("y"),
+    )
+    compacted = compact_cells(cells, z_max=6, z_min=2)
+    return uncompact_cells(compacted, z_target=6).orderBy("x", "y")
+
+
+Q_GEO_UNCOMPACT_SQL = """
+SELECT DISTINCT
+       least(63, greatest(0, CAST(floor((lon + 180) / 360 * 64)
+                                  AS BIGINT))) AS x,
+       least(63, greatest(0, CAST(floor((lat + 90) / 180 * 64)
+                                  AS BIGINT))) AS y
+FROM ({points})
+ORDER BY x, y
+""".format(points=_POINTS_SQL)
+
+_EXTRA_QUERIES["geo_uncompact"] = q_geo_uncompact
+_EXTRA_ORACLES["geo_uncompact"] = Q_GEO_UNCOMPACT_SQL

@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "orders_lag_quantiles",
     "dedup_cluster_sizes",
     "geo_compact",
+    "geo_uncompact",
 ]
 
 

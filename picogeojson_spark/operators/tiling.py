@@ -233,3 +233,48 @@ def compact_cells(cells: DataFrame, z_max: int, z_min: int = 0
     for k in kept:
         out = out.unionByName(k)
     return out
+
+
+def uncompact_cells(cells: DataFrame, z_target: int) -> DataFrame:
+    """Expand a mixed-resolution ``(z, x, y)`` cell set (the
+    :func:`compact_cells` output) back to a uniform level — the
+    query-side inverse every consumer of a compacted cover needs
+    before an equi-join against level-``z_target`` data.  Each cell at
+    level ``z <= z_target`` explodes into its ``4^(z_target - z)``
+    descendants; output ``(x, y)`` distinct at ``z_target``.
+
+    Scale shape: one bounded explode per row (the fan-out is the
+    coverage being materialized — exactly the rows a join consumer
+    must see) + one distinct.  ``compact_cells`` then
+    ``uncompact_cells`` is the identity on any level-``z_target`` cell
+    set; the contract query's oracle is the ORIGINAL set, so the gate
+    hash proves the round trip end to end.
+    """
+    if z_target < 0:
+        raise ValueError("need z_target >= 0")
+    f = F.expr("shiftleft(1L, %d - z)" % int(z_target))
+    # a cell FINER than the target is a contract violation (lossy to
+    # coarsen) — guarded with a lazy raise_error, the geofence pattern
+    guarded = cells.select(
+        F.when(F.col("z") <= int(z_target), F.col("z"))
+        .otherwise(F.expr(
+            "raise_error('uncompact_cells: cell finer than z_target')"))
+        .alias("z"),
+        "x", "y",
+    )
+    return (
+        guarded.select(
+            f.cast("long").alias("_f"), "x", "y")
+        .select(
+            F.explode(F.sequence(F.lit(0),
+                                 F.col("_f") * F.col("_f") - 1))
+            .alias("_i"),
+            "_f", "x", "y")
+        .select(
+            (F.col("x") * F.col("_f")
+             + F.expr("div(_i, _f)")).cast("long").alias("x"),
+            (F.col("y") * F.col("_f")
+             + F.expr("pmod(_i, _f)")).cast("long").alias("y"),
+        )
+        .distinct()
+    )

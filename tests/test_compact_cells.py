@@ -68,3 +68,31 @@ def test_duplicate_inputs_deduped(spark):
     out = {tuple(r) for r in
            compact_cells(_cells(spark, rows), z_max=1).collect()}
     assert out == {(0, 0, 0)}
+
+
+def test_uncompact_round_trip(spark):
+    from picogeojson_spark.operators.tiling import uncompact_cells
+
+    xy = {(x, y) for x in range(8) for y in range(8)
+          if (x + y) % 7 != 3}
+    compacted = compact_cells(_cells(spark, xy), z_max=3)
+    back = {(r.x, r.y) for r in uncompact_cells(compacted, 3).collect()}
+    assert back == xy
+
+
+def test_uncompact_single_parent(spark):
+    from picogeojson_spark.operators.tiling import uncompact_cells
+
+    df = spark.createDataFrame([(1, 2, 3)], "z int, x long, y long")
+    out = {(r.x, r.y) for r in uncompact_cells(df, 3).collect()}
+    assert out == {(x, y) for x in range(8, 12) for y in range(12, 16)}
+
+
+def test_uncompact_finer_than_target_raises(spark):
+    import pytest as _pytest
+
+    from picogeojson_spark.operators.tiling import uncompact_cells
+
+    df = spark.createDataFrame([(5, 0, 0)], "z int, x long, y long")
+    with _pytest.raises(Exception):
+        uncompact_cells(df, 3).collect()
