@@ -12595,3 +12595,96 @@ ORDER BY x, y
 
 _EXTRA_QUERIES["geo_uncompact"] = q_geo_uncompact
 _EXTRA_ORACLES["geo_uncompact"] = Q_GEO_UNCOMPACT_SQL
+
+
+def q_text_lexicon(spark, sf_dir):
+    """Rule-based lexicon scoring (operators/textstats.py:
+    lexicon_score): the Snorkel-style weak-labeling stage — exact
+    token-match counts against two broadcast-literal word lists
+    ('fast'/'vector' vs 'slow'/'scan'), signed net polarity with the
+    explicit negative-safe floor.  One tokenized explode + ONE
+    map-side-combined per-doc aggregate (isin literals — never a
+    join); LEFT join to the doc spine charges empty docs."""
+    from picogeojson_spark.operators.textstats import lexicon_score
+
+    return lexicon_score(
+        _t(spark, sf_dir, "documents"),
+        positive=["fast", "vector"],
+        negative=["slow", "scan"],
+    ).orderBy("doc_id")
+
+
+Q_TEXT_LEXICON_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN w IN ('fast', 'vector') THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_n,
+         CAST(SUM(CASE WHEN w IN ('slow', 'scan') THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_n
+  FROM toks WHERE w <> '' GROUP BY doc_id),
+j AS (
+  SELECT d.doc_id,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.pos_n, 0) AS pos_n,
+         COALESCE(a.neg_n, 0) AS neg_n
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+SELECT doc_id, n_tokens, pos_n, neg_n,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (1000000 * (pos_n - neg_n)
+                  - (((1000000 * (pos_n - neg_n)) % n_tokens + n_tokens)
+                     % n_tokens)) // n_tokens END AS BIGINT) AS net_ppm,
+       CASE WHEN pos_n > neg_n THEN 'pos'
+            WHEN pos_n < neg_n THEN 'neg'
+            ELSE 'neutral' END AS label
+FROM j ORDER BY doc_id
+"""
+
+_EXTRA_QUERIES["text_lexicon"] = q_text_lexicon
+_EXTRA_ORACLES["text_lexicon"] = Q_TEXT_LEXICON_SQL
+
+
+def q_table_keys(spark, sf_dir):
+    """Candidate-key uniqueness profile (operators/profile.py:
+    key_uniqueness) over orders columns — value-histogram distinct
+    counts (never countDistinct over raw rows), NULLs reported via the
+    nonnull gap; per candidate ONE map-side aggregate + 1-row
+    rollup."""
+    from picogeojson_spark.operators.profile import key_uniqueness
+
+    return key_uniqueness(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).orderBy("col")
+
+
+_KEYS_BLOCK_SQL = """
+SELECT '{c}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)
+                      > 0
+            THEN COUNT(DISTINCT {c}) * 1000000
+                 // SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)
+            END AS BIGINT) AS uniq_ppm,
+       COUNT(DISTINCT {c})
+         = SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS is_unique
+FROM orders
+"""
+
+Q_TABLE_KEYS_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _KEYS_BLOCK_SQL.format(c=c)
+        for c in ["o_orderkey", "o_custkey", "o_orderpriority"])
+    + ") ORDER BY col"
+)
+
+_EXTRA_QUERIES["table_keys"] = q_table_keys
+_EXTRA_ORACLES["table_keys"] = Q_TABLE_KEYS_SQL

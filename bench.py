@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "geo_compact",
     "geo_uncompact",
+    "text_lexicon",
+    "table_keys",
 ]
 
 

@@ -268,3 +268,49 @@ def fd_profile(df: DataFrame, candidates) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def key_uniqueness(df: DataFrame, columns) -> DataFrame:
+    """Candidate-key uniqueness profile — the schema-inference read
+    before choosing partition/join keys: for each candidate column,
+    one row ``(col, n_rows, n_nonnull, n_distinct, uniq_ppm,
+    is_unique)`` with ``uniq_ppm = floor(1e6 * n_distinct /
+    n_nonnull)`` (NULLs excluded from the key space — report them via
+    ``n_rows - n_nonnull``; a column is a candidate key iff every
+    non-null value is distinct AND there is at most one NULL is NOT
+    asserted here — ``is_unique`` means distinct == nonnull, the
+    fd_profile NULL convention's uniqueness face).
+
+    Scale shape: per column ONE map-side-combined value histogram
+    (never countDistinct over raw rows) + a 1-row rollup; candidates
+    union lazily.  No joins, no windows, no python.
+    """
+    if not columns:
+        raise ValueError("need at least one candidate column")
+    outs = []
+    for c in columns:
+        hist = df.groupBy(F.col(c).alias("_v")).agg(
+            F.count("*").cast("long").alias("_n"))
+        outs.append(hist.agg(
+            F.lit(c).alias("col"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+            .alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("_v").isNotNull(),
+                                    F.col("_n"))), F.lit(0))
+            .cast("long").alias("n_nonnull"),
+            F.coalesce(F.sum(F.when(F.col("_v").isNotNull(), 1)
+                             .otherwise(0)), F.lit(0)).cast("long")
+            .alias("n_distinct"),
+        ).select(
+            "col", "n_rows", "n_nonnull", "n_distinct",
+            F.when(F.col("n_nonnull") > 0,
+                   F.expr("cast(div(cast(n_distinct as decimal(38,0))"
+                          " * 1000000, n_nonnull) as bigint)"))
+            .alias("uniq_ppm"),
+            (F.col("n_distinct") == F.col("n_nonnull")).alias(
+                "is_unique"),
+        ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

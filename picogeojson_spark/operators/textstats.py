@@ -1227,3 +1227,68 @@ def garbage_signals(docs: DataFrame, id_col: str = "doc_id",
             > F.lit(int(multibyte_threshold_ppm)) * F.col("n_bytes")))
         .alias("is_garbage"),
     )
+
+
+def lexicon_score(
+    docs: DataFrame,
+    positive,
+    negative,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based lexicon scoring per document — the weak-labeling /
+    Snorkel-style annotation stage that bootstraps classifier training
+    data before any model exists: count occurrences of two (bounded,
+    broadcast-literal) word lists and emit an exact polarity score:
+
+        doc_id, n_tokens, pos_n, neg_n
+        net_ppm = floor_signed(1e6 * (pos_n - neg_n) / n_tokens)
+                  (explicit floor — negative when negatives dominate)
+        label   = 'pos' / 'neg' / 'neutral' (sign of pos_n - neg_n)
+
+    Matching is exact lower-cased whitespace tokens (the repo-standard
+    tokenization — no substring false hits), so both engines count
+    identically.  NULL ppm for empty documents.
+
+    Scale shape: one tokenized explode + ONE map-side-combined per-doc
+    aggregate with two literal-``isin`` conditional sums (whole-stage
+    codegen; the lexicons are expression literals, never a join); a
+    LEFT join back to the doc spine charges zero-token docs.
+    """
+    pos = sorted({w.lower() for w in positive})
+    neg = sorted({w.lower() for w in negative})
+    if not pos or not neg:
+        raise ValueError("need non-empty positive and negative lexicons")
+    if set(pos) & set(neg):
+        raise ValueError("lexicons overlap")
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(pos), 1).otherwise(0)).cast("long")
+        .alias("pos_n"),
+        F.sum(F.when(F.col("w").isin(neg), 1).otherwise(0)).cast("long")
+        .alias("neg_n"),
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    j = spine.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("pos_n", F.lit(0)).cast("long").alias("pos_n"),
+        F.coalesce("neg_n", F.lit(0)).cast("long").alias("neg_n"),
+    )
+    num = "(cast(1000000 as bigint) * (pos_n - neg_n))"
+    den = "n_tokens"
+    return j.select(
+        "doc_id", "n_tokens", "pos_n", "neg_n",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("cast(div({v} - pmod({v}, {m}), {m}) as bigint)"
+                      .format(v=num, m=den))).alias("net_ppm"),
+        F.when(F.col("pos_n") > F.col("neg_n"), F.lit("pos"))
+        .when(F.col("pos_n") < F.col("neg_n"), F.lit("neg"))
+        .otherwise(F.lit("neutral")).alias("label"),
+    )
