@@ -12244,8 +12244,9 @@ _EXTRA_ORACLES["stream_ams"] = Q_SKETCH_AMS_SQL
 def q_multimodal_dedup(spark, sf_dir):
     """Exact binary-payload dedup (operators/multimodal.py:
     media_dedup): recrawled/mirrored assets collapse on the payload's
-    content hash (md5 of base64 — engine-portable digest; payload
-    bytes never shuffle, only hashes).  Duplicates are planted
+    content hash (md5 of hex — engine-portable at ANY payload length;
+    base64 was probed to MIME-chunk on the Spark side past 57 bytes;
+    payload bytes never shuffle, only hashes).  Duplicates are planted
     deterministically (payload keyed by doc_id % 200).  ONE map-side-
     combined aggregate; smallest id wins as canonical."""
     from picogeojson_spark.operators.multimodal import media_dedup
@@ -12263,8 +12264,8 @@ def q_multimodal_dedup(spark, sf_dir):
 Q_MULTIMODAL_DEDUP_SQL = """
 WITH m AS (
   SELECT doc_id AS media_id,
-         md5(base64(encode('asset-' || CAST(doc_id % 200 AS VARCHAR)
-                           || '-payload'))) AS payload_md5
+         md5(hex(encode('asset-' || CAST(doc_id % 200 AS VARCHAR)
+                        || '-payload'))) AS payload_md5
   FROM documents)
 SELECT payload_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
        CAST(MIN(media_id) AS BIGINT) AS canonical_id

@@ -252,11 +252,15 @@ def media_dedup(media: DataFrame, id_col: str = "media_id",
     copies as ``(payload_md5, n_copies, canonical_id)`` with the
     smallest id as canonical (the keep-rule).
 
-    The hash is ``md5(base64(payload))`` — base64 first so the SAME
-    digest is computable by engines whose hash functions are
-    string-only (DuckDB) while Spark stays one JVM-side expression;
-    at 100 TB the base64 detour costs 4/3x the hash input and buys an
-    engine-portable contract (a production fork can hash raw bytes).
+    The hash is ``md5(hex(payload))`` — hex first so the SAME digest
+    is computable by engines whose hash functions are string-only
+    (DuckDB), while Spark stays one JVM-side expression.  hex, NOT
+    base64: Spark's ``base64()`` MIME-chunks inputs past 57 bytes
+    (newlines every 76 chars) while DuckDB's does not — a probed
+    divergence that only bites on REAL payload sizes; both engines'
+    ``hex`` is uppercase and unchunked at any length.  The 2x hash
+    input is the price of the portable contract (a production fork can
+    hash raw bytes).
 
     Scale shape: ONE map-side-combined aggregate on the 32-char digest
     (payload bytes never shuffle — only their hashes); pure codegen
@@ -264,7 +268,7 @@ def media_dedup(media: DataFrame, id_col: str = "media_id",
     """
     if min_copies < 1:
         raise ValueError("need min_copies >= 1")
-    h = F.md5(F.base64(F.col(payload_col)))
+    h = F.md5(F.hex(F.col(payload_col)))
     return (
         media.select(h.alias("payload_md5"),
                      F.col(id_col).alias("_id"))

@@ -1,7 +1,6 @@
 """media_dedup + degree_profile + norm_profile: hash grouping,
 canonical pick, min_copies cut; bucket math; zero-norm bucket."""
 
-import base64
 import hashlib
 
 import pytest
@@ -23,12 +22,23 @@ def test_media_dedup_groups_and_canonical(spark):
             (7, b"ccc"), (3, b"ccc")]
     out = {r.payload_md5: r for r in
            media_dedup(_media(spark, rows)).collect()}
-    h = hashlib.md5(base64.b64encode(b"aaa")).hexdigest()
+    h = hashlib.md5(b"aaa".hex().upper().encode()).hexdigest()
     assert out[h].n_copies == 3 and out[h].canonical_id == 1
-    hc = hashlib.md5(base64.b64encode(b"ccc")).hexdigest()
+    hc = hashlib.md5(b"ccc".hex().upper().encode()).hexdigest()
     assert out[hc].n_copies == 2 and out[hc].canonical_id == 3
     # singleton "bbb" suppressed at min_copies=2
     assert len(out) == 2
+
+
+def test_media_dedup_long_payload_parity(spark):
+    # the digest contract must hold past base64's 57-byte chunk point
+    # (Spark base64 MIME-chunks, hex does not — the probed trap)
+    p = b"z" * 5000
+    rows = [(1, p), (2, p)]
+    out = media_dedup(_media(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].payload_md5 == hashlib.md5(
+        p.hex().upper().encode()).hexdigest()
 
 
 def test_media_dedup_min_copies_one_keeps_all(spark):
