@@ -12689,3 +12689,42 @@ Q_TABLE_KEYS_SQL = (
 
 _EXTRA_QUERIES["table_keys"] = q_table_keys
 _EXTRA_ORACLES["table_keys"] = Q_TABLE_KEYS_SQL
+
+
+def q_events_new_users(spark, sf_dir):
+    """Daily new-vs-returning split (operators/cohort.py:
+    new_vs_returning): first-ever-active-day flag via one per-user
+    aggregate on the distinct (user, day) rollup + one user-key
+    equi-join + one daily aggregate; pure-NTZ day ids."""
+    from picogeojson_spark.operators.cohort import new_vs_returning
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 86400000000").cast("long").alias("day_id"),
+    )
+    return new_vs_returning(e).orderBy("day_id")
+
+
+Q_EVENTS_NEW_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+  FROM events),
+first AS (SELECT u, MIN(d) AS fd FROM ud GROUP BY u),
+f AS (
+  SELECT ud.d, ud.d = first.fd AS is_new
+  FROM ud JOIN first ON ud.u = first.u)
+SELECT CAST(d AS BIGINT) AS day_id,
+       CAST(COUNT(*) AS BIGINT) AS dau,
+       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users,
+       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS new_share_ppm
+FROM f GROUP BY d ORDER BY day_id
+"""
+
+_EXTRA_QUERIES["events_new_users"] = q_events_new_users
+_EXTRA_ORACLES["events_new_users"] = Q_EVENTS_NEW_USERS_SQL

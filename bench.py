@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "geo_uncompact",
     "text_lexicon",
     "table_keys",
+    "events_new_users",
 ]
 
 

@@ -129,3 +129,42 @@ def rolling_active_users(
         F.expr("cast(div(cast(dau as decimal(38,0)) * 1000000, mau)"
                " as bigint)").alias("stickiness_ppm"),
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day_id",
+) -> DataFrame:
+    """Daily new-vs-returning split — the acquisition/retention
+    headline read (is growth new users or the same users coming
+    back?): per observed day, ``(day_id, dau, new_users,
+    returning_users, new_share_ppm)`` where a user is NEW on their
+    first-ever active day and RETURNING on every later active day.
+
+    Scale shape: the corpus collapses to the distinct (user, day)
+    rollup (ONE map-side-combined aggregate); first-activity is one
+    per-user aggregate on that rollup; the flag attach is ONE hash
+    equi-join on the user key; the daily split is ONE final
+    aggregate.  No windows over raw events, no python.
+    """
+    ud = (
+        events.select(F.col(user_col).alias("u"),
+                      F.col(day_col).cast("long").alias("d"))
+        .distinct()
+    )
+    first = ud.groupBy("u").agg(F.min("d").alias("_fd"))
+    flagged = ud.join(first, on="u").select(
+        "d", (F.col("d") == F.col("_fd")).alias("_new"))
+    out = flagged.groupBy(F.col("d").alias("day_id")).agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum(F.when(F.col("_new"), 1).otherwise(0)).cast("long")
+        .alias("new_users"),
+    )
+    return out.select(
+        "day_id", "dau", "new_users",
+        (F.col("dau") - F.col("new_users")).cast("long")
+        .alias("returning_users"),
+        F.expr("cast(div(cast(new_users as decimal(38,0)) * 1000000,"
+               " dau) as bigint)").alias("new_share_ppm"),
+    )

@@ -110,3 +110,19 @@ def test_wau_brute_differential(spark):
 def test_wau_rejects_bad_windows(spark):
     with pytest.raises(ValueError):
         rolling_active_users(_ev(spark, [(1, 1)]), week=0)
+
+
+def test_new_vs_returning(spark):
+    from picogeojson_spark.operators.cohort import new_vs_returning
+
+    rows = [(1, 10), (2, 10), (1, 11), (3, 11), (1, 11), (2, 12)]
+    out = {r.day_id: r for r in new_vs_returning(
+        _ev(spark, rows)).collect()}
+    assert (out[10].dau, out[10].new_users) == (2, 2)
+    assert out[10].new_share_ppm == 1000000
+    # day 11: users {1,3}; 1 returning, 3 new (dup event deduped)
+    assert (out[11].dau, out[11].new_users,
+            out[11].returning_users) == (2, 1, 1)
+    assert out[11].new_share_ppm == 500000
+    assert (out[12].dau, out[12].new_users) == (1, 0)
+    assert out[12].new_share_ppm == 0
